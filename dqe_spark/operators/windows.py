@@ -1,0 +1,163 @@
+"""Time-window aggregation — the §2.4 operator family.
+
+The reference folds each window of ``to_ms(t) div resolution`` points of
+one series into one point (e.g. sum: /root/reference/src/dqe_sum_aggr.erl:26-34;
+window arithmetic: src/dqe_time.erl:6-10). Series there are dense arrays
+at a fixed resolution, so count-based windows and time-based windows
+coincide. Our row-oriented model uses the time-based formulation
+directly:
+
+    wts = floor(ts_ms / window_ms) * window_ms
+
+which is exactly what the dense formulation computes for an aligned
+series, and is the Spark-native shape: one ``groupBy(keys, wts)`` with
+built-in aggregate expressions — map-side partial aggregation, whole-
+stage codegen, no UDFs, no shuffle beyond the one the groupBy needs.
+
+At 100 TB: the shuffle key (metric, wts) is high-cardinality and evenly
+spread, so the agg scales linearly; AQE coalesces the post-shuffle
+partitions. The input scan carries the bucket/metric/time predicates
+(pushed to Parquet), so a 30-minute query over one series never touches
+the other 99.99% of the store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROUND_DP = 4  # defensive rounding so Spark/DuckDB double folds hash-match
+
+
+def wts_col(window_ms: int, ts: str = "ts_ms") -> Column:
+    """Window-start timestamp (ms) for each point."""
+    return (F.floor(F.col(ts) / F.lit(window_ms)) * window_ms).cast("long").alias("wts")
+
+
+def rounded(c: Column, dp: int = ROUND_DP) -> Column:
+    return F.round(c, dp)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate expression builders: name -> (value_col, *const_args) -> Column.
+# Mirrors the reference registrations at /root/reference/src/dqe.erl:63-87.
+# All are built-in JVM expressions (whole-stage codegen) — the mmath C-NIF
+# vectorization of the reference is subsumed by Tungsten.
+# ---------------------------------------------------------------------------
+
+def agg_sum(v: str) -> Column:  # src/dqe_sum_aggr.erl:26-30
+    return rounded(F.sum(v))
+
+
+def agg_avg(v: str) -> Column:  # src/dqe_avg_aggr.erl:27-31
+    return rounded(F.avg(v))
+
+
+def agg_min(v: str) -> Column:  # src/dqe_min_aggr.erl:25-29
+    return rounded(F.min(v))
+
+
+def agg_max(v: str) -> Column:  # src/dqe_max_aggr.erl:26-30
+    return rounded(F.max(v))
+
+
+def agg_variance(v: str) -> Column:  # src/dqe_variance_aggr.erl:27-31
+    return rounded(F.var_pop(v))
+
+
+def agg_stddev(v: str) -> Column:  # src/dqe_stddev_aggr.erl:27-31
+    return rounded(F.stddev_pop(v))
+
+
+def agg_median(v: str) -> Column:  # src/dqe_median_aggr.erl:27-31
+    return agg_percentile(v, 0.5)
+
+
+def agg_percentile(v: str, p: float) -> Column:
+    """Exact percentile with linear interpolation.
+
+    The reference halves an integer p at init (quirk preserved in the
+    DQL frontend, src/dqe_percentile_aggr.erl:15-18); here p is already
+    a 0..1 float. Exact (not approx) so the DuckDB quantile_cont oracle
+    matches bit-for-bit before rounding.
+    """
+    return rounded(F.percentile(F.col(v), F.lit(float(p))))
+
+
+def agg_count_above(v: str, c: float) -> Column:  # src/dqe_count_above_aggr.erl:31-37
+    return F.sum(F.when(F.col(v) > c, 1).otherwise(0)).cast("long")
+
+
+def agg_count_below(v: str, c: float) -> Column:  # src/dqe_count_below_aggr.erl:31-33
+    return F.sum(F.when(F.col(v) < c, 1).otherwise(0)).cast("long")
+
+
+def _crossing(v: str, c: float, above: bool) -> Column:
+    return F.col(v) > c if above else F.col(v) < c
+
+
+def agg_first_above(v: str, c: float, ts: str = "ts_ms") -> Column:
+    """Earliest point in the window with value above c
+    (src/dqe_first_above_aggr.erl:31-33). min_by ignores null ordering
+    keys, so points failing the threshold don't participate."""
+    cond = _crossing(v, c, True)
+    return rounded(F.min_by(F.when(cond, F.col(v)), F.when(cond, F.col(ts))))
+
+
+def agg_first_below(v: str, c: float, ts: str = "ts_ms") -> Column:
+    cond = _crossing(v, c, False)
+    return rounded(F.min_by(F.when(cond, F.col(v)), F.when(cond, F.col(ts))))
+
+
+def agg_last_above(v: str, c: float, ts: str = "ts_ms") -> Column:
+    cond = _crossing(v, c, True)
+    return rounded(F.max_by(F.when(cond, F.col(v)), F.when(cond, F.col(ts))))
+
+
+def agg_last_below(v: str, c: float, ts: str = "ts_ms") -> Column:
+    cond = _crossing(v, c, False)
+    return rounded(F.max_by(F.when(cond, F.col(v)), F.when(cond, F.col(ts))))
+
+
+#: The *_conf family (src/dqe.erl:75-80, e.g. dqe_count_above_conf_aggr.erl:32-37)
+#: is the same six expressions evaluated over the confidence channel —
+#: callers pass v="confidence".
+
+AGGREGATES = {
+    "sum": agg_sum,
+    "avg": agg_avg,
+    "min": agg_min,
+    "max": agg_max,
+    "variance": agg_variance,
+    "stddev": agg_stddev,
+    "median": agg_median,
+    "percentile": agg_percentile,
+    "count_above": agg_count_above,
+    "count_below": agg_count_below,
+    "first_above": agg_first_above,
+    "first_below": agg_first_below,
+    "last_above": agg_last_above,
+    "last_below": agg_last_below,
+}
+
+
+def window_agg(
+    df: DataFrame,
+    window_ms: int,
+    agg: Column,
+    out: str,
+    keys: Sequence[str] = ("metric",),
+    ts: str = "ts_ms",
+) -> DataFrame:
+    """groupBy(keys, window) → one aggregated point per window.
+
+    Returns (keys..., wts, out) sorted nowhere — ordering is the
+    caller's concern (results hash order-insensitively).
+    """
+    return (
+        df.withColumn("wts", wts_col(window_ms, ts))
+        .groupBy(*keys, "wts")
+        .agg(agg.alias(out))
+    )

@@ -1,0 +1,119 @@
+"""Sources: the F1 metric-point store and the F2 event store.
+
+The reference reads packed binary series from DalmatinerDB over TCP
+(``/root/reference/src/dqe_get.erl:14-96``) and discovers series via an
+index (``/root/reference/src/dql_expand.erl:57-93``). Our storage
+equivalent is columnar Parquet with one row per point:
+
+    (bucket, metric, metric_parts, tags, ts_ms, value, confidence)
+
+Per FIXTURES.md §F4 the driver's synthetic ``events.parquet`` is mapped
+into this shape (there is no standalone metrics.parquet):
+
+  - bucket        = 'events'            (resolution 1000 ms)
+  - metric        = 'events.' || event_type
+  - tags          = {host: 'h'||user_id%3, dc: east/west by user_id%2,
+                     user: 'u'||user_id%5}
+  - ts_ms         = epoch_micros(ts) div 1000   (integer ms, exact)
+  - value         = value
+  - confidence    = (event_id % 11) / 10.0      (0.0 .. 1.0)
+
+``METRICS_ORACLE_CTE`` is the *identical* derivation in DuckDB SQL; every
+oracle query is prefixed with it so the Spark plan and the oracle read
+the same logical table. Keep the two in lockstep when editing.
+
+Scale note: at 100 TB the store would be written partitioned by
+(bucket, date(ts)) with metrics sorted within files, so bucket/time
+predicates become partition pruning and metric predicates become
+row-group min/max skipping. The readers below express plain column
+predicates, which Catalyst pushes into the Parquet scan either way
+(verified via .explain PushedFilters in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: ms per point for each bucket — replaces the reference's
+#: ``ddb_connection:resolution`` RPC (src/dql_resolution.erl:206-208).
+BUCKET_RESOLUTION_MS = {"events": 1000}
+
+DEFAULT_BUCKET = "events"
+
+#: DuckDB CTE mirroring load_metrics() exactly (oracle side).
+METRICS_ORACLE_CTE = """
+WITH metrics AS (
+    SELECT
+        'events' AS bucket,
+        'events.' || event_type AS metric,
+        'h' || CAST(user_id % 3 AS VARCHAR) AS host,
+        CASE WHEN user_id % 2 = 0 THEN 'east' ELSE 'west' END AS dc,
+        'u' || CAST(user_id % 5 AS VARCHAR) AS "user",
+        epoch_ns(ts) // 1000000 AS ts_ms,
+        value AS value,
+        (event_id % 11) / 10.0 AS confidence
+    FROM events
+)
+"""
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric-point store: events.parquet mapped per FIXTURES.md §F4.
+
+    Columns: bucket, metric, metric_parts, tags(map), host, dc, user,
+    ts_ms(long), value(double), confidence(double).
+
+    host/dc/user are kept both as plain columns (Catalyst-friendly:
+    pushdown + pruning work on them) and inside the ``tags`` map (the
+    reference's data model, src/dql_parser.yrl:279-290).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 3).cast("string"))
+    dc = F.when(F.col("user_id") % 2 == 0, F.lit("east")).otherwise(F.lit("west"))
+    user = F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string"))
+    metric = F.concat(F.lit("events."), F.col("event_type"))
+    return ev.select(
+        F.lit("events").alias("bucket"),
+        metric.alias("metric"),
+        F.split(metric, r"\.").alias("metric_parts"),
+        F.create_map(
+            F.lit("host"), host, F.lit("dc"), dc, F.lit("user"), user
+        ).alias("tags"),
+        host.alias("host"),
+        dc.alias("dc"),
+        user.alias("user"),
+        F.expr("CAST(ts div 1000000 AS long)").alias("ts_ms"),
+        F.col("value").cast("double").alias("value"),
+        ((F.col("event_id") % 11) / F.lit(10.0)).alias("confidence"),
+    )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F2 event store: (bucket, ts_ms, payload JSON) + typed cols.
+
+    Mirrors the reference's event reply shape (src/dqe_events.erl:14-44);
+    ``props`` is the semi-structured payload the path predicates
+    (src/dql_parser.yrl:89-113) run against.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.lit("events").alias("bucket"),
+        F.expr("CAST(ts div 1000000 AS long)").alias("ts_ms"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("value").cast("double").alias("value"),
+        F.col("props").alias("payload"),
+    )
+
+
+def resolution_ms(bucket: str) -> int:
+    """Bucket → resolution lookup (plan-time, cached — trivially a dict
+    here; a Delta metadata table on a real deployment)."""
+    return BUCKET_RESOLUTION_MS.get(bucket, 1000)
