@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All deterministic and expressible as built-in Column expressions, so
+(a) the DuckDB oracle can replay them exactly (hashes are md5-derived,
+not engine-private), and (b) everything stays JVM-side/codegen'd.
+
+Scale design (100 TB):
+  * exact dedup — one hash-groupBy; the key (md5) is uniform, no skew.
+  * ngram-jaccard — the shingle self-join explodes ~L shingles/doc and
+    joins on shingle; frequent shingles create join skew, so the
+    pair-generation step drops shingles above a document-frequency cap
+    (stopword-shingle suppression), the standard ALL-pairs trick.
+  * minhash-LSH — fixed-width signature (K hashes) per doc, then a
+    band-bucket equi-join: candidate generation is linear in docs per
+    bucket, never all-pairs. This is the scale path; exact jaccard
+    verification runs only on candidates.
+  * simhash — one 32-bit signature per doc (map-only), hamming
+    verification on band-bucket candidates.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqe_spark.operators.text import tokens
+
+SHINGLE_N = 3
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 32
+DF_CAP_DEFAULT = 1000  # shingle document-frequency cap (skew guard)
+
+
+def dedup_exact(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: per group the kept id
+    (min), the duplicate count, and the hash."""
+    return (
+        df.select(F.md5(F.col(col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-level n-gram shingles per document → (id, shingle).
+
+    transform(sequence(...)) builds the n-grams JVM-side; explode keeps
+    this a narrow op until the downstream groupBy/join."""
+    t = tokens(F.col(col))
+    grams = F.expr(
+        f"transform(sequence(0, size(tk) - {SHINGLE_N}), "
+        f"i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+    )
+    return (
+        df.select(F.col(id_col), t.alias("tk"))
+        .where(F.size("tk") >= SHINGLE_N)
+        .select(id_col, F.explode(F.array_distinct(grams)).alias("sh"))
+    )
+
+
+def shingle_sizes(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """All near-duplicate pairs (i < j) with shingle-set Jaccard ≥
+    threshold. Output: (id_i, id_j, jaccard 4dp)."""
+    sh = shingles(df, col, id_col)
+    if df_cap is not None:
+        # skew guard: drop shingles shared by more than df_cap docs —
+        # they contribute O(df²) candidate pairs and almost no signal.
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = sh.join(F.broadcast(freq.where(F.col("df") <= df_cap)), "sh", "left_semi")
+    sizes = shingle_sizes(sh, id_col)
+    a = sh.select(F.col(id_col).alias("id_i"), "sh")
+    b = sh.select(F.col(id_col).alias("id_j"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("id_i") < F.col("id_j"))
+        .groupBy("id_i", "id_j")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_i"), F.col("n_sh").alias("n_i"))
+    nb = sizes.select(F.col(id_col).alias("id_j"), F.col("n_sh").alias("n_j"))
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(na), "id_i")
+        .join(F.broadcast(nb), "id_j")
+        .where(jac >= threshold)
+        .select("id_i", "id_j", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _hash32(col: Column, salt: int) -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5(salt:val).
+    md5-based (not xxhash) so the DuckDB oracle reproduces it exactly."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """K-permutation MinHash signature per document: sig_j = min over
+    shingles of hash_j(shingle). One explode + one groupBy."""
+    sh = shingles(df, col, id_col)
+    aggs = [F.min(_hash32(F.col("sh"), j)).alias(f"mh{j}") for j in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: band signatures into buckets,
+    candidate = docs sharing any band bucket, then verify candidates
+    with exact shingle Jaccard ≥ threshold.
+
+    Output: (id_i, id_j, jaccard). Candidate generation is the LSH
+    equi-join (linear per bucket) — the exact verification only ever
+    sees candidate pairs, which is what makes this the 100 TB path."""
+    sig = minhash_signatures(df, col, id_col, k)
+    rows = k // bands
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    # long-form (id, band_idx, key) so one self-join covers all bands
+    stack = ", ".join(f"'{b}', band{b}" for b in range(MINHASH_BANDS))
+    lf = banded.select(
+        id_col, F.expr(f"stack({bands}, {stack}) AS (band, key)")
+    )
+    a = lf.select(F.col(id_col).alias("id_i"), "band", "key")
+    b = lf.select(F.col(id_col).alias("id_j"), "band", "key")
+    cand = (
+        a.join(b, on=["band", "key"])
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j")
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = shingles(df, col, id_col)
+    sizes = shingle_sizes(sh, id_col)
+    ai = sh.select(F.col(id_col).alias("id_i"), "sh")
+    bj = sh.select(F.col(id_col).alias("id_j"), "sh")
+    inter = (
+        cand.join(ai, "id_i")
+        .join(bj, ["id_j", "sh"])
+        .groupBy("id_i", "id_j")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_i"), F.col("n_sh").alias("n_i"))
+    nb = sizes.select(F.col(id_col).alias("id_j"), F.col("n_sh").alias("n_j"))
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(na), "id_i")
+        .join(F.broadcast(nb), "id_j")
+        .where(jac >= threshold)
+        .select("id_i", "id_j", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash: per document, each bit of the signature is the sign of
+    the sum of ±1 votes from each distinct token's hash bit. One
+    explode + one groupBy; md5-derived hashes for oracle parity."""
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(col)))).alias("t"))
+    )
+    h = _hash32(F.col("t"), 0)
+    tok = tok.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(id_col, sig.alias("simhash"))

@@ -1,0 +1,343 @@
+"""Extension query inventory: the large-scale training-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal) with
+DuckDB oracles.
+
+Hashing note: every hash in these pipelines is md5-derived (not
+xxhash/murmur) precisely so the DuckDB oracle can replay the SAME
+algorithm — the correctness gate then checks the full pipeline, not
+just row counts. Integer-domain formulations (e.g. quality_e4,
+50*hits > n) avoid cross-engine float-rounding half-boundary flips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqe_spark.operators import dedup, multimodal, similarity, text
+from dqe_spark.operators.dedup import MINHASH_BANDS, MINHASH_K, SIMHASH_BITS
+from dqe_spark.sources.metric_store import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+_TOK = "string_split_regex(trim(text), '\\s+')"
+_STOP_HITS = " + ".join(
+    f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in text.STOPWORDS
+)
+
+
+@q(
+    "text_token_count",
+    f"""
+SELECT doc_id, len({_TOK}) AS n_tokens,
+       len(list_distinct({_TOK})) AS n_distinct_tokens
+FROM documents
+""",
+)
+def text_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        text.distinct_token_count(t).alias("n_distinct_tokens"),
+    )
+
+
+@q(
+    "text_lang_id",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN 50 * ({_STOP_HITS}) > len({_TOK}) THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+""",
+)
+def text_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    # integer-domain form of hits/n > 0.02
+    pred = F.when(
+        50 * text.stopword_hits(t) > text.token_count(t), F.lit("en")
+    ).otherwise(F.lit("unk"))
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+# quality in integer 1e-4 units: (min(n,100) * n_distinct * 10000) // (100 * n)
+# — exact in both engines, no float rounding anywhere.
+@q(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       (least(len({_TOK}), 100) * len(list_distinct({_TOK})) * 10000)
+           // (100 * len({_TOK})) AS quality_e4
+FROM documents
+""",
+)
+def text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = text.token_count(t)
+    nd = text.distinct_token_count(t)
+    qe4 = F.expr(
+        "CAST((least(size(split(trim(text), '\\\\s+')), 100) "
+        "* size(array_distinct(split(trim(text), '\\\\s+'))) * 10000) "
+        "DIV (100 * size(split(trim(text), '\\\\s+'))) AS long)"
+    )
+    return d.select("doc_id", qe4.alias("quality_e4"))
+
+
+@q(
+    "text_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                               for i in range(1, len(tk) - 1)])) AS sh
+  FROM t WHERE len(tk) >= 3
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM s GROUP BY 1
+)
+"""
+
+
+@q(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+, inter AS (
+  SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS inter
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_i, id_j, round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sz na ON id_i = na.doc_id
+JOIN sz nb ON id_j = nb.doc_id
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, 0.8)
+
+
+def _mh_sql(j: int) -> str:
+    return f"min((('0x' || substr(md5('{j}:' || sh), 1, 8))::BIGINT))"
+
+
+_MINHASH_SIG_CTE = (
+    _SHINGLE_CTE
+    + ", sig AS (\n  SELECT doc_id, "
+    + ", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(MINHASH_K))
+    + "\n  FROM s GROUP BY doc_id\n)"
+)
+
+
+@q("dedup_minhash_sig", _MINHASH_SIG_CTE + "\nSELECT * FROM sig")
+def dedup_minhash_sig(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d)
+
+
+def _band_sql(b: int) -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    parts = " || ',' || ".join(
+        f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+    )
+    return f"md5({parts})"
+
+
+_LSH_PAIRS_SQL = (
+    _MINHASH_SIG_CTE
+    + ", bands AS (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_sql(b)} AS key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    + """
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.id_i, c.id_j, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.id_i
+  JOIN s sb ON sb.doc_id = c.id_j AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT id_i, id_j, round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sz na ON id_i = na.doc_id
+JOIN sz nb ON id_j = nb.doc_id
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.7
+"""
+)
+
+
+@q("dedup_minhash_lsh", _LSH_PAIRS_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, 0.7)
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+    for b in range(SIMHASH_BITS)
+)
+
+@q(
+    "dedup_simhash",
+    f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 8))::BIGINT AS h FROM t
+), votes AS (
+  SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM votes
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(d)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@q(
+    "knn_bruteforce",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT b.vec_id AS vec_id, round({_COS}, 6) AS cos
+FROM q a CROSS JOIN e b
+WHERE b.vec_id != 0
+ORDER BY round({_COS}, 6) DESC, b.vec_id ASC
+LIMIT 10
+""",
+)
+def knn_bruteforce(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0)
+    corpus = e.where(F.col("vec_id") != 0)
+    return similarity.knn_bruteforce(corpus, query, 10)
+
+
+@q(
+    "knn_ivf",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+dims AS (
+  SELECT label, g.i AS pos, avg(v[g.i + 1]) AS c
+  FROM e, generate_series(0, 63) g(i)
+  WHERE vec_id != 0
+  GROUP BY label, g.i
+),
+cents AS (
+  SELECT label, list(c ORDER BY pos) AS v FROM dims GROUP BY label
+),
+probe AS (
+  SELECT b.label FROM q a CROSS JOIN cents b
+  ORDER BY {_COS} DESC, b.label ASC LIMIT 2
+)
+SELECT b.vec_id AS vec_id, round({_COS}, 6) AS cos
+FROM q a CROSS JOIN e b
+WHERE b.vec_id != 0 AND b.label IN (SELECT label FROM probe)
+ORDER BY round({_COS}, 6) DESC, b.vec_id ASC
+LIMIT 10
+""",
+)
+def knn_ivf(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0)
+    corpus = e.where(F.col("vec_id") != 0)
+    return similarity.knn_ivf(corpus, query, 10, probes=2)
+
+
+@q(
+    "neardup_cosine",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS id_i, b.vec_id AS id_j, round({_COS}, 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_COS}, 6) >= 0.2
+""",
+)
+def neardup_cosine(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    return similarity.neardup_cosine_pairs(e, 0.2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary column + Arrow-batched feature extraction)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "multimodal_features",
+    """
+SELECT doc_id, 'text/plain' AS media_type,
+       octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+FROM documents
+""",
+)
+def multimodal_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.to_binary_table(d))
