@@ -1,0 +1,611 @@
+"""DQL AST → Spark DataFrame compiler.
+
+Collapses the reference's plan stages 4-13 (SURVEY.md §3) into one
+walk: typed overload dispatch (src/dql_resolver.erl:65-112), flattening
+(chains apply in order), time-range computation
+(src/dql_resolution.erl:236-292), resolution propagation
+(src/dql_resolution.erl:142-158), naming (src/dql_naming.erl:18-48),
+and emission of declarative DataFrame plans that Catalyst optimizes.
+
+A compiled statement is a SeriesFrame: a long-format DataFrame plus the
+series-identity key columns, the current output resolution, and naming
+state. Every operator is a pure DataFrame→DataFrame function; nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import re
+import time as _time
+from dataclasses import dataclass, replace
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dqe_spark.dql import ast as A
+from dqe_spark.operators import combinators as C
+from dqe_spark.operators import timeshift as TS
+from dqe_spark.operators import transforms as T
+from dqe_spark.operators import windows as W
+
+
+class PlanError(ValueError):
+    """Mirrors the reference's unified error strings (src/dqe.erl:129-150)."""
+
+
+@dataclass
+class SeriesFrame:
+    df: DataFrame  # columns: keys..., ts_ms, value, confidence [, metric_parts, tags]
+    keys: tuple[str, ...]  # series-identity columns
+    res_ms: int  # current output resolution (ms per point)
+    label: str  # auto-generated name (unparse of the AST)
+    has_dims: bool = True  # metric_parts/tags still present (pre-combine)
+    hist_window_ms: int | None = None  # set by histogram(): frames of rounded values
+
+
+@dataclass
+class EventsFrame:
+    df: DataFrame
+    label: str
+
+
+@dataclass
+class Result:
+    name: str
+    kind: str  # "metrics" | "events"
+    df: DataFrame  # (name, keys..., ts_ms, value) or event rows
+    resolution_ms: int | None = None
+
+
+# ---------------------------------------------------------------------------
+# time-range evaluation (src/dql_resolution.erl:236-292)
+# ---------------------------------------------------------------------------
+
+
+def _pit_ms(p, now_ms: int) -> int:
+    if isinstance(p, A.Now):
+        return now_ms
+    if isinstance(p, A.Ago):
+        return now_ms - _dur_ms(p.t)
+    if isinstance(p, A.DateLit):
+        txt = p.text.strip()
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+            try:
+                dt = datetime.strptime(txt, fmt).replace(tzinfo=timezone.utc)
+                return int(dt.timestamp() * 1000)
+            except ValueError:
+                continue
+        raise PlanError(f"unparseable date: {p.text!r}")
+    if isinstance(p, int):
+        return p
+    raise PlanError(f"bad point-in-time: {p!r}")
+
+
+def _dur_ms(t) -> int:
+    if isinstance(t, A.TimeUnit):
+        return t.ms
+    if isinstance(t, int):
+        return t  # bare integers are ms
+    raise PlanError(f"bad duration: {t!r}")
+
+
+def timeframe_range(tf, now_ms: int) -> tuple[int, int]:
+    """→ absolute [start, end) in epoch ms."""
+    if isinstance(tf, A.Last):
+        return now_ms - _dur_ms(tf.t), now_ms
+    if isinstance(tf, A.Between):
+        a, b = _pit_ms(tf.a, now_ms), _pit_ms(tf.b, now_ms)
+        return (a, b) if a <= b else (b, a)
+    if isinstance(tf, A.After):
+        p = _pit_ms(tf.pit, now_ms)
+        return p, p + _dur_ms(tf.dur)
+    if isinstance(tf, A.Before):
+        p = _pit_ms(tf.pit, now_ms)
+        return p - _dur_ms(tf.dur), p
+    raise PlanError(f"bad timeframe: {tf!r}")
+
+
+# ---------------------------------------------------------------------------
+# unparse (auto-naming, src/dql_unparse.erl:4-104)
+# ---------------------------------------------------------------------------
+
+
+def unparse(node) -> str:
+    if isinstance(node, A.Get) or isinstance(node, A.SGet):
+        path = ".".join(f"'{p}'" if p != "*" else "*" for p in node.parts)
+        return f"{path} BUCKET '{node.bucket}'"
+    if isinstance(node, A.Lookup):
+        m = "ALL" if node.parts is None else ".".join(f"'{p}'" for p in node.parts)
+        s = f"{m} FROM '{node.bucket}'"
+        if node.where is not None:
+            s += f" WHERE {_unparse_where(node.where)}"
+        return s
+    if isinstance(node, A.GroupBy):
+        g = ", ".join(
+            f"$'{t.ns}':'{t.key}'" if t.ns else f"$'{t.key}'" for t in node.groupings
+        )
+        return f"{unparse(node.lookup)} GROUP BY {g} USING {node.fun}"
+    if isinstance(node, A.EventsFrom):
+        return f"EVENTS FROM '{node.bucket}'"
+    if isinstance(node, A.Timeshift):
+        return f"{unparse(node.sel)} SHIFT BY {_unparse_t(node.t)}"
+    if isinstance(node, A.FCall):
+        args = ", ".join(
+            _unparse_t(a) if isinstance(a, (A.TimeUnit, int, float)) else unparse(a)
+            for a in node.inputs
+        )
+        return f"{node.name}({args})"
+    if isinstance(node, A.Named):
+        return unparse(node.child)
+    if isinstance(node, A.Var):
+        return node.name
+    return str(node)
+
+
+def _unparse_t(t) -> str:
+    if isinstance(t, A.TimeUnit):
+        return f"{t.n}{t.unit}"
+    return str(t)
+
+
+def _unparse_where(w) -> str:
+    op = w[0]
+    if op in ("and", "or"):
+        return f"({_unparse_where(w[1])} {op.upper()} {_unparse_where(w[2])})"
+    tag = w[1]
+    t = f"'{tag.ns}':'{tag.key}'" if tag.ns else f"'{tag.key}'"
+    if op == "exists":
+        return t
+    return f"{t} {op} '{w[2]}'"
+
+
+# ---------------------------------------------------------------------------
+# function registry — overloads by (name, arg-shape), mirroring
+# dqe's registrations (src/dqe.erl:62-122)
+# ---------------------------------------------------------------------------
+
+AGGR_PLAIN = {
+    "sum": W.agg_sum,
+    "avg": W.agg_avg,
+    "min": W.agg_min,
+    "max": W.agg_max,
+    "variance": W.agg_variance,
+    "stddev": W.agg_stddev,
+    "median": W.agg_median,
+}
+AGGR_THRESHOLD = {
+    "count_above": W.agg_count_above,
+    "count_below": W.agg_count_below,
+    "first_above": W.agg_first_above,
+    "first_below": W.agg_first_below,
+    "last_above": W.agg_last_above,
+    "last_below": W.agg_last_below,
+}
+TRANS_PLAIN = {"abs": T.t_abs, "sqrt_scale": T.t_sqrt_scale, "log10_scale": T.t_log10_scale}
+ARITH = {"add": T.t_add, "sub": T.t_sub, "mul": T.t_mul, "divide": T.t_divide,
+         "min": T.t_min, "max": T.t_max}
+COMBINE = {"sum": C.comb_sum, "avg": C.comb_avg, "min": C.comb_min, "max": C.comb_max,
+           "diff": C.comb_diff, "product": C.comb_product, "quotient": C.comb_quotient}
+HIST_RED = {"max": W.agg_max, "min": W.agg_min, "mean": W.agg_avg,
+            "median": W.agg_median, "stddev": W.agg_stddev}
+
+
+def glob_to_regex(parts: tuple[str, ...]) -> str:
+    segs = [("[^.]+" if p == "*" else re.escape(p)) for p in parts]
+    return "^" + r"\.".join(segs) + "$"
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+
+class Compiler:
+    """Compiles one SELECT against a metric/event store.
+
+    ``metrics`` must expose: bucket, metric, metric_parts, tags, host…,
+    ts_ms, value, confidence. ``events`` (optional): bucket, ts_ms,
+    payload + typed columns. ``resolutions`` maps bucket → ms/point.
+    """
+
+    def __init__(
+        self,
+        metrics: DataFrame,
+        events: DataFrame | None = None,
+        resolutions: dict[str, int] | None = None,
+        now_ms: int | None = None,
+    ):
+        self.metrics = metrics
+        self.events = events
+        self.resolutions = resolutions or {}
+        self.now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
+
+    # -- public --------------------------------------------------------------
+
+    def compile(self, sel: A.Select) -> list[Result]:
+        self.aliases = {a.name: a.sel for a in sel.aliases}
+        start, end = timeframe_range(sel.timeframe, self.now_ms)
+        results: list[Result] = []
+        frames: list[tuple[SeriesFrame | EventsFrame, A.Named | None]] = []
+        for stmt in sel.stmts:
+            named = stmt if isinstance(stmt, A.Named) else None
+            node = stmt.child if named else stmt
+            frames.append((self._node(node, start, end), named))
+        if sel.limit is not None:
+            frames = self._apply_limit(frames, sel.limit)
+        for frame, named in frames:
+            results.append(self._finalize(frame, named))
+        return results
+
+    # -- statement finalization (collect/naming, src/dqe_collect.erl:35-43) --
+
+    def _finalize(self, frame, named: A.Named | None) -> Result:
+        if isinstance(frame, EventsFrame):
+            name = self._static_name(named) or frame.label
+            return Result(name, "events", frame.df.withColumn("name", F.lit(name)))
+        name_col, label = self._name_column(frame, named)
+        cols = ["name", *frame.keys, "ts_ms", "value"]
+        df = frame.df.withColumn("name", name_col).select(*cols)
+        return Result(label, "metrics", df, frame.res_ms)
+
+    def _static_name(self, named: A.Named | None) -> str | None:
+        if named and named.parts and all(isinstance(p, str) for p in named.parts):
+            return ".".join(named.parts)
+        return None
+
+    def _name_column(self, frame: SeriesFrame, named: A.Named | None):
+        if named is None or named.parts is None:
+            return F.lit(frame.label), frame.label
+        cols: list[Column] = []
+        for p in named.parts:
+            if isinstance(p, str):
+                cols.append(F.lit(p))
+            elif isinstance(p, A.PVar):
+                # per-series naming survives aggregation because the series
+                # key column does (the reference expands names at plan time,
+                # src/dql_naming.erl:45-46; we derive them from the key)
+                if "metric_parts" in frame.df.columns:
+                    cols.append(F.col("metric_parts")[p.n - 1])
+                elif "metric" in frame.keys:
+                    cols.append(F.split(F.col("metric"), r"\.")[p.n - 1])
+                else:
+                    raise PlanError("$N naming needs a metric-keyed selector")
+            elif isinstance(p, A.DVar):
+                key = f"{p.ns}:{p.key}" if p.ns else p.key
+                gcol = f"g_{p.key}"
+                if gcol in frame.df.columns:
+                    cols.append(F.col(gcol))
+                elif frame.has_dims:
+                    cols.append(F.col("tags")[key if p.ns else p.key])
+                else:
+                    raise PlanError(f"dimension variable ${key} unavailable here")
+            else:
+                raise PlanError(f"bad name part {p!r}")
+        return F.concat_ws(".", *cols), ".".join(str(p) for p in named.parts)
+
+    # -- node dispatch -------------------------------------------------------
+
+    def _node(self, node, start: int, end: int):
+        if isinstance(node, A.Var):
+            if node.name not in self.aliases:
+                raise PlanError(f"unknown alias: {node.name}")
+            return self._node(self.aliases[node.name], start, end)
+        if isinstance(node, A.Timeshift):
+            shift = _dur_ms(node.t)
+            inner = self._node(node.sel, start - shift, end - shift)
+            if isinstance(inner, EventsFrame):
+                raise PlanError("SHIFT BY does not apply to events")
+            return replace(
+                inner,
+                df=TS.restamp(inner.df, shift),
+                label=f"{inner.label} SHIFT BY {_unparse_t(node.t)}",
+            )
+        if isinstance(node, (A.Get, A.SGet, A.Lookup, A.GroupBy)):
+            return self._terminal(node, start, end)
+        if isinstance(node, A.EventsFrom):
+            return self._events(node, start, end)
+        if isinstance(node, A.FCall):
+            return self._fcall(node, start, end)
+        raise PlanError(f"cannot compile node: {node!r}")
+
+    # -- terminals (src/dqe_get.erl, src/dql_expand.erl) ---------------------
+
+    def _scan(self, bucket: str, start: int, end: int) -> DataFrame:
+        return self.metrics.where(
+            (F.col("bucket") == bucket)
+            & (F.col("ts_ms") >= start)
+            & (F.col("ts_ms") < end)
+        )
+
+    def _res(self, bucket: str) -> int:
+        return int(self.resolutions.get(bucket, 1000))
+
+    def _terminal(self, node, start: int, end: int) -> SeriesFrame:
+        if isinstance(node, A.GroupBy):
+            return self._group_by(node, start, end)
+        if isinstance(node, A.Get):
+            df = self._scan(node.bucket, start, end).where(
+                F.col("metric") == ".".join(node.parts)
+            )
+            bucket = node.bucket
+        elif isinstance(node, A.SGet):
+            df = self._scan(node.bucket, start, end).where(
+                F.col("metric").rlike(glob_to_regex(node.parts))
+            )
+            bucket = node.bucket
+        elif isinstance(node, A.Lookup):
+            df = self._scan(node.bucket, start, end)
+            if node.parts is not None:
+                df = df.where(F.col("metric") == ".".join(node.parts))
+            if node.where is not None:
+                df = df.where(self._where_col(node.where))
+            bucket = node.bucket
+        else:  # pragma: no cover
+            raise PlanError(f"bad terminal {node!r}")
+        return SeriesFrame(
+            df=df.select("metric", "metric_parts", "tags", "ts_ms", "value", "confidence"),
+            keys=("metric",),
+            res_ms=self._res(bucket),
+            label=unparse(node),
+        )
+
+    def _where_col(self, w) -> Column:
+        op = w[0]
+        if op == "and":
+            return self._where_col(w[1]) & self._where_col(w[2])
+        if op == "or":
+            return self._where_col(w[1]) | self._where_col(w[2])
+        tag: A.TagRef = w[1]
+        key = f"{tag.ns}:{tag.key}" if tag.ns else tag.key
+        ref = F.col("tags")[key]
+        if op == "=":
+            return ref == w[2]
+        if op == "!=":
+            # reference: != means "has a different value OR lacks the tag"
+            return ref.isNull() | (ref != w[2])
+        if op == "exists":
+            return ref.isNotNull()
+        raise PlanError(f"bad where op {op!r}")
+
+    def _group_by(self, node: A.GroupBy, start: int, end: int) -> SeriesFrame:
+        base = self._terminal(node.lookup, start, end)
+        if node.fun not in COMBINE:
+            raise PlanError(f"unknown combinator for GROUP BY: {node.fun}")
+        gcols = []
+        sel = base.df
+        for t in node.groupings:
+            key = f"{t.ns}:{t.key}" if t.ns else t.key
+            gname = f"g_{t.key}"
+            sel = sel.withColumn(gname, F.col("tags")[key])
+            gcols.append(gname)
+        # point-wise combinator across the series in each tag-group:
+        # same shape as the N-series combinators, keyed by group + ts.
+        agg = {
+            "sum": W.rounded(F.sum("value")), "avg": W.rounded(F.avg("value")),
+            "min": W.rounded(F.min("value")), "max": W.rounded(F.max("value")),
+            "product": W.rounded(F.product("value")),
+        }.get(node.fun)
+        if agg is None:
+            raise PlanError(f"GROUP BY USING {node.fun} is order-sensitive; unsupported")
+        df = (
+            sel.groupBy(*gcols, "ts_ms")
+            .agg(agg.alias("value"), F.avg("confidence").alias("confidence"))
+        )
+        return SeriesFrame(
+            df=df,
+            keys=tuple(gcols),
+            res_ms=base.res_ms,
+            label=unparse(node),
+            has_dims=False,
+        )
+
+    def _events(self, node: A.EventsFrom, start: int, end: int) -> EventsFrame:
+        if self.events is None:
+            raise PlanError("no event store configured")
+        df = self.events.where(
+            (F.col("bucket") == node.bucket)
+            & (F.col("ts_ms") >= start)
+            & (F.col("ts_ms") < end)
+        )
+        if node.filter is not None:
+            df = df.where(self._event_col(node.filter))
+        return EventsFrame(df=df, label=unparse(node))
+
+    def _event_col(self, cond) -> Column:
+        op = cond[0]
+        if op == "and":
+            return self._event_col(cond[1]) & self._event_col(cond[2])
+        if op == "or":
+            return self._event_col(cond[1]) | self._event_col(cond[2])
+        if op == "not":
+            return ~self._event_col(cond[1])
+        path, val = cond[1], cond[2]
+        ref = self._event_path(path, val)
+        if op == "==":
+            return ref == val
+        if op == ">=":
+            return ref >= val
+        if op == "=<":
+            return ref <= val
+        if op == ">":
+            return ref > val
+        if op == "<":
+            return ref < val
+        if op == "~=":
+            return ref.rlike(str(val))
+        raise PlanError(f"bad event op {op!r}")
+
+    def _event_path(self, path: tuple, val) -> Column:
+        # top-level typed columns first (event_type, value, …), else JSON path
+        if len(path) == 1 and isinstance(path[0], str) and path[0] in self.events.columns:
+            return F.col(path[0])
+        jp = "$" + "".join(
+            f"[{p}]" if isinstance(p, int) else f".{p}" for p in path
+        )
+        raw = F.get_json_object(F.col("payload"), jp)
+        if isinstance(val, int):
+            return raw.cast("long")
+        if isinstance(val, float):
+            return raw.cast("double")
+        return raw
+
+    # -- function application ------------------------------------------------
+
+    def _fcall(self, node: A.FCall, start: int, end: int):
+        name = node.name
+        series = [a for a in node.inputs
+                  if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
+                                    A.Timeshift, A.Var))]
+        consts = [a for a in node.inputs if isinstance(a, (int, float, A.TimeUnit))]
+
+        # combinators: N series inputs (src/dqe.erl:103-111)
+        if len(series) >= 2:
+            if name not in COMBINE:
+                raise PlanError(f"function not found: {name}/{len(node.inputs)}")
+            frames = [self._expect_series(self._node(s, start, end)) for s in series]
+            res = {fr.res_ms for fr in frames}
+            if len(res) != 1:
+                raise PlanError("resolution_conflict: combinator inputs differ")
+            dfs = [fr.df.select("ts_ms", "value") for fr in frames]
+            out = COMBINE[name](dfs, ts="ts_ms", v="value")
+            return SeriesFrame(
+                df=out.withColumn("confidence", F.lit(1.0)),
+                keys=(),
+                res_ms=res.pop(),
+                label=unparse(node),
+                has_dims=False,
+            )
+
+        if len(series) != 1:
+            raise PlanError(f"function not found: {name}/{len(node.inputs)}")
+        sub = self._expect_series(self._node(series[0], start, end))
+
+        # histogram build / reductions (src/dqe_hist.erl, dqe_hist_*.erl)
+        if name == "histogram":
+            return self._histogram(sub, consts, node)
+        if sub.hist_window_ms is not None:
+            return self._hist_reduce(sub, name, consts, node)
+
+        # timed aggregates (src/dqe.erl:63-87)
+        if consts and isinstance(consts[-1], (A.TimeUnit, int)) and (
+            name in AGGR_PLAIN or name in AGGR_THRESHOLD or name == "percentile"
+            or (name.endswith("_conf") and name[:-5] in AGGR_THRESHOLD)
+        ):
+            return self._windowed(sub, name, consts, node)
+
+        # transforms & scalar arithmetic (src/dqe.erl:88-102)
+        return self._transform(sub, name, consts, node)
+
+    def _expect_series(self, frame) -> SeriesFrame:
+        if isinstance(frame, EventsFrame):
+            raise PlanError("events cannot feed metric functions")
+        return frame
+
+    def _window_count(self, sub: SeriesFrame, t) -> int:
+        wms = _dur_ms(t)
+        if wms < sub.res_ms or wms % sub.res_ms != 0:
+            raise PlanError(
+                f"aggregate window {wms}ms must be a multiple of the "
+                f"current resolution {sub.res_ms}ms"
+            )
+        return wms
+
+    def _windowed(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:
+        t = consts[-1]
+        wms = self._window_count(sub, t)
+        over_conf = name.endswith("_conf")
+        base = name[:-5] if over_conf else name
+        vcol = "confidence" if over_conf else "value"
+        if base in AGGR_PLAIN and len(consts) == 1:
+            agg = AGGR_PLAIN[base](vcol)
+        elif base == "percentile" and len(consts) == 2:
+            p = consts[0]
+            if isinstance(p, int):
+                p = p * 0.5  # reference quirk: src/dqe_percentile_aggr.erl:15-16
+            agg = W.agg_percentile(vcol, float(p))
+        elif base in AGGR_THRESHOLD and len(consts) == 2:
+            agg = AGGR_THRESHOLD[base](vcol, float(consts[0]))
+        else:
+            raise PlanError(f"function not found: {name}")
+        df = (
+            sub.df.withColumn("wts", W.wts_col(wms))
+            .groupBy(*sub.keys, "wts")
+            .agg(agg.alias("value"), F.avg("confidence").alias("confidence"))
+            .withColumnRenamed("wts", "ts_ms")
+        )
+        return SeriesFrame(df, sub.keys, wms, unparse(node), has_dims=False,
+                           hist_window_ms=None)
+
+    def _transform(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:
+        if name == "derivate" and not consts:
+            if sub.keys:
+                df = T.derivate(sub.df, keys=sub.keys)
+            else:  # keyless (combined) frame = a single series
+                df = T.derivate(
+                    sub.df.withColumn("__k", F.lit(1)), keys=("__k",)
+                ).drop("__k")
+        elif name == "confidence" and not consts:
+            df = sub.df.withColumn("value", F.col("confidence"))
+        elif name in TRANS_PLAIN and not consts:
+            df = sub.df.withColumn("value", TRANS_PLAIN[name](F.col("value")))
+        elif name in ARITH and len(consts) == 1 and isinstance(consts[0], (int, float)):
+            df = sub.df.withColumn("value", ARITH[name](F.col("value"), float(consts[0])))
+        else:
+            raise PlanError(f"function not found: {name}")
+        return replace(sub, df=df, label=unparse(node))
+
+    def _histogram(self, sub: SeriesFrame, consts, node) -> SeriesFrame:
+        # histogram(m, highest_trackable, sig_figs, t): our engine models
+        # the HDR histogram as the window's multiset of values rounded to
+        # integers (SURVEY.md §2.7; exact for sig_figs ≥ len(str(value)))
+        if len(consts) != 3:
+            raise PlanError("histogram(metric, htv, sig_figs, time)")
+        wms = self._window_count(sub, consts[-1])
+        df = sub.df.withColumn("value", F.round(F.col("value"), 0).cast("double"))
+        return replace(
+            sub, df=df, label=unparse(node), hist_window_ms=wms, has_dims=False
+        )
+
+    def _hist_reduce(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:
+        wms = sub.hist_window_ms
+        if name in HIST_RED and not consts:
+            agg = HIST_RED[name]("value")
+        elif name == "percentile" and len(consts) == 1:
+            agg = W.agg_percentile("value", float(consts[0]))
+        else:
+            raise PlanError(f"function not found on histogram: {name}")
+        df = (
+            sub.df.withColumn("wts", W.wts_col(wms))
+            .groupBy(*sub.keys, "wts")
+            .agg(agg.alias("value"), F.avg("confidence").alias("confidence"))
+            .withColumnRenamed("wts", "ts_ms")
+        )
+        return SeriesFrame(df, sub.keys, wms, unparse(node), has_dims=False)
+
+    # -- TOP/BOTTOM funnel (src/dqe_funnel.erl:36-71) ------------------------
+
+    def _apply_limit(self, frames, limit: A.Limit):
+        fun = limit.fun.name
+        if fun not in AGGR_PLAIN:
+            raise PlanError(f"unknown limit function: {fun}")
+        score = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+                 "variance": F.var_pop, "stddev": F.stddev_pop}.get(fun)
+        if score is None:
+            raise PlanError(f"limit BY {fun} unsupported")
+        out = []
+        for frame, named in frames:
+            if isinstance(frame, EventsFrame):
+                out.append((frame, named))  # events pass through untouched
+                continue
+            if not frame.keys:
+                out.append((frame, named))
+                continue
+            from dqe_spark.operators.topk import series_limit
+
+            df = series_limit(
+                frame.df, limit.n, score("value"),
+                top=(limit.direction == "top"), keys=frame.keys,
+            )
+            out.append((replace(frame, df=df), named))
+        return out

@@ -15,12 +15,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dqe_spark import queries_parity
 
     merged = dict(queries_parity.QUERIES)
-    try:
-        from dqe_spark import queries_ext
-
-        merged.update(queries_ext.QUERIES)
-    except ImportError:
-        pass
+    for mod in ("queries_ext", "queries_dql"):
+        try:
+            m = __import__(f"dqe_spark.{mod}", fromlist=["QUERIES"])
+            merged.update(m.QUERIES)
+        except ImportError:
+            pass
     return merged
 
 
@@ -28,10 +28,10 @@ def all_oracles() -> dict[str, str]:
     from dqe_spark import queries_parity
 
     merged = dict(queries_parity.ORACLES)
-    try:
-        from dqe_spark import queries_ext
-
-        merged.update(queries_ext.ORACLES)
-    except ImportError:
-        pass
+    for mod in ("queries_ext", "queries_dql"):
+        try:
+            m = __import__(f"dqe_spark.{mod}", fromlist=["ORACLES"])
+            merged.update(m.ORACLES)
+        except ImportError:
+            pass
     return merged

@@ -1,0 +1,177 @@
+"""DQL-driven query inventory: the same oracle-checked computations,
+but produced by the FULL language pipeline (lexer → parser → compiler →
+DataFrame), proving the frontend in the driver's correctness gate.
+
+Oracle SQL is shared with queries_parity (identical semantics); the
+result frames are projected onto the oracle's column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqe_spark import engine
+from dqe_spark.queries_parity import ORACLES as PARITY_ORACLES
+
+JAN1 = 1704067200000
+FEB1 = 1706745600000  # past the synthetic range end
+D_MS = 86_400_000
+JAN10 = JAN1 + 9 * D_MS
+JAN15 = JAN1 + 14 * D_MS
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _one(spark, dql, sf_dir):
+    (res,) = engine.run(spark, dql, sf_dir)
+    return res.df
+
+
+@q("dql_avg_1m", PARITY_ORACLES["aggr_avg_1m"])
+def dql_avg_1m(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1m) BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), F.col("value").alias("avg_value"))
+
+
+@q("dql_glob_avg_1m", PARITY_ORACLES["glob_avg_1m"])
+def dql_glob_avg_1m(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1m) BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), F.col("value").alias("avg_value"))
+
+
+@q("dql_lookup_where", PARITY_ORACLES["lookup_where_tags"])
+def dql_lookup_where(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT 'events'.'click' FROM 'events' WHERE 'host' = 'h1' AND 'dc' != 'west' "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", "ts_ms", F.round("value", 4).alias("value"))
+
+
+@q("dql_group_by_host", PARITY_ORACLES["group_by_host_avg_1m"])
+def dql_group_by_host(spark, sf_dir):
+    # GROUP BY host USING avg collapses each host's series point-wise,
+    # then the 1m avg window aggregates — equivalent to avg per (host,
+    # minute) here because one host-group holds one series.
+    df = _one(
+        spark,
+        "SELECT avg('events'.'click' FROM 'events' GROUP BY $'host' USING avg, 1m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        F.col("g_host").alias("host"),
+        F.col("ts_ms").alias("wts"),
+        F.col("value").alias("avg_value"),
+    )
+
+
+@q("dql_quotient", PARITY_ORACLES["comb_quotient"])
+def dql_quotient(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1m) / "
+        f"avg('events'.'view' BUCKET 'events', 1m) BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(F.col("ts_ms").alias("wts"), "value")
+
+
+@q("dql_chain_divide", PARITY_ORACLES["chain_divide_sum_1m"])
+def dql_chain_divide(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT divide(sum('events'.'click' BUCKET 'events', 1m), 2) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), "value")
+
+
+@q("dql_shift_1d", PARITY_ORACLES["shift_1d_avg_1h"])
+def dql_shift_1d(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events' SHIFT BY 1d, 1h) "
+        f"BETWEEN {JAN10} AND {JAN15}",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), F.col("value").alias("avg_value"))
+
+
+@q("dql_hist_p99", PARITY_ORACLES["hist_percentile_99"])
+def dql_hist_p99(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT percentile(histogram('events'.'click' BUCKET 'events', 1000000, 3, 5m), 0.99) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), F.col("value").alias("h_p99"))
+
+
+@q("dql_top2", PARITY_ORACLES["top2_by_avg"])
+def dql_top2(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1} TOP 2 BY avg",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), F.col("value").alias("avg_value"))
+
+
+@q("dql_events_filter", PARITY_ORACLES["events_filter"])
+def dql_events_filter(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT EVENTS FROM 'events' WHERE 'event_type' == 'error' AND 'k' > 50 "
+        f"AND NOT 'value' < 1 BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    k = F.get_json_object(F.col("payload"), "$.k").cast("long")
+    return df.select(
+        "event_id", "ts_ms", "event_type", F.round("value", 4).alias("value"), k.alias("k")
+    )
+
+
+@q("dql_count_above_conf", PARITY_ORACLES["aggr_count_above_conf_5m"])
+def dql_count_above_conf(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT count_above_conf('events'.'click' BUCKET 'events', 0.5, 5m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        "metric", F.col("ts_ms").alias("wts"), F.col("value").cast("long").alias("n_above")
+    )
+
+
+@q("dql_derivate", PARITY_ORACLES["trans_derivate"])
+def dql_derivate(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT derivate('events'.'click' BUCKET 'events') BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", "ts_ms", "value")

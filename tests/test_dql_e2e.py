@@ -1,0 +1,210 @@
+"""End-to-end DQL: query strings → engine.run → values cross-checked
+against the independently oracle-verified operator-API results."""
+
+from __future__ import annotations
+
+import pytest
+
+from dqe_spark import engine
+from tests.conftest import SF_SMOKE
+
+JAN1 = 1704067200000
+FEB1 = 1706745600000  # covers the whole synthetic range
+
+
+def _rows(res):
+    return {tuple(r) for r in res.df.collect()}
+
+
+def test_avg_window(spark):
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    assert res.kind == "metrics" and res.resolution_ms == 60_000
+    from dqe_spark.queries_parity import aggr_avg_1m
+
+    expect = {
+        (r["metric"], r["wts"], r["avg_value"])
+        for r in aggr_avg_1m(spark, SF_SMOKE).collect()
+    }
+    got = {(m, ts, v) for (_n, m, ts, v) in _rows(res)}
+    assert got == expect
+
+
+def test_glob_and_naming(spark):
+    (res,) = engine.run(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1m) AS $2 BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    names = {r["name"] for r in res.df.select("name").distinct().collect()}
+    assert names == {"click", "view", "signup", "error", "purchase"}
+
+
+def test_lookup_where_and_groupby(spark):
+    (res,) = engine.run(
+        spark,
+        "SELECT 'events'.'click' FROM 'events' WHERE 'host' = 'h1' "
+        f"AND 'dc' != 'west' BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    n = res.df.count()
+    from dqe_spark.queries_parity import lookup_where_tags
+
+    assert n == lookup_where_tags(spark, SF_SMOKE).count()
+
+    (g,) = engine.run(
+        spark,
+        "SELECT 'events'.'click' FROM 'events' GROUP BY $'host' USING avg "
+        f"AS $'host' BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    hosts = {r["name"] for r in g.df.select("name").distinct().collect()}
+    assert hosts == {"h0", "h1", "h2"}
+
+
+def test_infix_combinator(spark):
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1m) / "
+        "avg('events'.'view' BUCKET 'events', 1m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    from dqe_spark.queries_ext import QUERIES  # noqa: F401  (import check)
+    from dqe_spark.queries_parity import QUERIES as PQ
+
+    expect = {(r["wts"], r["value"]) for r in PQ["comb_quotient"](spark, SF_SMOKE).collect()}
+    got = {(ts, v) for (_n, ts, v) in _rows(res)}
+    assert got == expect
+
+
+def test_chain_divide(spark):
+    (res,) = engine.run(
+        spark,
+        "SELECT divide(sum('events'.'click' BUCKET 'events', 1m), 2) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    from dqe_spark.queries_parity import chain_divide_sum_1m
+
+    expect = {
+        (r["wts"], r["value"]) for r in chain_divide_sum_1m(spark, SF_SMOKE).collect()
+    }
+    got = {(ts, v) for (_n, _m, ts, v) in _rows(res)}
+    assert got == expect
+
+
+def test_shift(spark):
+    JAN10 = JAN1 + 9 * 86_400_000
+    JAN15 = JAN1 + 14 * 86_400_000
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events' SHIFT BY 1d, 1h) "
+        f"BETWEEN {JAN10} AND {JAN15}",
+        SF_SMOKE,
+    )
+    from dqe_spark.queries_parity import shift_1d_avg_1h
+
+    expect = {
+        (r["wts"], r["avg_value"]) for r in shift_1d_avg_1h(spark, SF_SMOKE).collect()
+    }
+    got = {(ts, v) for (_n, _m, ts, v) in _rows(res)}
+    assert got == expect
+
+
+def test_top2(spark):
+    (res,) = engine.run(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1} "
+        "TOP 2 BY avg",
+        SF_SMOKE,
+    )
+    metrics = {r["metric"] for r in res.df.select("metric").distinct().collect()}
+    from dqe_spark.queries_parity import top2_by_avg
+
+    expect = {r["metric"] for r in top2_by_avg(spark, SF_SMOKE).select("metric").distinct().collect()}
+    assert metrics == expect
+
+
+def test_events_filter(spark):
+    (res,) = engine.run(
+        spark,
+        "SELECT EVENTS FROM 'events' WHERE 'event_type' == 'error' "
+        f"AND 'k' > 50 AND NOT 'value' < 1 BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    assert res.kind == "events"
+    from dqe_spark.queries_parity import events_filter
+
+    assert res.df.count() == events_filter(spark, SF_SMOKE).count()
+
+
+def test_histogram_percentile(spark):
+    (res,) = engine.run(
+        spark,
+        "SELECT percentile(histogram('events'.'click' BUCKET 'events', 1000000, 3, 5m), 0.99) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    from dqe_spark.queries_parity import QUERIES as PQ
+
+    expect = {
+        (r["wts"], r["h_p99"]) for r in PQ["hist_percentile_99"](spark, SF_SMOKE).collect()
+    }
+    got = {(ts, v) for (_n, _m, ts, v) in _rows(res)}
+    assert got == expect
+
+
+def test_percentile_int_quirk(spark):
+    """Integer percentile arg is halved (src/dqe_percentile_aggr.erl:15-16)."""
+    (a,) = engine.run(
+        spark,
+        f"SELECT percentile('events'.'click' BUCKET 'events', 1, 5m) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    (b,) = engine.run(
+        spark,
+        f"SELECT percentile('events'.'click' BUCKET 'events', 0.5, 5m) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    va = {(m, ts, v) for (_n, m, ts, v) in _rows(a)}
+    vb = {(m, ts, v) for (_n, m, ts, v) in _rows(b)}
+    assert va == vb
+
+
+def test_alias_and_multi(spark):
+    res = engine.run(
+        spark,
+        "SELECT avg(q, 1m), sum(q, 1m) ALIAS 'events'.'click' BUCKET 'events' AS q "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    assert len(res) == 2
+    assert res[0].df.count() == res[1].df.count() > 0
+
+
+def test_resolution_conflict(spark):
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="multiple"):
+        engine.run(
+            spark,
+            "SELECT avg('events'.'click' BUCKET 'events', 1500ms) "
+            f"BETWEEN {JAN1} AND {FEB1} ",
+            SF_SMOKE,
+        )[0].df.count()
+
+
+def test_last_now(spark):
+    # LAST with injected clock: deterministic
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1h) LAST 1d",
+        SF_SMOKE,
+        now_ms=JAN1 + 86_400_000,
+    )
+    assert res.df.count() > 0
