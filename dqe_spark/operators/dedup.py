@@ -108,14 +108,37 @@ def _hash32(col: Column, salt: int) -> Column:
     ).cast("long")
 
 
+def _hash32_banked(col: Column, j: int) -> Column:
+    """j-th 32-bit minhash function: one md5 yields FOUR 32-bit lanes
+    (128 bits / 32), so hash_j = lane j%4 of md5(f"{j//4}:{val}") — 4×
+    fewer md5 evaluations than one digest per hash function. The DuckDB
+    oracle mirrors the same lane extraction."""
+    g, lane = divmod(j, 4)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{g}:"), col)), 1 + 8 * lane, 8), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame, col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:
     """K-permutation MinHash signature per document: sig_j = min over
-    shingles of hash_j(shingle). One explode + one groupBy."""
+    shingles of hash_j(shingle).
+
+    Plan shape: hash each DISTINCT shingle once (shingle vocabularies
+    are far smaller than doc×shingle incidence), broadcast the hash
+    table back onto the incidence list, then one groupBy(doc). At
+    corpus scale the distinct-shingle table can exceed broadcast size —
+    swap the broadcast for a shuffle join keyed on shingle; everything
+    else is unchanged."""
     sh = shingles(df, col, id_col)
-    aggs = [F.min(_hash32(F.col("sh"), j)).alias(f"mh{j}") for j in range(k)]
-    return sh.groupBy(id_col).agg(*aggs)
+    uniq = sh.select("sh").distinct().select(
+        "sh", *[_hash32_banked(F.col("sh"), j).alias(f"h{j}") for j in range(k)]
+    )
+    joined = sh.join(F.broadcast(uniq), "sh")
+    return joined.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)]
+    )
 
 
 def minhash_lsh_pairs(

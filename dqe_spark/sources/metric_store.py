@@ -64,7 +64,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The metric-point store: events.parquet mapped per FIXTURES.md §F4.
+    """The metric-point store.
+
+    Prefers the MATERIALIZED store (partition-pruned scans on
+    bucket/metric, sorted ts_ms → row-group skipping; see
+    sources/store.py) when it has been built; otherwise derives the
+    store as a view over events.parquet per FIXTURES.md §F4. Both paths
+    yield identical rows — only the physical plan differs.
+    """
+    from dqe_spark.sources import store
+
+    mat = store.load(spark, sf_dir)
+    if mat is not None:
+        return mat
+    return _derive_metrics_view(spark, sf_dir)
+
+
+def _derive_metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet mapped per FIXTURES.md §F4 (view form).
 
     Columns: bucket, metric, metric_parts, tags(map), host, dc, user,
     ts_ms(long), value(double), confidence(double).
