@@ -827,6 +827,35 @@ def li_weekly_sum(spark, sf_dir):
     )
 
 
+# Dense/NULL-fill semantics (src/dqe_get.erl:53-60): every 1m window in
+# the range appears, empty ones as NULL.
+# DQL: SELECT avg('events'.'click' BUCKET 'events', 1m) BETWEEN ... (dense)
+@q(
+    "dense_avg_1m",
+    P
+    + f"""
+, agg AS (
+  SELECT metric, (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS avg_value
+  FROM metrics
+  WHERE metric = 'events.click' AND ts_ms >= {JAN5} AND ts_ms < {JAN5 + D_MS}
+  GROUP BY 1, 2
+)
+SELECT m.metric AS metric, g.wts AS wts, agg.avg_value AS avg_value
+FROM (SELECT DISTINCT metric FROM agg) m
+CROSS JOIN (SELECT unnest(generate_series({JAN5}, {JAN5 + D_MS - 1}, 60000)) AS wts) g
+LEFT JOIN agg ON agg.metric = m.metric AND agg.wts = g.wts
+""",
+)
+def dense_avg_1m(spark, sf_dir):
+    from dqe_spark.operators.densify import densify
+
+    m = _points(spark, sf_dir).where(
+        (F.col("ts_ms") >= JAN5) & (F.col("ts_ms") < JAN5 + D_MS)
+    )
+    agg = window_agg(m, MIN_MS, agg_avg("value"), "avg_value")
+    return densify(agg, JAN5, JAN5 + D_MS, MIN_MS)
+
+
 # DQL: SELECT avg('lineitem'.* BUCKET 'lineitem', 1d) ... TOP 1 BY avg
 @q(
     "li_top1_daily",

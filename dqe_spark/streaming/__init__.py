@@ -1,0 +1,4 @@
+from dqe_spark.streaming.ingest import (  # noqa: F401
+    stream_metrics,
+    windowed_stream_agg,
+)

@@ -1,0 +1,87 @@
+"""Structured Streaming: the streaming analogue of the batch engine.
+
+The reference is pull-based batch over a time range — no watermarks or
+late-data semantics exist there (SURVEY.md §2.10); this module is the
+natural extension for continuous ingestion at scale: the SAME window
+aggregates (§2.4), expressed over readStream with event-time watermarks
+so state stores stay bounded.
+
+Design for scale:
+  * event-time tumbling windows == the batch engine's wts bucketing, so
+    a backfilled batch query and the live stream agree on results.
+  * watermark bounds the state store: late points beyond it are
+    dropped (the batch path remains the source of truth for reruns).
+  * sink layout = the materialized metric store layout, so streamed
+    and ingested data are queried identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the driver's parquet carries TIMESTAMP(NANOS) which our sessions read
+# as long ns (see session.py) — the schema reflects that, and the
+# derivation rebuilds a proper event-time timestamp from it.
+STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_metrics(
+    spark: SparkSession, source_dir: str, schema: str = STREAM_SCHEMA
+) -> DataFrame:
+    """readStream over a landing directory of parquet event files,
+    mapped to the metric-store shape (same derivation as batch)."""
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    metric = F.concat(F.lit("events."), F.col("event_type"))
+    return ev.select(
+        F.lit("events").alias("bucket"),
+        metric.alias("metric"),
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        ((F.col("event_id") % 11) / F.lit(10.0)).alias("confidence"),
+    )
+
+
+def windowed_stream_agg(
+    metrics: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    agg: str = "avg",
+) -> DataFrame:
+    """Streaming §2.4 aggregate: per (metric, tumbling window), with an
+    event-time watermark bounding state. Output matches the batch
+    engine's (metric, wts, value) shape."""
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count, "stddev": F.stddev_pop}
+    if agg not in fns:
+        raise ValueError(f"unsupported streaming aggregate: {agg}")
+    out = (
+        metrics.withWatermark("ts", watermark)
+        .groupBy("metric", F.window("ts", window).alias("w"))
+        .agg(F.round(fns[agg]("value"), 4).alias("value"))
+    )
+    return out.select(
+        "metric",
+        (F.unix_millis(F.col("w.start"))).alias("wts"),
+        "value",
+    )
+
+
+def write_to_store(
+    agg: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Sink the streaming aggregate as parquet in the store layout.
+    availableNow=True drains the backlog then stops (used by tests and
+    backfill jobs); continuous deployments drop it."""
+    w = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,63 @@
+"""Structured Streaming: the streamed windowed aggregate must agree
+with the batch engine over the same (drained) input."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_matches_batch(spark):
+    from dqe_spark.streaming.ingest import (
+        stream_metrics,
+        windowed_stream_agg,
+        write_to_store,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_stream_"))
+    landing, out, ckpt = tmp / "landing", tmp / "out", tmp / "ckpt"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "batch0.parquet")
+
+    try:
+        metrics = stream_metrics(spark, str(landing))
+        agg = windowed_stream_agg(metrics, window="1 minute", watermark="5 minutes")
+        q = write_to_store(agg, str(out), str(ckpt), available_now=True)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(str(out)).where(F.col("metric") == "events.click")
+        from dqe_spark.queries_parity import aggr_avg_1m
+
+        expect = aggr_avg_1m(spark, SF_SMOKE)
+        a = {(r["metric"], r["wts"], r["value"]) for r in got.collect()}
+        b = {(r["metric"], r["wts"], r["avg_value"]) for r in expect.collect()}
+        # append-mode emits only windows the watermark has closed; with
+        # availableNow + a final commit, all windows flush.
+        assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_densify(spark):
+    from dqe_spark.operators.densify import densify
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    JAN5 = 1704067200000 + 4 * 86_400_000
+    end = JAN5 + 86_400_000
+    m = load_metrics(spark, SF_SMOKE).where(
+        (F.col("metric") == "events.click")
+        & (F.col("ts_ms") >= JAN5)
+        & (F.col("ts_ms") < end)
+    )
+    agg = window_agg(m, 60_000, agg_avg("value"), "avg_value")
+    dense = densify(agg, JAN5, end, 60_000)
+    assert dense.count() == 1440  # every minute of the day present
+    assert dense.where(F.col("avg_value").isNull()).count() > 0
+    # non-null rows are exactly the aggregate rows
+    assert dense.where(F.col("avg_value").isNotNull()).count() == agg.count()
