@@ -215,11 +215,15 @@ class Compiler:
         events: DataFrame | None = None,
         resolutions: dict[str, int] | None = None,
         now_ms: int | None = None,
+        registry=None,
     ):
+        from dqe_spark.functions.registry import default_registry
+
         self.metrics = metrics
         self.events = events
         self.resolutions = resolutions or {}
         self.now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
+        self.registry = registry if registry is not None else default_registry()
 
     # -- public --------------------------------------------------------------
 
@@ -246,7 +250,23 @@ class Compiler:
             return Result(name, "events", frame.df.withColumn("name", F.lit(name)))
         name_col, label = self._name_column(frame, named)
         cols = ["name", *frame.keys, "ts_ms", "value"]
-        df = frame.df.withColumn("name", name_col).select(*cols)
+        df = frame.df.withColumn("name", name_col)
+        # METADATA {k: v, ...} rides along as a map column; $N/$tag
+        # values resolve per series like names do (src/dql_naming.erl:34-39)
+        if named and named.metadata:
+            kvs: list[Column] = []
+            for k, v in named.metadata:
+                kvs.append(F.lit(k))
+                if isinstance(v, (int, float)):
+                    kvs.append(F.lit(str(v)))
+                elif isinstance(v, str):
+                    kvs.append(F.lit(v))
+                else:
+                    c, _ = self._name_column(frame, A.Named((v,), (), None))
+                    kvs.append(c)
+            df = df.withColumn("metadata", F.create_map(*kvs))
+            cols.append("metadata")
+        df = df.select(*cols)
         return Result(label, "metrics", df, frame.res_ms)
 
     def _static_name(self, named: A.Named | None) -> str | None:
@@ -490,6 +510,7 @@ class Compiler:
         # timed aggregates (src/dqe.erl:63-87)
         if consts and isinstance(consts[-1], (A.TimeUnit, int)) and (
             name in AGGR_PLAIN or name in AGGR_THRESHOLD or name == "percentile"
+            or name in self.registry.aggregates
             or (name.endswith("_conf") and name[:-5] in AGGR_THRESHOLD)
         ):
             return self._windowed(sub, name, consts, node)
@@ -517,7 +538,9 @@ class Compiler:
         over_conf = name.endswith("_conf")
         base = name[:-5] if over_conf else name
         vcol = "confidence" if over_conf else "value"
-        if base in AGGR_PLAIN and len(consts) == 1:
+        if base in self.registry.aggregates and len(consts) == 1:
+            agg = self.registry.aggregates[base](vcol)
+        elif base in AGGR_PLAIN and len(consts) == 1:
             agg = AGGR_PLAIN[base](vcol)
         elif base == "percentile" and len(consts) == 2:
             p = consts[0]
@@ -547,8 +570,20 @@ class Compiler:
                 ).drop("__k")
         elif name == "confidence" and not consts:
             df = sub.df.withColumn("value", F.col("confidence"))
+        elif name in self.registry.transforms and not consts:
+            df = sub.df.withColumn(
+                "value", self.registry.transforms[name](F.col("value"))
+            )
         elif name in TRANS_PLAIN and not consts:
             df = sub.df.withColumn("value", TRANS_PLAIN[name](F.col("value")))
+        elif (
+            name in self.registry.arith
+            and len(consts) == 1
+            and isinstance(consts[0], (int, float))
+        ):
+            df = sub.df.withColumn(
+                "value", self.registry.arith[name](F.col("value"), float(consts[0]))
+            )
         elif name in ARITH and len(consts) == 1 and isinstance(consts[0], (int, float)):
             df = sub.df.withColumn("value", ARITH[name](F.col("value"), float(consts[0])))
         else:

@@ -167,6 +167,65 @@ def dql_count_above_conf(spark, sf_dir):
     )
 
 
+@q(
+    "dql_events_regex",
+    """
+SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type
+FROM events WHERE regexp_matches(event_type, 'err.*')
+""",
+)
+def dql_events_regex(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT EVENTS FROM 'events' WHERE 'event_type' ~= 'err.*' BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("event_id", "ts_ms", "event_type")
+
+
+# Infix series math sugar: a - b desugars to diff(a, b)
+# (src/dql_parser.yrl:131-135)
+@q("dql_infix_diff", PARITY_ORACLES["comb_diff"])
+def dql_infix_diff(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1m) - "
+        f"avg('events'.'view' BUCKET 'events', 1m) BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(F.col("ts_ms").alias("wts"), "value")
+
+
+from dqe_spark.queries_parity import P as _P  # noqa: E402
+
+# ALIAS: define a selector once, reference it by bare name in multiple
+# fcalls (src/dql_parser.yrl:33-34,297-301; substitution src/dql_alias.erl)
+@q(
+    "dql_alias_reuse",
+    _P
+    + """
+, a AS (
+  SELECT (ts_ms // 60000) * 60000 AS wts, round(sum(value), 4) AS value
+  FROM metrics WHERE metric = 'events.click' GROUP BY 1
+), b AS (
+  SELECT (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS value
+  FROM metrics WHERE metric = 'events.click' GROUP BY 1
+)
+SELECT a.wts AS wts, round(a.value - b.value, 4) AS value
+FROM a JOIN b USING (wts)
+""",
+)
+def dql_alias_reuse(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT sum(base, 1m) - avg(base, 1m) "
+        "ALIAS 'events'.'click' BUCKET 'events' AS base "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(F.col("ts_ms").alias("wts"), "value")
+
+
 @q("dql_derivate", PARITY_ORACLES["trans_derivate"])
 def dql_derivate(spark, sf_dir):
     df = _one(

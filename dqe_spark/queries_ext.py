@@ -251,6 +251,46 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(d)
 
 
+_SIMHASH_CTE = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 8))::BIGINT AS h FROM t
+), votes AS (
+  SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM votes
+)
+"""
+
+
+@q(
+    "dedup_simhash_neardup",
+    _SIMHASH_CTE
+    + """
+SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate pairs: hamming distance ≤ 3 over 32-bit
+    signatures. At corpus scale, candidates come from banding the
+    signature (4×8-bit bands, pigeonhole: hamming ≤ 3 ⇒ one band
+    equal) — here the corpus is small enough for the exact self-join."""
+    sig = dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
+    a = sig.select(F.col("doc_id").alias("id_i"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_j"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------

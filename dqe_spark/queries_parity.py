@@ -827,6 +827,39 @@ def li_weekly_sum(spark, sf_dir):
     )
 
 
+# orders mapped as a third metric source: exact integer aggregates
+# (counts, distinct counts) over daily windows.
+# DQL: SELECT count('orders'.* BUCKET 'orders', 1d) ...  (count = sum over 1s)
+@q(
+    "ord_daily_count",
+    f"""
+SELECT 'orders.' || o_orderpriority AS metric,
+       ((epoch_us(o_orderdate) // 1000) // {D_MS}) * {D_MS} AS wts,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_custs
+FROM orders GROUP BY 1, 2
+""",
+)
+def ord_daily_count(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    metric = F.concat(F.lit("orders."), F.col("o_orderpriority"))
+    return (
+        o.select(
+            metric.alias("metric"),
+            F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000 AS long)"
+            ).alias("ts_ms"),
+            "o_custkey",
+        )
+        .withColumn("wts", wts_col(D_MS))
+        .groupBy("metric", "wts")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
 # Dense/NULL-fill semantics (src/dqe_get.erl:53-60): every 1m window in
 # the range appears, empty ones as NULL.
 # DQL: SELECT avg('events'.'click' BUCKET 'events', 1m) BETWEEN ... (dense)

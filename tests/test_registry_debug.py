@@ -1,0 +1,84 @@
+"""Custom-function registry (the UDF surface), METADATA attachment,
+and the plan-debug utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqe_spark import engine
+from tests.conftest import SF_SMOKE
+
+JAN1 = 1704067200000
+FEB1 = 1706745600000
+
+
+def test_register_aggregate(spark):
+    from dqe_spark.functions import default_registry
+
+    reg = default_registry()
+    reg.register_aggregate(
+        "p95", lambda v: F.round(F.percentile(F.col(v), F.lit(0.95)), 4)
+    )
+    try:
+        (res,) = engine.run(
+            spark,
+            f"SELECT p95('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+        (ref,) = engine.run(
+            spark,
+            "SELECT percentile('events'.'click' BUCKET 'events', 0.95, 1h) "
+            f"BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+        a = {(r["ts_ms"], r["value"]) for r in res.df.collect()}
+        b = {(r["ts_ms"], r["value"]) for r in ref.df.collect()}
+        assert a == b and a
+    finally:
+        reg.aggregates.pop("p95", None)
+
+
+def test_register_transform(spark):
+    from dqe_spark.functions import default_registry
+
+    reg = default_registry()
+    reg.register_transform(
+        "clip100", lambda v: F.least(v, F.lit(100.0))
+    )
+    try:
+        (res,) = engine.run(
+            spark,
+            f"SELECT clip100('events'.'click' BUCKET 'events') BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+        assert res.df.where(F.col("value") > 100.0).count() == 0
+        assert res.df.count() > 0
+    finally:
+        reg.transforms.pop("clip100", None)
+
+
+def test_metadata_column(spark):
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1h) AS lbl "
+        "METADATA {'unit': 'reqs', 'hostvar': $1} "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    row = res.df.take(1)[0]
+    assert row["metadata"]["unit"] == "reqs"
+    assert row["metadata"]["hostvar"] == "events"  # $1 = first metric part
+    assert row["name"] == "lbl"
+
+
+def test_debug_utilities(spark, tmp_path):
+    from dqe_spark.plans import explain_artifact, with_observation
+    from dqe_spark.queries_parity import aggr_avg_1m
+
+    df = aggr_avg_1m(spark, SF_SMOKE)
+    p = explain_artifact(df, str(tmp_path / "plan.txt"))
+    assert "HashAggregate" in p.read_text()
+
+    observed, obs = with_observation(df.withColumnRenamed("avg_value", "value"))
+    n = observed.count()
+    assert obs.get["rows"] == n
