@@ -44,11 +44,11 @@ def dedup_exact(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
-def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word-level n-gram shingles per document → (id, shingle).
-
-    transform(sequence(...)) builds the n-grams JVM-side; explode keeps
-    this a narrow op until the downstream groupBy/join."""
+def shingle_sets(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-level n-gram shingles per document as one array
+    row → (id, shs array<string>). Fully narrow: transform(sequence())
+    builds the n-grams JVM-side, array_distinct dedups in place — no
+    explode, no shuffle."""
     t = tokens(F.col(col))
     grams = F.expr(
         f"transform(sequence(0, size(tk) - {SHINGLE_N}), "
@@ -57,7 +57,15 @@ def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFr
     return (
         df.select(F.col(id_col), t.alias("tk"))
         .where(F.size("tk") >= SHINGLE_N)
-        .select(id_col, F.explode(F.array_distinct(grams)).alias("sh"))
+        .select(id_col, F.array_distinct(grams).alias("shs"))
+    )
+
+
+def shingles(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded incidence form → (id, shingle), for inverted-index
+    joins (ngram_jaccard_pairs)."""
+    return shingle_sets(df, col, id_col).select(
+        id_col, F.explode("shs").alias("sh")
     )
 
 
@@ -125,18 +133,20 @@ def minhash_signatures(
     """K-permutation MinHash signature per document: sig_j = min over
     shingles of hash_j(shingle).
 
-    Plan shape: hash each DISTINCT shingle once (shingle vocabularies
-    are far smaller than doc×shingle incidence), broadcast the hash
-    table back onto the incidence list, then one groupBy(doc). At
-    corpus scale the distinct-shingle table can exceed broadcast size —
-    swap the broadcast for a shuffle join keyed on shingle; everything
-    else is unchanged."""
+    Plan shape: hash the incidence rows directly (4 banked md5 digests
+    per row, codegen'd) and one partial-aggregating groupBy(doc) — a
+    single shuffle of K longs per doc. Measured faster than a
+    distinct-shingle prefilter + broadcast-join even at ~10× shingle
+    repetition: the distinct's full-incidence shuffle costs more than
+    the md5s it saves, and min(hash) over repeated shingles equals min
+    over distinct ones so results are identical. A distinct prefilter
+    only pays off when avg shingle frequency ≫ shuffle cost ratio —
+    leave that to a corpus-specific override."""
     sh = shingles(df, col, id_col)
-    uniq = sh.select("sh").distinct().select(
-        "sh", *[_hash32_banked(F.col("sh"), j).alias(f"h{j}") for j in range(k)]
+    hashed = sh.select(
+        id_col, *[_hash32_banked(F.col("sh"), j).alias(f"h{j}") for j in range(k)]
     )
-    joined = sh.join(F.broadcast(uniq), "sh")
-    return joined.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)]
     )
 
@@ -155,8 +165,23 @@ def minhash_lsh_pairs(
 
     Output: (id_i, id_j, jaccard). Candidate generation is the LSH
     equi-join (linear per bucket) — the exact verification only ever
-    sees candidate pairs, which is what makes this the 100 TB path."""
-    sig = minhash_signatures(df, col, id_col, k)
+    sees candidate pairs, which is what makes this the 100 TB path.
+
+    The per-doc shingle-set table is persisted (MEMORY_AND_DISK) and
+    reused by all three consumers (signatures, verify-left,
+    verify-right), so documents are tokenized exactly once; at corpus
+    scale this materialization is the standard multi-pass-LSH
+    checkpoint and spills to disk. Verification is two joins keyed on
+    doc id against the tiny candidate set (AQE broadcasts it) +
+    array_intersect per pair — no second shuffle of the shingle
+    incidence."""
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(df, col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sets.select(id_col, F.explode("shs").alias("sh"))
+    sig = sh.select(
+        id_col, *[_hash32_banked(F.col("sh"), j).alias(f"h{j}") for j in range(k)]
+    ).groupBy(id_col).agg(*[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)])
     rows = k // bands
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
@@ -179,22 +204,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification on candidates only
-    sh = shingles(df, col, id_col)
-    sizes = shingle_sizes(sh, id_col)
-    ai = sh.select(F.col(id_col).alias("id_i"), "sh")
-    bj = sh.select(F.col(id_col).alias("id_j"), "sh")
-    inter = (
-        cand.join(ai, "id_i")
-        .join(bj, ["id_j", "sh"])
-        .groupBy("id_i", "id_j")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_i"), F.col("n_sh").alias("n_i"))
-    nb = sizes.select(F.col(id_col).alias("id_j"), F.col("n_sh").alias("n_j"))
-    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    si = sets.select(F.col(id_col).alias("id_i"), F.col("shs").alias("shs_i"))
+    sj = sets.select(F.col(id_col).alias("id_j"), F.col("shs").alias("shs_j"))
+    inter = F.size(F.array_intersect("shs_i", "shs_j"))
+    jac = F.col("inter") / (F.size("shs_i") + F.size("shs_j") - F.col("inter"))
     return (
-        inter.join(F.broadcast(na), "id_i")
-        .join(F.broadcast(nb), "id_j")
+        cand.join(si, "id_i")
+        .join(sj, "id_j")
+        .withColumn("inter", inter)
         .where(jac >= threshold)
         .select("id_i", "id_j", F.round(jac, 4).alias("jaccard"))
     )
