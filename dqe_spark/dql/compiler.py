@@ -31,7 +31,17 @@ from dqe_spark.operators import windows as W
 
 
 class PlanError(ValueError):
-    """Mirrors the reference's unified error strings (src/dqe.erl:129-150)."""
+    """Mirrors the reference's unified error strings (src/dqe.erl:129-150).
+
+    ``code``/``args`` carry the structured error for
+    ``engine.error_string`` to render in the reference's phrasing;
+    plain messages keep working for errors without a reference analogue.
+    """
+
+    def __init__(self, message: str, code: str | None = None, *args):
+        super().__init__(message)
+        self.code = code
+        self.args_info = args
 
 
 @dataclass
@@ -309,7 +319,9 @@ class Compiler:
     def _node(self, node, start: int, end: int):
         if isinstance(node, A.Var):
             if node.name not in self.aliases:
-                raise PlanError(f"unknown alias: {node.name}")
+                raise PlanError(
+                    f"unknown alias: {node.name}", "not_found_var", node.name
+                )
             return self._node(self.aliases[node.name], start, end)
         if isinstance(node, A.Timeshift):
             shift = _dur_ms(node.t)
@@ -482,11 +494,17 @@ class Compiler:
         # combinators: N series inputs (src/dqe.erl:103-111)
         if len(series) >= 2:
             if name not in COMBINE:
-                raise PlanError(f"function not found: {name}/{len(node.inputs)}")
+                raise PlanError(
+                f"function not found: {name}/{len(node.inputs)}",
+                "not_found_fun", name, len(node.inputs),
+            )
             frames = [self._expect_series(self._node(s, start, end)) for s in series]
             res = {fr.res_ms for fr in frames}
             if len(res) != 1:
-                raise PlanError("resolution_conflict: combinator inputs differ")
+                raise PlanError(
+                    "resolution_conflict: combinator inputs differ",
+                    "resolution_conflict",
+                )
             dfs = [fr.df.select("ts_ms", "value") for fr in frames]
             out = COMBINE[name](dfs, ts="ts_ms", v="value")
             return SeriesFrame(
@@ -498,7 +516,10 @@ class Compiler:
             )
 
         if len(series) != 1:
-            raise PlanError(f"function not found: {name}/{len(node.inputs)}")
+            raise PlanError(
+                f"function not found: {name}/{len(node.inputs)}",
+                "not_found_fun", name, len(node.inputs),
+            )
         sub = self._expect_series(self._node(series[0], start, end))
 
         # histogram build / reductions (src/dqe_hist.erl, dqe_hist_*.erl)
@@ -550,7 +571,9 @@ class Compiler:
         elif base in AGGR_THRESHOLD and len(consts) == 2:
             agg = AGGR_THRESHOLD[base](vcol, float(consts[0]))
         else:
-            raise PlanError(f"function not found: {name}")
+            raise PlanError(
+                f"function not found: {name}", "not_found_fun", name, 1
+            )
         df = (
             sub.df.withColumn("wts", W.wts_col(wms))
             .groupBy(*sub.keys, "wts")
@@ -587,7 +610,9 @@ class Compiler:
         elif name in ARITH and len(consts) == 1 and isinstance(consts[0], (int, float)):
             df = sub.df.withColumn("value", ARITH[name](F.col("value"), float(consts[0])))
         else:
-            raise PlanError(f"function not found: {name}")
+            raise PlanError(
+                f"function not found: {name}", "not_found_fun", name, 1
+            )
         return replace(sub, df=df, label=unparse(node))
 
     def _histogram(self, sub: SeriesFrame, consts, node) -> SeriesFrame:
@@ -609,7 +634,10 @@ class Compiler:
         elif name == "percentile" and len(consts) == 1:
             agg = W.agg_percentile("value", float(consts[0]))
         else:
-            raise PlanError(f"function not found on histogram: {name}")
+            raise PlanError(
+                f"function not found on histogram: {name}",
+                "not_found_fun", name, 1,
+            )
         df = (
             sub.df.withColumn("wts", W.wts_col(wms))
             .groupBy(*sub.keys, "wts")

@@ -47,3 +47,77 @@ def run(
     now_ms: int | None = None,
 ) -> list[Result]:
     return plan(spark, dql, sf_dir, now_ms)
+
+
+class NoResults(Exception):
+    """Raised by collect() when every statement returns zero rows —
+    the funnel's `no_results` (src/dqe_funnel.erl:30-35)."""
+
+
+class QueryTimeout(Exception):
+    """Query exceeded the caller's timeout (reference default is
+    infinity, src/dqe.erl:161-162,191); outstanding Spark jobs are
+    cancelled via the query's job group."""
+
+
+def error_string(err: Exception) -> str:
+    """Readable message for a query error, phrased as the reference
+    does (src/dqe.erl:129-150)."""
+    code = getattr(err, "code", None)
+    info = getattr(err, "args_info", ())
+    if code == "not_found_var":
+        return f"Variable '{info[0]}' referenced but not defined!"
+    if code == "not_found_fun":
+        return f"Not recognized function {info[0]}/{info[1]}."
+    if code == "resolution_conflict":
+        return "Combination functions can't have mix resolutions as children."
+    if isinstance(err, NoResults):
+        return "No results were returned for the query."
+    if isinstance(err, QueryTimeout):
+        return "timeout"
+    return str(err)
+
+
+def collect(
+    spark: SparkSession,
+    dql: str,
+    sf_dir: str,
+    now_ms: int | None = None,
+    timeout_s: float | None = None,
+) -> list[tuple[Result, list]]:
+    """Materialize every statement — the reference's dqe:run/2 shape:
+    plan, execute, funnel, with an optional query timeout and the
+    `no_results` check. Returns [(Result, rows)].
+
+    The timeout runs the collects in a worker thread under a dedicated
+    job group; on expiry the group's Spark jobs are cancelled
+    driver-side before raising, so no executor work leaks."""
+    results = plan(spark, dql, sf_dir, now_ms)
+    if timeout_s is None:
+        out = [(r, r.df.collect()) for r in results]
+    else:
+        import threading
+        import uuid
+
+        group = f"dqe-{uuid.uuid4().hex[:12]}"
+        box: dict = {}
+
+        def work():
+            try:
+                spark.sparkContext.setJobGroup(group, dql[:200], True)
+                box["rows"] = [(r, r.df.collect()) for r in results]
+            except Exception as e:  # surfaced after join
+                box["err"] = e
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            spark.sparkContext.cancelJobGroup(group)
+            raise QueryTimeout(f"query exceeded {timeout_s}s")
+        if "err" in box:
+            raise box["err"]
+        out = box["rows"]
+    if all(len(rows) == 0 for _, rows in out):
+        raise NoResults()
+    return out

@@ -1,0 +1,72 @@
+"""Error-string parity (src/dqe.erl:129-150), no_results, and the
+query-timeout path of engine.collect."""
+
+from __future__ import annotations
+
+import pytest
+
+from dqe_spark import engine
+from dqe_spark.dql.compiler import PlanError
+from tests.conftest import SF_SMOKE
+
+JAN1 = 1704067200000
+FEB1 = 1706745600000
+
+
+def _err(spark, dql):
+    with pytest.raises(PlanError) as ei:
+        engine.run(spark, dql, SF_SMOKE)
+    return engine.error_string(ei.value)
+
+
+def test_unknown_variable(spark):
+    msg = _err(spark, f"SELECT avg(nosuch, 1m) BETWEEN {JAN1} AND {FEB1}")
+    assert msg == "Variable 'nosuch' referenced but not defined!"
+
+
+def test_unknown_function(spark):
+    msg = _err(
+        spark,
+        f"SELECT frobnicate('events'.'click' BUCKET 'events') BETWEEN {JAN1} AND {FEB1}",
+    )
+    assert msg == "Not recognized function frobnicate/1."
+
+
+def test_resolution_conflict(spark):
+    msg = _err(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1m) + "
+        f"avg('events'.'view' BUCKET 'events', 5m) BETWEEN {JAN1} AND {FEB1}",
+    )
+    assert msg == "Combination functions can't have mix resolutions as children."
+
+
+def test_no_results(spark):
+    # far-future range: plan succeeds, zero rows everywhere
+    with pytest.raises(engine.NoResults) as ei:
+        engine.collect(
+            spark,
+            "SELECT avg('events'.'click' BUCKET 'events', 1m) "
+            f"BETWEEN {FEB1 + 10} AND {FEB1 + 100000}",
+            SF_SMOKE,
+        )
+    assert engine.error_string(ei.value) == "No results were returned for the query."
+
+
+def test_collect_ok_and_timeout(spark):
+    out = engine.collect(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+        timeout_s=120,
+    )
+    (res, rows), = out
+    assert res.kind == "metrics" and len(rows) > 0
+
+    with pytest.raises(engine.QueryTimeout):
+        engine.collect(
+            spark,
+            f"SELECT avg('events'.* BUCKET 'events', 1m) BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+            timeout_s=0.001,
+        )
