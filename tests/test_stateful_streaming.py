@@ -1,0 +1,106 @@
+"""Stateful streaming derivate: state must carry each series' last
+point across micro-batches (separate availableNow runs sharing a
+checkpoint = restart-with-state, the strictest form)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmpdirs():
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_state_"))
+    yield tmp / "landing", tmp / "out", tmp / "ckpt"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_batch(spark, landing: Path, rows):
+    landing.mkdir(parents=True, exist_ok=True)
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    pdf = df.toPandas()
+    n = len(list(landing.glob("*.parquet")))
+    pdf.to_parquet(landing / f"batch{n}.parquet", index=False)
+
+
+def _run_drain(spark, landing, out, ckpt):
+    from dqe_spark.streaming.stateful import stream_derivate
+
+    src = (
+        spark.readStream.schema("metric string, ts_ms long, value double")
+        .parquet(str(landing))
+    )
+    q = (
+        stream_derivate(src)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_derivate_state_across_batches(spark, tmpdirs):
+    landing, out, ckpt = tmpdirs
+    _write_batch(
+        spark,
+        landing,
+        [("m.a", 1000, 10.0), ("m.a", 2000, 13.0), ("m.b", 1000, 5.0)],
+    )
+    _run_drain(spark, landing, out, ckpt)
+
+    # second batch, separate run, same checkpoint: the first points of
+    # m.a/m.b must difference against the LAST points of run 1
+    _write_batch(
+        spark,
+        landing,
+        [("m.a", 3000, 20.0), ("m.b", 2000, 4.0)],
+    )
+    _run_drain(spark, landing, out, ckpt)
+
+    got = {
+        (r["metric"], r["ts_ms"]): r["value"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got[("m.a", 1000)] == 0.0  # first-ever point → 0 (dup-first)
+    assert got[("m.a", 2000)] == 3.0
+    assert got[("m.b", 1000)] == 0.0
+    assert got[("m.a", 3000)] == 7.0  # 20 − 13 across the batch boundary
+    assert got[("m.b", 2000)] == -1.0  # 4 − 5 across the batch boundary
+
+
+def test_derivate_matches_batch_operator(spark, tmpdirs):
+    """Over a fully drained stream, the stateful operator equals the
+    batch window-lag derivate."""
+    landing, out, ckpt = tmpdirs
+    rows = [
+        ("m.x", 1000 * i, float((i * 7) % 13)) for i in range(1, 51)
+    ] + [("m.y", 1000 * i, float(i)) for i in range(1, 26)]
+    _write_batch(spark, landing, rows)
+    _run_drain(spark, landing, out, ckpt)
+
+    got = spark.read.parquet(str(out))
+
+    batch = spark.createDataFrame(
+        rows, "metric string, ts_ms long, value double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("metric").orderBy("ts_ms")
+    expect = batch.select(
+        "metric",
+        "ts_ms",
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value"))).alias(
+            "value"
+        ),
+    )
+    a = {(r["metric"], r["ts_ms"], r["value"]) for r in got.collect()}
+    b = {(r["metric"], r["ts_ms"], r["value"]) for r in expect.collect()}
+    assert a == b
