@@ -93,6 +93,78 @@ def knn_ivf(
     return knn_bruteforce(pruned, query, k, vec, id_col)
 
 
+def rademacher_planes(planes: int = 16, dims: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes for signed-random-projection LSH:
+    entry (p, d) = parity bit of md5(f"{p}:{d}"). Published constant —
+    the DuckDB oracle inlines the same matrix, so the whole ANN
+    pipeline (signatures, banding, rerank) is replayable."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) & 1
+            else -1
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def srp_signature(vec: Column, planes_matrix: list[list[int]]) -> Column:
+    """LSH signature: bit p = [dot(v, r_p) ≥ 0]; r_p the p-th ±1 plane.
+    Cosine-similar vectors agree on most bits (Goemans–Williamson)."""
+    from functools import reduce
+    from operator import add
+
+    bits = []
+    for p, row in enumerate(planes_matrix):
+        arr = F.array(*[F.lit(float(s)) for s in row])
+        bits.append(
+            F.when(dot(vec, arr) >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
+    return reduce(add, bits)
+
+
+def knn_srp(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    planes_matrix: list[list[int]],
+    bands: int = 2,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hyperplane-LSH ANN: candidates share at least one signature band
+    with the query; exact cosine reranks candidates, top-k out.
+
+    The signature is a narrow map-side expression; banding turns the
+    full scan into a selective filter (bucket the stored table by band
+    keys for file-level pruning at deployment). Probability a true
+    neighbor at cosine θ shares a band: 1−(1−(1−θ̂)^r)^b — tune
+    planes/bands per recall target. Output (vec_id, cos)."""
+    planes = len(planes_matrix)
+    bits_per = planes // bands
+    mask = (1 << bits_per) - 1
+    corpus = df.withColumn("__sig", srp_signature(F.col(vec), planes_matrix))
+    q = query.select(
+        F.col(vec).alias("__q"),
+        srp_signature(F.col(vec), planes_matrix).alias("__qsig"),
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    band_match = None
+    for b in range(bands):
+        cond = (
+            F.shiftright(F.col("__sig"), b * bits_per).bitwiseAND(mask)
+            == F.shiftright(F.col("__qsig"), b * bits_per).bitwiseAND(mask)
+        )
+        band_match = cond if band_match is None else (band_match | cond)
+    scored = joined.where(band_match).select(
+        F.col(id_col), F.round(cosine(F.col(vec), F.col("__q")), 6).alias("cos")
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+
+
 def neardup_cosine_pairs(
     df: DataFrame,
     threshold: float,

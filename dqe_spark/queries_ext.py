@@ -352,6 +352,48 @@ def knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(corpus, query, 10, probes=2)
 
 
+# hyperplane (signed-random-projection) LSH: the same deterministic
+# ±1 plane matrix is inlined into the oracle, so signatures, banding,
+# and the cosine rerank all replay in DuckDB. 32 planes / 8 bands of 4
+# bits: the synthetic embeddings are near-random (top-10 cosine ≈
+# 0.3 → per-bit agreement ≈ 0.6), so banding needs short bands for
+# usable recall (≈ 1−(1−0.6⁴)⁸ ≈ 0.7) — with real clustered
+# embeddings, longer bands prune much harder at the same recall.
+_SRP_PLANES = similarity.rademacher_planes(planes=32, dims=64)
+
+
+def _srp_sig_sql(side: str) -> str:
+    terms = []
+    for p, row in enumerate(_SRP_PLANES):
+        arr = "[" + ",".join(str(s) for s in row) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({side}, {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@q(
+    "knn_srp",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, {_srp_sig_sql('v')} AS sig FROM e),
+q AS (SELECT v, sig FROM s WHERE vec_id = 0)
+SELECT b.vec_id AS vec_id, round({_COS}, 6) AS cos
+FROM q a CROSS JOIN s b
+WHERE b.vec_id != 0
+  AND ({" OR ".join(f"((a.sig >> {4 * b}) & 15) = ((b.sig >> {4 * b}) & 15)" for b in range(8))})
+ORDER BY round({_COS}, 6) DESC, b.vec_id ASC
+LIMIT 10
+""",
+)
+def knn_srp(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0)
+    corpus = e.where(F.col("vec_id") != 0)
+    return similarity.knn_srp(corpus, query, 10, _SRP_PLANES, bands=8)
+
+
 @q(
     "neardup_cosine",
     f"""
