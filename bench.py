@@ -44,7 +44,11 @@ EXT_HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
+    "text_lang_id",
     "knn_bruteforce",
+    "knn_srp",
+    "ord_daily_count",
+    "dql_avg_1m",
 ]
 
 

@@ -113,17 +113,31 @@ def rademacher_planes(planes: int = 16, dims: int = 64) -> list[list[int]]:
 
 def srp_signature(vec: Column, planes_matrix: list[list[int]]) -> Column:
     """LSH signature: bit p = [dot(v, r_p) ≥ 0]; r_p the p-th ±1 plane.
-    Cosine-similar vectors agree on most bits (Goemans–Williamson)."""
-    from functools import reduce
-    from operator import add
+    Cosine-similar vectors agree on most bits (Goemans–Williamson).
 
-    bits = []
-    for p, row in enumerate(planes_matrix):
-        arr = F.array(*[F.lit(float(s)) for s in row])
-        bits.append(
-            F.when(dot(vec, arr) >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-        )
-    return reduce(add, bits)
+    Arrow-batched pandas UDF: the planes×dims literal expression tree
+    (2048 constants) made Janino codegen the bottleneck — one numpy
+    (batch×dims)·(dims×planes) matvec per Arrow batch is the vectorized
+    path the built-ins can't match here. ±1 entries keep the dot exact
+    in float64, so sign decisions match the oracle's sequential fold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.array(planes_matrix, dtype=np.float64).T  # dims × planes
+    weights = 1 << np.arange(len(planes_matrix), dtype=np.int64)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inspection rejects
+    @pandas_udf("long")
+    def sig(vecs):
+        A = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if A.size == 0:
+            return pd.Series([], dtype="int64")
+        bits = (A @ M >= 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return sig(vec)
 
 
 def knn_srp(
