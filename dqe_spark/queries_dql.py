@@ -183,6 +183,48 @@ def dql_events_regex(spark, sf_dir):
     return df.select("event_id", "ts_ms", "event_type")
 
 
+# AFTER pit FOR dur / BEFORE pit FOR dur timeframes
+# (src/dql_parser.yrl:310-313, evaluation src/dql_resolution.erl:255-263)
+@q(
+    "dql_after_for",
+    f"""
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+FROM (
+  SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
+  FROM events WHERE event_type = 'click'
+) WHERE ts_ms >= {JAN10} AND ts_ms < {JAN10} + 86400000
+GROUP BY 1
+""",
+)
+def dql_after_for(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1h) AFTER {JAN10} FOR 1d",
+        sf_dir,
+    )
+    return df.select("ts_ms", "value")
+
+
+@q(
+    "dql_before_for",
+    f"""
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+FROM (
+  SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
+  FROM events WHERE event_type = 'click'
+) WHERE ts_ms >= {JAN15} - 86400000 AND ts_ms < {JAN15}
+GROUP BY 1
+""",
+)
+def dql_before_for(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1h) BEFORE {JAN15} FOR 1d",
+        sf_dir,
+    )
+    return df.select("ts_ms", "value")
+
+
 # Infix series math sugar: a - b desugars to diff(a, b)
 # (src/dql_parser.yrl:131-135)
 @q("dql_infix_diff", PARITY_ORACLES["comb_diff"])

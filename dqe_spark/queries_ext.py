@@ -426,3 +426,45 @@ FROM documents
 def multimodal_features(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.to_binary_table(d))
+
+
+# ---------------------------------------------------------------------------
+# Rollup store: window aggregates answered from pre-aggregated partials
+# (sources/rollup.py). The oracle computes the SAME answer from raw
+# events — hash-match proves rollup-derived results equal raw-scan
+# results, which is the invariant that makes pre-aggregation safe.
+# ---------------------------------------------------------------------------
+
+from dqe_spark.sources.metric_store import METRICS_ORACLE_CTE as _P  # noqa: E402
+
+
+@q(
+    "rollup_avg_1h",
+    _P
+    + """
+SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS value
+FROM metrics GROUP BY 1, 2
+""",
+)
+def rollup_avg_1h(spark, sf_dir):
+    from dqe_spark.sources.rollup import load_rollup, rollup_window_agg
+
+    r = load_rollup(spark, sf_dir, 60_000)
+    return rollup_window_agg(r, 3_600_000, "avg").select("metric", "wts", "value")
+
+
+@q(
+    "rollup_max_1d",
+    _P
+    + """
+SELECT metric, (ts_ms // 86400000) * 86400000 AS wts,
+       round(max(value), 4) AS value
+FROM metrics GROUP BY 1, 2
+""",
+)
+def rollup_max_1d(spark, sf_dir):
+    from dqe_spark.sources.rollup import load_rollup, rollup_window_agg
+
+    r = load_rollup(spark, sf_dir, 60_000)
+    return rollup_window_agg(r, 86_400_000, "max").select("metric", "wts", "value")

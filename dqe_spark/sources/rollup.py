@@ -1,0 +1,138 @@
+"""Rollup store: pre-aggregated partials for window-aggregate queries.
+
+The reference re-reads raw points for every query; its only scale lever
+is the backend's chunked reads (src/dqe_get.erl:25-36). At 100 TB the
+decisive lever is PRE-AGGREGATION: materialize per-(bucket, metric,
+base-window) partials once, and answer any coarser window aggregate
+from the rollup instead of the raw store — a 1 h avg over a 1 s
+resolution bucket reads 3600× fewer rows from a 1 m rollup.
+
+The rollup stores RE-AGGREGABLE partials, never finished answers:
+
+    (bucket, metric, wts, cnt, sum, min, max, sum_conf)
+
+so every §2.4 aggregate that distributes over unions derives from it:
+sum = Σ sum, count = Σ cnt, avg = Σ sum / Σ cnt, min = min(min),
+max = max(max). Non-distributive aggregates (percentiles, stddev
+beyond sum-of-squares, first/last crossings) still read raw points —
+`supports()` says which; extending the partial set (sum_sq for
+variance/stddev, t-digest sketches for percentiles) is mechanical.
+
+Layout mirrors the metric store (partition pruning + ts-sorted rows):
+    _store/<sf>/rollup_<res>ms/bucket=<b>/metric=<m>/part-*.parquet
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dqe_spark.sources.store import STORE_ROOT
+
+#: window aggregates answerable from the partials
+_DISTRIBUTIVE = {"sum", "avg", "min", "max", "count"}
+
+
+def supports(agg: str) -> bool:
+    return agg in _DISTRIBUTIVE
+
+
+def _rollup_dir(sf_dir: str, res_ms: int) -> Path:
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / f"rollup_{res_ms}ms"
+
+
+def build_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 60_000, force: bool = False
+) -> Path:
+    """Materialize the base rollup from the metric store (idempotent,
+    atomic via tmp-dir rename, same as the store ingest)."""
+    from dqe_spark.sources.metric_store import load_metrics
+
+    out = _rollup_dir(sf_dir, res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    m = load_metrics(spark, sf_dir)
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    partials = (
+        m.select("bucket", "metric", wts, "value", "confidence")
+        .groupBy("bucket", "metric", "wts")
+        .agg(
+            F.count("value").alias("cnt"),
+            # DECIMAL sum: source values are fixed-decimal, so partial
+            # sums stay EXACT — re-aggregated answers are then
+            # bit-identical to a raw scan (no float-association drift
+            # between rollup-path and raw-path results)
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum(F.col("confidence").cast("decimal(18,2)")).alias("sum_conf"),
+        )
+    )
+    tmp = out.parent / f"_tmp_rollup_{res_ms}ms"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    (
+        partials.repartition("bucket", "metric")
+        .sortWithinPartitions("wts")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "metric")
+        .parquet(str(tmp))
+    )
+    if out.exists():
+        shutil.rmtree(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not (out / "_SUCCESS").exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def load_rollup(spark: SparkSession, sf_dir: str, res_ms: int = 60_000) -> DataFrame:
+    p = _rollup_dir(sf_dir, res_ms)
+    if not (p / "_SUCCESS").exists():
+        build_rollup(spark, sf_dir, res_ms)
+    return spark.read.parquet(str(p))
+
+
+def rollup_window_agg(
+    rollup: DataFrame,
+    window_ms: int,
+    agg: str,
+    out: str = "value",
+    rollup_res_ms: int = 60_000,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Answer a §2.4 window aggregate from rollup partials. The target
+    window must be a multiple of the rollup resolution — the planner
+    picks the coarsest rollup that divides the window and falls back to
+    raw points otherwise."""
+    if not supports(agg):
+        raise ValueError(f"aggregate {agg!r} is not distributive over rollups")
+    if window_ms % rollup_res_ms != 0:
+        raise ValueError(
+            f"window {window_ms}ms is not a multiple of rollup {rollup_res_ms}ms"
+        )
+    wts = (F.col("wts") - (F.col("wts") % F.lit(window_ms))).alias("wts2")
+    g = rollup.select("bucket", "metric", wts, "cnt", "sum", "min", "max").groupBy(
+        "bucket", "metric", "wts2"
+    )
+    exprs = {
+        "sum": F.sum("sum").cast("double"),
+        "count": F.sum("cnt").cast("double"),
+        # divide as double AFTER the exact decimal sum: both engines
+        # then perform one identical float division
+        "avg": F.sum("sum").cast("double") / F.sum("cnt"),
+        "min": F.min("min"),
+        "max": F.max("max"),
+    }
+    return (
+        g.agg(F.round(exprs[agg], ndigits).alias(out))
+        .withColumnRenamed("wts2", "wts")
+    )
