@@ -49,6 +49,7 @@ EXT_HEADLINE = [
     "knn_srp",
     "ord_daily_count",
     "dql_avg_1m",
+    "rollup_avg_1h",
 ]
 
 
@@ -62,9 +63,10 @@ def main() -> None:
 
     # build the physical metric store (partition-pruned scans); ingest
     # is a pipeline step, not a query — excluded from per-query timing
-    from dqe_spark.sources import store
+    from dqe_spark.sources import rollup, store
 
     store.ingest(spark, SF_DIR)
+    rollup.build_rollup(spark, SF_DIR, 60_000)
 
     # warmup: JVM + whole-stage codegen + parquet footer reads
     qs["aggr_avg_1m"](spark, SF_DIR).collect()

@@ -52,6 +52,13 @@ class SeriesFrame:
     label: str  # auto-generated name (unparse of the AST)
     has_dims: bool = True  # metric_parts/tags still present (pre-combine)
     hist_window_ms: int | None = None  # set by histogram(): frames of rounded values
+    # rollup-rewrite state: set by metric-pred-only terminals, cleared
+    # by every transform — a windowed distributive aggregate directly
+    # over such a frame may be answered from a rollup store instead
+    pristine: bool = False
+    scan_bucket: str | None = None
+    scan_pred: Column | None = None  # metric predicate (portable F.col expr)
+    scan_range: tuple[int, int] | None = None
 
 
 @dataclass
@@ -226,6 +233,7 @@ class Compiler:
         resolutions: dict[str, int] | None = None,
         now_ms: int | None = None,
         registry=None,
+        rollups: dict[int, DataFrame] | None = None,
     ):
         from dqe_spark.functions.registry import default_registry
 
@@ -234,6 +242,9 @@ class Compiler:
         self.resolutions = resolutions or {}
         self.now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
         self.registry = registry if registry is not None else default_registry()
+        # res_ms -> partials DataFrame (sources/rollup.py); when set,
+        # eligible windowed aggregates are rewritten to read partials
+        self.rollups = rollups or {}
 
     # -- public --------------------------------------------------------------
 
@@ -332,6 +343,7 @@ class Compiler:
                 inner,
                 df=TS.restamp(inner.df, shift),
                 label=f"{inner.label} SHIFT BY {_unparse_t(node.t)}",
+                pristine=False,  # restamped ts no longer matches scan_range
             )
         if isinstance(node, (A.Get, A.SGet, A.Lookup, A.GroupBy)):
             return self._terminal(node, start, end)
@@ -356,22 +368,24 @@ class Compiler:
     def _terminal(self, node, start: int, end: int) -> SeriesFrame:
         if isinstance(node, A.GroupBy):
             return self._group_by(node, start, end)
+        pred: Column | None = None
+        pred_only = True  # no tag predicates → rollup-rewritable
         if isinstance(node, A.Get):
-            df = self._scan(node.bucket, start, end).where(
-                F.col("metric") == ".".join(node.parts)
-            )
+            pred = F.col("metric") == ".".join(node.parts)
+            df = self._scan(node.bucket, start, end).where(pred)
             bucket = node.bucket
         elif isinstance(node, A.SGet):
-            df = self._scan(node.bucket, start, end).where(
-                F.col("metric").rlike(glob_to_regex(node.parts))
-            )
+            pred = F.col("metric").rlike(glob_to_regex(node.parts))
+            df = self._scan(node.bucket, start, end).where(pred)
             bucket = node.bucket
         elif isinstance(node, A.Lookup):
             df = self._scan(node.bucket, start, end)
             if node.parts is not None:
-                df = df.where(F.col("metric") == ".".join(node.parts))
+                pred = F.col("metric") == ".".join(node.parts)
+                df = df.where(pred)
             if node.where is not None:
                 df = df.where(self._where_col(node.where))
+                pred_only = False  # tags aren't in the rollup store
             bucket = node.bucket
         else:  # pragma: no cover
             raise PlanError(f"bad terminal {node!r}")
@@ -380,6 +394,10 @@ class Compiler:
             keys=("metric",),
             res_ms=self._res(bucket),
             label=unparse(node),
+            pristine=pred_only,
+            scan_bucket=bucket,
+            scan_pred=pred,
+            scan_range=(start, end),
         )
 
     def _where_col(self, w) -> Column:
@@ -559,6 +577,9 @@ class Compiler:
         over_conf = name.endswith("_conf")
         base = name[:-5] if over_conf else name
         vcol = "confidence" if over_conf else "value"
+        rewritten = self._try_rollup(sub, name, consts, node, wms)
+        if rewritten is not None:
+            return rewritten
         if base in self.registry.aggregates and len(consts) == 1:
             agg = self.registry.aggregates[base](vcol)
         elif base in AGGR_PLAIN and len(consts) == 1:
@@ -582,6 +603,58 @@ class Compiler:
         )
         return SeriesFrame(df, sub.keys, wms, unparse(node), has_dims=False,
                            hist_window_ms=None)
+
+    def _try_rollup(
+        self, sub: SeriesFrame, name: str, consts, node, wms: int
+    ) -> SeriesFrame | None:
+        """Rollup rewrite: answer a distributive window aggregate from
+        pre-aggregated partials (sources/rollup.py) when the frame came
+        straight from a metric-pred-only scan and windows align. Picks
+        the COARSEST eligible rollup — fewest rows read. Results are
+        identical to the raw path (partials sum in exact decimal)."""
+        if (
+            not self.rollups
+            or not sub.pristine
+            or len(consts) != 1
+            or name not in ("sum", "avg", "min", "max")
+        ):
+            return None
+        start, end = sub.scan_range
+        for res in sorted(self.rollups, reverse=True):
+            if (
+                wms % res == 0
+                and res % sub.res_ms == 0
+                and start % res == 0
+                and end % res == 0
+            ):
+                r = self.rollups[res].where(
+                    (F.col("bucket") == sub.scan_bucket)
+                    & (F.col("wts") >= start)
+                    & (F.col("wts") < end)
+                )
+                if sub.scan_pred is not None:
+                    r = r.where(sub.scan_pred)
+                value = {
+                    "sum": F.sum("sum").cast("double"),
+                    "avg": F.sum("sum").cast("double") / F.sum("cnt"),
+                    "min": F.min("min"),
+                    "max": F.max("max"),
+                }[name]
+                df = (
+                    r.withColumn("wts2", (F.col("wts") - F.col("wts") % wms))
+                    .groupBy("metric", "wts2")
+                    .agg(
+                        W.rounded(value).alias("value"),
+                        (F.sum("sum_conf").cast("double") / F.sum("cnt")).alias(
+                            "confidence"
+                        ),
+                    )
+                    .withColumnRenamed("wts2", "ts_ms")
+                )
+                return SeriesFrame(
+                    df, ("metric",), wms, unparse(node), has_dims=False
+                )
+        return None
 
     def _transform(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:
         if name == "derivate" and not consts:
@@ -613,7 +686,7 @@ class Compiler:
             raise PlanError(
                 f"function not found: {name}", "not_found_fun", name, 1
             )
-        return replace(sub, df=df, label=unparse(node))
+        return replace(sub, df=df, label=unparse(node), pristine=False)
 
     def _histogram(self, sub: SeriesFrame, consts, node) -> SeriesFrame:
         # histogram(m, highest_trackable, sig_figs, t): our engine models
@@ -624,7 +697,8 @@ class Compiler:
         wms = self._window_count(sub, consts[-1])
         df = sub.df.withColumn("value", F.round(F.col("value"), 0).cast("double"))
         return replace(
-            sub, df=df, label=unparse(node), hist_window_ms=wms, has_dims=False
+            sub, df=df, label=unparse(node), hist_window_ms=wms, has_dims=False,
+            pristine=False,
         )
 
     def _hist_reduce(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:

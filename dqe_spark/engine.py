@@ -28,14 +28,25 @@ def plan(
     dql: str,
     sf_dir: str,
     now_ms: int | None = None,
+    use_rollups: bool = False,
 ) -> list[Result]:
-    """Parse + compile; returns lazy per-statement results."""
+    """Parse + compile; returns lazy per-statement results.
+
+    use_rollups=True materializes (once) and registers the 1m rollup
+    store, letting the compiler rewrite eligible distributive window
+    aggregates to read pre-aggregated partials instead of raw points."""
+    rollups = None
+    if use_rollups:
+        from dqe_spark.sources.rollup import load_rollup
+
+        rollups = {60_000: load_rollup(spark, sf_dir, 60_000)}
     ast = parse(dql)
     comp = Compiler(
         metrics=load_metrics(spark, sf_dir),
         events=load_events(spark, sf_dir),
         resolutions=BUCKET_RESOLUTION_MS,
         now_ms=now_ms,
+        rollups=rollups,
     )
     return comp.compile(ast)
 
@@ -45,8 +56,9 @@ def run(
     dql: str,
     sf_dir: str,
     now_ms: int | None = None,
+    use_rollups: bool = False,
 ) -> list[Result]:
-    return plan(spark, dql, sf_dir, now_ms)
+    return plan(spark, dql, sf_dir, now_ms, use_rollups)
 
 
 class NoResults(Exception):

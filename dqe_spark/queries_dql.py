@@ -276,3 +276,29 @@ def dql_derivate(spark, sf_dir):
         sf_dir,
     )
     return df.select("metric", "ts_ms", "value")
+
+
+# Rollup rewrite through the full language pipeline: the compiler
+# answers this avg from the 1m partials store (plan shows a
+# rollup_60000ms scan — tests/test_rollup_rewrite.py asserts it).
+@q(
+    "dql_rollup_avg_1h",
+    """
+WITH m AS (
+  SELECT 'events.' || event_type AS metric,
+         epoch_ns(ts) // 1000000 AS ts_ms, value
+  FROM events
+)
+SELECT metric, (ts_ms // 3600000) * 3600000 AS ts_ms,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS value
+FROM m GROUP BY 1, 2
+""",
+)
+def dql_rollup_avg_1h(spark, sf_dir):
+    (res,) = engine.run(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+        use_rollups=True,
+    )
+    return res.df.select("metric", "ts_ms", "value")
