@@ -1,0 +1,112 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and
+sessionization.
+
+Neither exists in the reference (its only multi-input op is the
+positional combinator, SURVEY.md §2.3) — these are the temporal
+primitives a metrics+events store needs next: enrich an event with the
+latest metric reading at or before it (as-of), and split an activity
+stream into gap-bounded sessions.
+
+Both are single-shuffle window-function compositions — no UDFs, no
+per-row Python, no range-explosion:
+
+  * as-of join: union both sides tagged, one window pass carries the
+    most recent right-side value forward, filter back to left rows.
+    Cost: one shuffle on the join key — same as any keyed join; never
+    materializes the O(left × right) candidate space a naive
+    range-join would.
+  * sessionize: session boundary = gap > timeout (lag), session id =
+    running count of boundaries (cumulative sum) — two window exprs
+    over one (key, ts) sort.
+
+At 100 TB both shuffle once on the natural key (series / user), so
+they scale exactly like the window aggregates in §2.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts_ms",
+    right_ts: str = "ts_ms",
+    value: str = "value",
+    out: str = "asof_value",
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the right-side `value` with the
+    greatest right_ts ≤ left_ts within the same key (NULL if none, or
+    if the match is older than `tolerance_ms`).
+
+    Output: all left columns + `out` (+ `asof_ts` the matched ts)."""
+    lcols = left.columns
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(value).alias("__rv"),
+    )
+    l = left.select(  # noqa: E741
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    u = r.unionByName(l, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts (__side 0 < 1), so a
+    # same-timestamp reading IS visible to the event — "at or before"
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__asof", F.last("__rv", ignorenulls=True).over(w)).withColumn(
+        "__asof_ts",
+        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+    )
+    res = u.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.col("__asof").alias(out),
+        F.col("__asof_ts").alias("asof_ts"),
+    )
+    if tolerance_ms is not None:
+        stale = F.col("asof_ts") < F.col(left_ts) - F.lit(tolerance_ms)
+        res = res.withColumn(
+            out, F.when(stale, F.lit(None)).otherwise(F.col(out))
+        ).withColumn(
+            "asof_ts", F.when(stale, F.lit(None)).otherwise(F.col("asof_ts"))
+        )
+    return res
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts_ms",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Gap-based sessions per key: a new session starts when the time
+    since the previous row exceeds `gap_ms`. Returns one row per
+    session: (key, session_id, session_start, session_end, n_events)
+    with session_id numbered 1..N per key in time order."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = F.col(ts) - F.lag(ts).over(w)
+    boundary = F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
+    with_sid = df.withColumn(
+        "session_id",
+        F.sum(boundary).over(
+            Window.partitionBy(key)
+            .orderBy(ts)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sid.groupBy(key, "session_id").agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -468,3 +468,83 @@ def rollup_max_1d(spark, sf_dir):
 
     r = load_rollup(spark, sf_dir, 60_000)
     return rollup_window_agg(r, 86_400_000, "max").select("metric", "wts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): as-of join + sessionize.
+# DuckDB has a native ASOF JOIN — the oracle uses it, proving our
+# window-function composition implements the same semantics.
+# ---------------------------------------------------------------------------
+
+from dqe_spark.operators import temporal  # noqa: E402
+
+_EV_MS = "SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type, value FROM events"
+
+
+@q(
+    "asof_error_click",
+    f"""
+WITH ev AS ({_EV_MS}),
+l AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
+r AS (SELECT user_id, ts_ms, max(value) AS v
+      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts_ms,
+       r.v AS asof_value, r.ts_ms AS asof_ts
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms
+""",
+)
+def asof_error_click(spark, sf_dir):
+    """Each error event enriched with the user's latest click value at
+    or before it — the as-of join pattern for joining events to the
+    most recent reading of a slowly-changing series."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(ts div 1000000 AS LONG)").alias("ts_ms"),
+        "event_type",
+        "value",
+    )
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("value").alias("value"))
+    )
+    return temporal.asof_join(left, right, key="user_id")
+
+
+@q(
+    "sessionize_clicks",
+    f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 1000000 AS ts_ms
+  FROM events WHERE event_type = 'click'
+), x AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > 3600000
+              THEN 1 ELSE 0 END AS b
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+), s AS (
+  SELECT user_id, ts_ms,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, min(ts_ms) AS session_start,
+       max(ts_ms) AS session_end, count(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
+)
+def sessionize_clicks(spark, sf_dir):
+    """Gap-bounded sessions (1h) over each user's click stream."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.expr("CAST(ts div 1000000 AS LONG)").alias("ts_ms"))
+        .distinct()
+    )
+    return temporal.sessionize(ev, key="user_id", gap_ms=3_600_000)
