@@ -616,7 +616,7 @@ class Compiler:
             not self.rollups
             or not sub.pristine
             or len(consts) != 1
-            or name not in ("sum", "avg", "min", "max")
+            or name not in ("sum", "avg", "min", "max", "variance", "stddev")
         ):
             return None
         start, end = sub.scan_range
@@ -634,11 +634,17 @@ class Compiler:
                 )
                 if sub.scan_pred is not None:
                     r = r.where(sub.scan_pred)
+                n = F.sum("cnt")
+                sx = F.sum("sum").cast("double")
+                sxx = F.sum("sum_sq").cast("double")
+                var = F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))
                 value = {
-                    "sum": F.sum("sum").cast("double"),
-                    "avg": F.sum("sum").cast("double") / F.sum("cnt"),
+                    "sum": sx,
+                    "avg": sx / n,
                     "min": F.min("min"),
                     "max": F.max("max"),
+                    "variance": var,
+                    "stddev": F.sqrt(var),
                 }[name]
                 df = (
                     r.withColumn("wts2", (F.col("wts") - F.col("wts") % wms))

@@ -548,3 +548,24 @@ def sessionize_clicks(spark, sf_dir):
         .distinct()
     )
     return temporal.sessionize(ev, key="user_id", gap_ms=3_600_000)
+
+
+@q(
+    "rollup_stddev_1h",
+    _P
+    + """
+SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+       round(sqrt(greatest(0.0,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+         - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 2)
+       )), 4) AS value
+FROM metrics GROUP BY 1, 2
+""",
+)
+def rollup_stddev_1h(spark, sf_dir):
+    """Population stddev from the sum/sum_sq partials — variance-class
+    aggregates become distributive once the rollup carries Σx²."""
+    from dqe_spark.sources.rollup import load_rollup, rollup_window_agg
+
+    r = load_rollup(spark, sf_dir, 60_000)
+    return rollup_window_agg(r, 3_600_000, "stddev").select("metric", "wts", "value")

@@ -9,14 +9,15 @@ resolution bucket reads 3600× fewer rows from a 1 m rollup.
 
 The rollup stores RE-AGGREGABLE partials, never finished answers:
 
-    (bucket, metric, wts, cnt, sum, min, max, sum_conf)
+    (bucket, metric, wts, cnt, sum, sum_sq, min, max, sum_conf)
 
 so every §2.4 aggregate that distributes over unions derives from it:
 sum = Σ sum, count = Σ cnt, avg = Σ sum / Σ cnt, min = min(min),
-max = max(max). Non-distributive aggregates (percentiles, stddev
-beyond sum-of-squares, first/last crossings) still read raw points —
-`supports()` says which; extending the partial set (sum_sq for
-variance/stddev, t-digest sketches for percentiles) is mechanical.
+max = max(max), var = Σ sum_sq/n − (Σ sum/n)² (stddev = √var).
+Non-distributive aggregates (percentiles, median, first/last
+crossings) still read raw points — `supports()` says which; extending
+the partial set further (t-digest sketches for percentiles) is
+mechanical.
 
 Layout mirrors the metric store (partition pruning + ts-sorted rows):
     _store/<sf>/rollup_<res>ms/bucket=<b>/metric=<m>/part-*.parquet
@@ -34,7 +35,7 @@ from pyspark.sql import functions as F
 from dqe_spark.sources.store import STORE_ROOT
 
 #: window aggregates answerable from the partials
-_DISTRIBUTIVE = {"sum", "avg", "min", "max", "count"}
+_DISTRIBUTIVE = {"sum", "avg", "min", "max", "count", "variance", "stddev"}
 
 
 def supports(agg: str) -> bool:
@@ -67,6 +68,12 @@ def build_rollup(
             # bit-identical to a raw scan (no float-association drift
             # between rollup-path and raw-path results)
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum"),
+            # sum of squares makes variance/stddev distributive too:
+            # var = Σx²/n − (Σx/n)²; 2-decimal inputs → 4-decimal
+            # squares, still exact in DECIMAL(28,4)
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)"))
+            ).alias("sum_sq"),
             F.min("value").alias("min"),
             F.max("value").alias("max"),
             F.sum(F.col("confidence").cast("decimal(18,2)")).alias("sum_conf"),
@@ -120,9 +127,12 @@ def rollup_window_agg(
             f"window {window_ms}ms is not a multiple of rollup {rollup_res_ms}ms"
         )
     wts = (F.col("wts") - (F.col("wts") % F.lit(window_ms))).alias("wts2")
-    g = rollup.select("bucket", "metric", wts, "cnt", "sum", "min", "max").groupBy(
-        "bucket", "metric", "wts2"
-    )
+    g = rollup.select(
+        "bucket", "metric", wts, "cnt", "sum", "sum_sq", "min", "max"
+    ).groupBy("bucket", "metric", "wts2")
+    n = F.sum("cnt")
+    sx = F.sum("sum").cast("double")
+    sxx = F.sum("sum_sq").cast("double")
     exprs = {
         "sum": F.sum("sum").cast("double"),
         "count": F.sum("cnt").cast("double"),
@@ -131,6 +141,11 @@ def rollup_window_agg(
         "avg": F.sum("sum").cast("double") / F.sum("cnt"),
         "min": F.min("min"),
         "max": F.max("max"),
+        # population variance from exact partial sums (matches var_pop)
+        # clamp: exact partials can still yield a tiny negative from
+        # the final float subtraction on near-constant windows
+        "variance": F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0)),
+        "stddev": F.sqrt(F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))),
     }
     return (
         g.agg(F.round(exprs[agg], ndigits).alias(out))
