@@ -104,3 +104,21 @@ def test_timeframes():
     assert timeframe_range(sel.timeframe, now) == (now - 7_200_000, now)
     sel = parse('SELECT \'a\'.\'b\' BUCKET \'x\' BETWEEN "2024-01-05" AND "2024-01-08"')
     assert timeframe_range(sel.timeframe, now) == (1704412800000, 1704672000000)
+
+
+def test_lexer_escapes_reference_parity():
+    """The reference's lexer eunit cases verbatim
+    (src/dql_lexer.xrl:111-124): backslash escapes inside quoted
+    parts."""
+    from dqe_spark.dql.lexer import tokenize
+
+    assert tokenize(r"'base'")[0].value == "base"
+    assert tokenize(r"'\'quoted\''")[0].value == "'quoted'"
+    assert tokenize("'\\\\at_beginning'")[0].value == "\\at_beginning"
+    assert tokenize("'at_end\\\\'")[0].value == "at_end\\"
+    toks = tokenize("'c:\\\\'.'size'")
+    assert [(t.kind, t.value) for t in toks[:3]] == [
+        ("part", "c:\\"),
+        (".", "."),
+        ("part", "size"),
+    ]
