@@ -1,0 +1,91 @@
+"""Property tests for the operator layer: randomized inputs, oracle =
+a straightforward Python reimplementation. Complements the DuckDB
+oracle queries (fixed inputs) with adversarial shapes — empty groups,
+ties, gaps, single-point series."""
+
+from __future__ import annotations
+
+import bisect
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_slow = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2"]),
+        st.integers(0, 50).map(lambda x: x * 100),
+        st.integers(-100, 100).map(lambda x: x / 2),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@_slow
+@given(left=rows, right=rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from dqe_spark.operators.temporal import asof_join
+
+    # dedup (key, ts) on both sides — the operator's documented contract
+    lmap = {(k, t): v for k, t, v in left}
+    rmap = {(k, t): v for k, t, v in right}
+    l_rows = [(k, t, v) for (k, t), v in sorted(lmap.items())]
+    r_rows = [(k, t, v) for (k, t), v in sorted(rmap.items())]
+    if not l_rows:
+        return
+    ldf = spark.createDataFrame(l_rows, "k string, ts_ms long, lv double")
+    rdf = spark.createDataFrame(
+        r_rows or [("__none__", 0, 0.0)], "k string, ts_ms long, value double"
+    )
+    got = {
+        (r["k"], r["ts_ms"]): (r["asof_value"], r["asof_ts"])
+        for r in asof_join(ldf, rdf, key="k").collect()
+    }
+
+    by_key: dict[str, list[tuple[int, float]]] = {}
+    for k, t, v in r_rows:
+        by_key.setdefault(k, []).append((t, v))
+    for k in by_key:
+        by_key[k].sort()
+    for k, t, _ in l_rows:
+        cands = by_key.get(k, [])
+        i = bisect.bisect_right([c[0] for c in cands], t) - 1
+        want = (cands[i][1], cands[i][0]) if i >= 0 else (None, None)
+        assert got[(k, t)] == want, (k, t)
+
+
+@_slow
+@given(rows=rows, gap=st.sampled_from([100, 300, 1000]))
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    from dqe_spark.operators.temporal import sessionize
+
+    pts = sorted({(k, t) for k, t, _ in rows})
+    if not pts:
+        return
+    df = spark.createDataFrame(list(pts), "k string, ts_ms long")
+    got = {
+        (r["k"], r["session_id"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, key="k", ts="ts_ms", gap_ms=gap).collect()
+    }
+
+    want = {}
+    by_key: dict[str, list[int]] = {}
+    for k, t in pts:
+        by_key.setdefault(k, []).append(t)
+    for k, ts in by_key.items():
+        sid, start, prev, n = 0, None, None, 0
+        for t in ts:
+            if prev is None or t - prev > gap:
+                if start is not None:
+                    want[(k, sid)] = (start, prev, n)
+                sid, start, n = sid + 1, t, 0
+            n += 1
+            prev = t
+        want[(k, sid)] = (start, prev, n)
+    assert got == want
