@@ -37,9 +37,13 @@ def plan(
     aggregates to read pre-aggregated partials instead of raw points."""
     rollups = None
     if use_rollups:
-        from dqe_spark.sources.rollup import load_rollup
+        from dqe_spark.sources.rollup import cascade_rollup, load_rollup
 
-        rollups = {60_000: load_rollup(spark, sf_dir, 60_000)}
+        cascade_rollup(spark, sf_dir, 60_000, 3_600_000)
+        rollups = {
+            60_000: load_rollup(spark, sf_dir, 60_000),
+            3_600_000: load_rollup(spark, sf_dir, 3_600_000),
+        }
     ast = parse(dql)
     comp = Compiler(
         metrics=load_metrics(spark, sf_dir),

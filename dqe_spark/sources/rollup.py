@@ -101,6 +101,62 @@ def build_rollup(
     return out
 
 
+def cascade_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    from_res_ms: int = 60_000,
+    to_res_ms: int = 3_600_000,
+    force: bool = False,
+) -> Path:
+    """Build a coarser rollup FROM a finer one — partials re-aggregate
+    exactly (cnt/sum/sum_sq/sum_conf add; min/max fold), so the
+    hierarchy costs one pass over the finer rollup, never a raw scan.
+    This is how a 1s→1m→1h→1d ladder stays cheap to maintain at
+    100 TB: each level reads only the level below."""
+    if to_res_ms % from_res_ms != 0:
+        raise ValueError("coarse resolution must be a multiple of the fine one")
+    out = _rollup_dir(sf_dir, to_res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    fine = load_rollup(spark, sf_dir, from_res_ms)
+    wts = (F.col("wts") - (F.col("wts") % F.lit(to_res_ms))).alias("w2")
+    partials = (
+        fine.select(
+            "bucket", "metric", wts, "cnt", "sum", "sum_sq", "min", "max", "sum_conf"
+        )
+        .groupBy("bucket", "metric", "w2")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum_conf").alias("sum_conf"),
+        )
+        .withColumnRenamed("w2", "wts")
+    )
+    tmp = out.parent / f"_tmp_rollup_{to_res_ms}ms"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    (
+        partials.repartition("bucket", "metric")
+        .sortWithinPartitions("wts")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "metric")
+        .parquet(str(tmp))
+    )
+    if out.exists():
+        shutil.rmtree(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not (out / "_SUCCESS").exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def load_rollup(spark: SparkSession, sf_dir: str, res_ms: int = 60_000) -> DataFrame:
     p = _rollup_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():

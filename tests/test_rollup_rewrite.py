@@ -28,8 +28,9 @@ def test_rewrite_used_and_matches_raw(spark):
     dql = f"SELECT avg('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}"
     raw = _runs(spark, dql)
     ru = _runs(spark, dql, use_rollups=True)
-    assert "rollup_60000ms" in _plan_of(ru)
-    assert "rollup_60000ms" not in _plan_of(raw)
+    # coarsest eligible level wins: a 1h window reads the 1h cascade
+    assert "rollup_3600000ms" in _plan_of(ru)
+    assert "rollup_" not in _plan_of(raw)
 
     # identical answers (partials sum in exact decimal); tolerance only
     # for the final 4dp rounding boundary
@@ -49,7 +50,7 @@ def test_rewrite_used_and_matches_raw(spark):
 def test_rewrite_glob_and_sum(spark):
     dql = f"SELECT sum('events'.* BUCKET 'events', 1d) BETWEEN {JAN1} AND {FEB1}"
     ru = _runs(spark, dql, use_rollups=True)
-    assert "rollup_60000ms" in _plan_of(ru)
+    assert "rollup_3600000ms" in _plan_of(ru)
     assert ru.select("metric").distinct().count() > 1
 
 
@@ -60,7 +61,7 @@ def test_no_rewrite_when_ineligible(spark):
         f"SELECT avg('events'.'click' BUCKET 'events', 90s) BETWEEN {JAN1} AND {FEB1}",
         use_rollups=True,
     )
-    assert "rollup_60000ms" not in _plan_of(ru)
+    assert "rollup_" not in _plan_of(ru)
 
     # transform between scan and aggregate clears eligibility
     ru2 = _runs(
@@ -68,7 +69,7 @@ def test_no_rewrite_when_ineligible(spark):
         f"SELECT avg(abs('events'.'click' BUCKET 'events'), 1h) BETWEEN {JAN1} AND {FEB1}",
         use_rollups=True,
     )
-    assert "rollup_60000ms" not in _plan_of(ru2)
+    assert "rollup_" not in _plan_of(ru2)
 
     # tag lookups aren't in the rollup store
     ru3 = _runs(
@@ -77,7 +78,7 @@ def test_no_rewrite_when_ineligible(spark):
         f"BETWEEN {JAN1} AND {FEB1}",
         use_rollups=True,
     )
-    assert "rollup_60000ms" not in _plan_of(ru3)
+    assert "rollup_" not in _plan_of(ru3)
 
     # percentile isn't distributive
     ru4 = _runs(
@@ -85,4 +86,39 @@ def test_no_rewrite_when_ineligible(spark):
         f"SELECT percentile('events'.'click' BUCKET 'events', 0.9, 1h) BETWEEN {JAN1} AND {FEB1}",
         use_rollups=True,
     )
-    assert "rollup_60000ms" not in _plan_of(ru4)
+    assert "rollup_" not in _plan_of(ru4)
+
+
+def test_hierarchy_picks_coarsest(spark):
+    # 1d windows: the 1h cascade answers from 60x fewer rows than 1m
+    ru = _runs(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1d) BETWEEN {JAN1} AND {FEB1}",
+        use_rollups=True,
+    )
+    p = _plan_of(ru)
+    assert "rollup_3600000ms" in p and "rollup_60000ms" not in p
+
+    # 90m window: not a multiple of 1h -> falls back to the 1m rollup
+    ru2 = _runs(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 90m) BETWEEN {JAN1} AND {FEB1}",
+        use_rollups=True,
+    )
+    p2 = _plan_of(ru2)
+    assert "rollup_60000ms" in p2 and "rollup_3600000ms" not in p2
+
+
+def test_cascade_equals_direct(spark):
+    from dqe_spark.sources.rollup import load_rollup, rollup_window_agg
+
+    fine = rollup_window_agg(load_rollup(spark, SF_SMOKE, 60_000), 86_400_000, "stddev")
+    coarse = rollup_window_agg(
+        load_rollup(spark, SF_SMOKE, 3_600_000),
+        86_400_000,
+        "stddev",
+        rollup_res_ms=3_600_000,
+    )
+    a = {(r["metric"], r["wts"], r["value"]) for r in fine.collect()}
+    b = {(r["metric"], r["wts"], r["value"]) for r in coarse.collect()}
+    assert a == b and a
