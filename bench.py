@@ -68,8 +68,17 @@ def main() -> None:
     store.ingest(spark, SF_DIR)
     rollup.build_rollup(spark, SF_DIR, 60_000)
 
-    # warmup: JVM + whole-stage codegen + parquet footer reads
+    # warmup: JVM + whole-stage codegen + parquet footer reads, plus
+    # the Arrow python-worker pool (first pandas UDF pays its startup)
     qs["aggr_avg_1m"](spark, SF_DIR).collect()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return pd.Series([0] * len(s))
+
+    spark.range(32).select(_warm("id")).collect()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
