@@ -1,0 +1,56 @@
+"""CSV/JSON point connectors: schema mapping, tag parsing, corrupt-row
+routing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+
+@pytest.fixture()
+def tmp():
+    d = Path(tempfile.mkdtemp(prefix="dqe_ingest_"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_roundtrip(spark, tmp):
+    from dqe_spark.sources.ingest_formats import corrupt_records, read_points_csv
+
+    p = tmp / "points.csv"
+    p.write_text(
+        "bucket,metric,ts_ms,value,confidence,tags\n"
+        "events,cpu.user,1000,0.5,1.0,host=h1|dc=east\n"
+        "events,cpu.user,2000,0.7,,\n"
+        "events,cpu.user,not_a_ts,xx,1.0,\n"
+    )
+    got = read_points_csv(spark, str(p)).collect()
+    assert len(got) == 2
+    byts = {r["ts_ms"]: r for r in got}
+    assert byts[1000]["tags"] == {"host": "h1", "dc": "east"}
+    assert byts[2000]["confidence"] == 1.0  # defaulted
+    assert byts[2000]["tags"] is None
+    bad = corrupt_records(spark, str(p), "csv").collect()
+    assert len(bad) == 1 and "not_a_ts" in bad[0][0]
+
+
+def test_json_roundtrip(spark, tmp):
+    from dqe_spark.sources.ingest_formats import corrupt_records, read_points_json
+
+    p = tmp / "points.jsonl"
+    p.write_text(
+        '{"bucket":"events","metric":"cpu.user","ts_ms":1000,"value":0.5,'
+        '"confidence":0.9,"tags":{"host":"h1"}}\n'
+        '{"bucket":"events","metric":"cpu.user","ts_ms":2000,"value":1.5}\n'
+        "{not json at all\n"
+    )
+    got = read_points_json(spark, str(p)).collect()
+    assert len(got) == 2
+    byts = {r["ts_ms"]: r for r in got}
+    assert byts[1000]["tags"] == {"host": "h1"}
+    assert byts[2000]["confidence"] == 1.0
+    bad = corrupt_records(spark, str(p), "json").collect()
+    assert len(bad) == 1
