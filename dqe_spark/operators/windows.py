@@ -161,3 +161,50 @@ def window_agg(
         .groupBy(*keys, "wts")
         .agg(agg.alias(out))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: salted two-phase aggregation.
+#
+# The (key, wts) shuffle key is normally well-spread, but one hot
+# series (a metric every host emits, a tenant 1000× the median) can
+# put an entire reduce partition on one core. AQE's skew-join split
+# doesn't apply to aggregations, so the classic fix is salting:
+# phase 1 aggregates (key, wts, salt) — the hot group fans out over
+# `salt_n` reducers — phase 2 merges the per-salt partials. Only
+# aggregates with a partial/merge decomposition qualify (same algebra
+# as the rollup store).
+# ---------------------------------------------------------------------------
+
+_SALTABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_window_agg(
+    df: DataFrame,
+    window_ms: int,
+    agg_name: str,
+    value: str,
+    out: str,
+    keys: Sequence[str] = ("metric",),
+    ts: str = "ts_ms",
+    salt_n: int = 16,
+) -> DataFrame:
+    """window_agg for skewed keys: identical results, two shuffles,
+    no single-reducer hot spot. `avg` callers salt sum+count and
+    divide (see rollup_window_agg for the same algebra)."""
+    if agg_name not in _SALTABLE:
+        raise ValueError(f"{agg_name!r} has no partial/merge decomposition")
+    partial, merge = _SALTABLE[agg_name]
+    salted = df.withColumn("wts", wts_col(window_ms, ts)).withColumn(
+        "__salt", (F.rand(seed=0) * salt_n).cast("int")
+    )
+    p1 = salted.groupBy(*keys, "wts", "__salt").agg(partial(value).alias("__p"))
+    return (
+        p1.groupBy(*keys, "wts")
+        .agg(rounded(merge("__p")).alias(out))
+    )

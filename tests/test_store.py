@@ -34,3 +34,30 @@ def test_partition_pruning(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "PartitionFilters" in plan and "events.click" in plan
+
+
+def test_salted_agg_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.windows import (
+        agg_sum,
+        salted_window_agg,
+        window_agg,
+    )
+    from dqe_spark.sources.metric_store import load_metrics
+    from tests.conftest import SF_SMOKE
+
+    m = load_metrics(spark, SF_SMOKE)
+    plain = window_agg(m, 3_600_000, agg_sum("value"), "v")
+    salted = salted_window_agg(m, 3_600_000, "sum", "value", "v")
+    a = {(r["metric"], r["wts"], r["v"]) for r in plain.collect()}
+    b = {(r["metric"], r["wts"], r["v"]) for r in salted.collect()}
+    # float association may differ across salt partials — compare at
+    # the engine's defensive rounding minus one digit
+    ar = {(m_, w, round(v, 3)) for m_, w, v in a}
+    br = {(m_, w, round(v, 3)) for m_, w, v in b}
+    assert ar == br and ar
+
+    # plan shape: two aggregations, the first keyed by the salt
+    plan = salted._jdf.queryExecution().toString()
+    assert "__salt" in plan
