@@ -569,3 +569,22 @@ def rollup_stddev_1h(spark, sf_dir):
 
     r = load_rollup(spark, sf_dir, 60_000)
     return rollup_window_agg(r, 3_600_000, "stddev").select("metric", "wts", "value")
+
+
+@q(
+    "rollup_p90_1h",
+    _P
+    + """
+SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+       round(quantile_cont(value, 0.9), 4) AS value
+FROM metrics GROUP BY 1, 2
+""",
+)
+def rollup_p90_1h(spark, sf_dir):
+    """Exact p90 from histogram partials: source values are fixed
+    2-decimal, so the per-window count histogram IS the exact multiset
+    and interpolation equals quantile_cont on raw points."""
+    from dqe_spark.sources.rollup import hist_rollup_percentile, load_hist_rollup
+
+    h = load_hist_rollup(spark, sf_dir, 60_000)
+    return hist_rollup_percentile(h, 3_600_000, 0.9).select("metric", "wts", "value")

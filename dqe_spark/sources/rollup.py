@@ -14,10 +14,9 @@ The rollup stores RE-AGGREGABLE partials, never finished answers:
 so every §2.4 aggregate that distributes over unions derives from it:
 sum = Σ sum, count = Σ cnt, avg = Σ sum / Σ cnt, min = min(min),
 max = max(max), var = Σ sum_sq/n − (Σ sum/n)² (stddev = √var).
-Non-distributive aggregates (percentiles, median, first/last
-crossings) still read raw points — `supports()` says which; extending
-the partial set further (t-digest sketches for percentiles) is
-mechanical.
+Percentiles/median come from the companion HISTOGRAM rollup (exact
+per-window value counts — see `build_hist_rollup`); only the
+first/last-crossing family still requires raw points.
 
 Layout mirrors the metric store (partition pruning + ts-sorted rows):
     _store/<sf>/rollup_<res>ms/bucket=<b>/metric=<m>/part-*.parquet
@@ -206,4 +205,133 @@ def rollup_window_agg(
     return (
         g.agg(F.round(exprs[agg], ndigits).alias(out))
         .withColumnRenamed("wts2", "wts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram rollup: exact percentiles from partials.
+#
+# Source values are fixed 2-decimal, so a per-window count histogram
+# keyed by v100 = round(value·100) loses NOTHING — it is the window's
+# exact value multiset in mergeable form (counts add across windows
+# and levels, like cnt/sum). Percentile/median then derive exactly:
+# index = p·(n−1), linear interpolation between the covering values —
+# the same definition as Spark's percentile() and DuckDB's
+# quantile_cont. Long-form layout (one row per distinct value per
+# window) keeps it a plain parquet table with the same partition
+# pruning as the other rollups; per-window cardinality is bounded by
+# the value domain, not the point count.
+# ---------------------------------------------------------------------------
+
+
+def _hist_dir(sf_dir: str, res_ms: int) -> Path:
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / f"rollup_hist_{res_ms}ms"
+
+
+def build_hist_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 60_000, force: bool = False
+) -> Path:
+    from dqe_spark.sources.metric_store import load_metrics
+
+    out = _hist_dir(sf_dir, res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    m = load_metrics(spark, sf_dir)
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    v100 = F.round(F.col("value") * 100).cast("long").alias("v100")
+    partials = (
+        m.select("bucket", "metric", wts, v100)
+        .groupBy("bucket", "metric", "wts", "v100")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tmp = out.parent / f"_tmp_rollup_hist_{res_ms}ms"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    (
+        partials.repartition("bucket", "metric")
+        .sortWithinPartitions("wts", "v100")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "metric")
+        .parquet(str(tmp))
+    )
+    if out.exists():
+        shutil.rmtree(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not (out / "_SUCCESS").exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def load_hist_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 60_000
+) -> DataFrame:
+    p = _hist_dir(sf_dir, res_ms)
+    if not (p / "_SUCCESS").exists():
+        build_hist_rollup(spark, sf_dir, res_ms)
+    return spark.read.parquet(str(p))
+
+
+def hist_rollup_percentile(
+    hist: DataFrame,
+    window_ms: int,
+    p: float,
+    out: str = "value",
+    rollup_res_ms: int = 60_000,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact p-percentile per (metric, window) from histogram partials:
+    merge counts to the target window, one cumulative-count window pass,
+    interpolate between the two covering values. Two shuffles total,
+    both keyed (metric, window) — rows in play = distinct values per
+    window, not points."""
+    from pyspark.sql import Window
+
+    if window_ms % rollup_res_ms != 0:
+        raise ValueError(
+            f"window {window_ms}ms is not a multiple of rollup {rollup_res_ms}ms"
+        )
+    w2 = (F.col("wts") - (F.col("wts") % F.lit(window_ms))).alias("w2")
+    c = (
+        hist.select("bucket", "metric", w2, "v100", "cnt")
+        .groupBy("bucket", "metric", "w2", "v100")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    grp = ["bucket", "metric", "w2"]
+    wcum = (
+        Window.partitionBy(*grp)
+        .orderBy("v100")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*grp)
+    c = (
+        c.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .withColumn("pos", F.lit(float(p)) * (F.col("n") - 1))
+        .withColumn("lo", F.floor("pos"))
+        .withColumn("hi", F.ceil("pos"))
+    )
+    covers_lo = (F.col("cum") - F.col("cnt") <= F.col("lo")) & (
+        F.col("lo") < F.col("cum")
+    )
+    covers_hi = (F.col("cum") - F.col("cnt") <= F.col("hi")) & (
+        F.col("hi") < F.col("cum")
+    )
+    res = c.groupBy(*grp).agg(
+        F.max(F.when(covers_lo, F.col("v100"))).alias("v_lo"),
+        F.max(F.when(covers_hi, F.col("v100"))).alias("v_hi"),
+        F.first(F.col("pos") - F.col("lo")).alias("frac"),
+    )
+    # interpolate on the /100 values (quantile_cont's exact shape)
+    vlo = F.col("v_lo") / 100.0
+    vhi = F.col("v_hi") / 100.0
+    val = vlo + F.col("frac") * (vhi - vlo)
+    return res.select(
+        "bucket",
+        "metric",
+        F.col("w2").alias("wts"),
+        F.round(val, ndigits).alias(out),
     )

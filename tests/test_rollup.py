@@ -47,3 +47,22 @@ def test_rollup_partition_pruning(spark):
     )
     plan = explain_string(r.select("wts", "cnt"))
     assert "PartitionFilters" in plan and "events.click" in plan
+
+
+def test_hist_rollup_percentile_equals_raw(spark):
+    from pyspark.sql import functions as F
+
+    from dqe_spark.sources.metric_store import load_metrics
+    from dqe_spark.sources.rollup import hist_rollup_percentile, load_hist_rollup
+
+    h = load_hist_rollup(spark, SF_SMOKE, 60_000)
+    got = hist_rollup_percentile(h, 3_600_000, 0.5)
+    m = load_metrics(spark, SF_SMOKE)
+    ref = (
+        m.withColumn("wts", F.col("ts_ms") - F.col("ts_ms") % 3_600_000)
+        .groupBy("metric", "wts")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("value"))
+    )
+    a = {(r["metric"], r["wts"], r["value"]) for r in got.collect()}
+    b = {(r["metric"], r["wts"], r["value"]) for r in ref.collect()}
+    assert a == b and a
