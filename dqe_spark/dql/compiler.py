@@ -234,6 +234,7 @@ class Compiler:
         now_ms: int | None = None,
         registry=None,
         rollups: dict[int, DataFrame] | None = None,
+        hist_rollups: dict[int, DataFrame] | None = None,
     ):
         from dqe_spark.functions.registry import default_registry
 
@@ -245,6 +246,7 @@ class Compiler:
         # res_ms -> partials DataFrame (sources/rollup.py); when set,
         # eligible windowed aggregates are rewritten to read partials
         self.rollups = rollups or {}
+        self.hist_rollups = hist_rollups or {}
 
     # -- public --------------------------------------------------------------
 
@@ -612,21 +614,28 @@ class Compiler:
         straight from a metric-pred-only scan and windows align. Picks
         the COARSEST eligible rollup — fewest rows read. Results are
         identical to the raw path (partials sum in exact decimal)."""
-        if (
-            not self.rollups
-            or not sub.pristine
-            or len(consts) != 1
-            or name not in ("sum", "avg", "min", "max", "variance", "stddev")
-        ):
+        scalar = len(consts) == 1 and name in (
+            "sum", "avg", "min", "max", "variance", "stddev"
+        )
+        quantile = (len(consts) == 1 and name == "median") or (
+            len(consts) == 2 and name == "percentile"
+        )
+        if not self.rollups or not sub.pristine or not (scalar or quantile):
+            return None
+        if quantile and not self.hist_rollups:
             return None
         start, end = sub.scan_range
-        for res in sorted(self.rollups, reverse=True):
+        levels = self.hist_rollups if quantile else self.rollups
+        for res in sorted(levels, reverse=True):
             if (
                 wms % res == 0
                 and res % sub.res_ms == 0
                 and start % res == 0
                 and end % res == 0
+                and (not quantile or res in self.rollups)  # confidence source
             ):
+                if quantile:
+                    return self._quantile_from_hist(sub, name, consts, node, wms, res)
                 r = self.rollups[res].where(
                     (F.col("bucket") == sub.scan_bucket)
                     & (F.col("wts") >= start)
@@ -661,6 +670,45 @@ class Compiler:
                     df, ("metric",), wms, unparse(node), has_dims=False
                 )
         return None
+
+    def _quantile_from_hist(
+        self, sub: SeriesFrame, name: str, consts, node, wms: int, res: int
+    ) -> SeriesFrame:
+        """median/percentile answered from the histogram rollup (exact
+        for fixed-decimal values, sources/rollup.py); the per-window
+        confidence average joins in from the scalar rollup."""
+        from dqe_spark.sources.rollup import hist_rollup_percentile
+
+        if name == "percentile":
+            p = consts[0]
+            if isinstance(p, int):
+                p = p * 0.5  # reference quirk: src/dqe_percentile_aggr.erl:15-16
+        else:
+            p = 0.5
+        start, end = sub.scan_range
+
+        def scoped(df: DataFrame) -> DataFrame:
+            out = df.where(
+                (F.col("bucket") == sub.scan_bucket)
+                & (F.col("wts") >= start)
+                & (F.col("wts") < end)
+            )
+            return out.where(sub.scan_pred) if sub.scan_pred is not None else out
+
+        val = hist_rollup_percentile(
+            scoped(self.hist_rollups[res]), wms, float(p), rollup_res_ms=res
+        ).select("metric", "wts", "value")
+        conf = (
+            scoped(self.rollups[res])
+            .withColumn("wts2", (F.col("wts") - F.col("wts") % wms))
+            .groupBy("metric", "wts2")
+            .agg(
+                (F.sum("sum_conf").cast("double") / F.sum("cnt")).alias("confidence")
+            )
+            .withColumnRenamed("wts2", "wts")
+        )
+        df = val.join(conf, ["metric", "wts"]).withColumnRenamed("wts", "ts_ms")
+        return SeriesFrame(df, ("metric",), wms, unparse(node), has_dims=False)
 
     def _transform(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:
         if name == "derivate" and not consts:

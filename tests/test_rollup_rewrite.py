@@ -80,13 +80,31 @@ def test_no_rewrite_when_ineligible(spark):
     )
     assert "rollup_" not in _plan_of(ru3)
 
-    # percentile isn't distributive
+    # threshold crossings have no partial form
     ru4 = _runs(
         spark,
-        f"SELECT percentile('events'.'click' BUCKET 'events', 0.9, 1h) BETWEEN {JAN1} AND {FEB1}",
+        f"SELECT count_above('events'.'click' BUCKET 'events', 150, 1h) BETWEEN {JAN1} AND {FEB1}",
         use_rollups=True,
     )
     assert "rollup_" not in _plan_of(ru4)
+
+
+def test_percentile_from_hist_rollup(spark):
+    dql = f"SELECT percentile('events'.'click' BUCKET 'events', 0.9, 1h) BETWEEN {JAN1} AND {FEB1}"
+    raw = _runs(spark, dql)
+    ru = _runs(spark, dql, use_rollups=True)
+    assert "rollup_hist_60000ms" in _plan_of(ru)
+    a = {(r["ts_ms"], r["value"]) for r in raw.collect()}
+    b = {(r["ts_ms"], r["value"]) for r in ru.collect()}
+    assert a == b and a
+
+    # median routes through the same path
+    med = _runs(
+        spark,
+        f"SELECT median('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        use_rollups=True,
+    )
+    assert "rollup_hist_60000ms" in _plan_of(med)
 
 
 def test_hierarchy_picks_coarsest(spark):
