@@ -302,3 +302,38 @@ def dql_rollup_avg_1h(spark, sf_dir):
         use_rollups=True,
     )
     return res.df.select("metric", "ts_ms", "value")
+
+
+@q("dql_median", PARITY_ORACLES["aggr_median_5m"])
+def dql_median(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT median('events'.'click' BUCKET 'events', 5m) BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        "metric", F.col("ts_ms").alias("wts"), F.col("value").alias("med_value")
+    )
+
+
+@q("dql_bottom2", PARITY_ORACLES["bottom2_by_avg"])
+def dql_bottom2(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1} "
+        "BOTTOM 2 BY avg",
+        sf_dir,
+    )
+    return df.select(
+        "metric", F.col("ts_ms").alias("wts"), F.col("value").alias("avg_value")
+    )
+
+
+@q("dql_sqrt_scale", PARITY_ORACLES["trans_sqrt_scale"])
+def dql_sqrt_scale(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT sqrt_scale('events'.'click' BUCKET 'events') BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", "ts_ms", F.round("value", 4).alias("value"))
