@@ -71,6 +71,25 @@ def run(
     return plan(spark, dql, sf_dir, now_ms, use_rollups)
 
 
+def explain(
+    spark: SparkSession,
+    dql: str,
+    sf_dir: str,
+    now_ms: int | None = None,
+    use_rollups: bool = False,
+    mode: str = "formatted",
+) -> dict[str, str]:
+    """Plan without executing — the reference's dqe:prepare dry-run
+    surface (src/dqe.erl:330-350) with Spark's plan as the artifact.
+    Returns {statement name: physical plan text}."""
+    from dqe_spark.plans.debug import explain_string
+
+    return {
+        r.name: explain_string(r.df, mode)
+        for r in plan(spark, dql, sf_dir, now_ms, use_rollups)
+    }
+
+
 class NoResults(Exception):
     """Raised by collect() when every statement returns zero rows —
     the funnel's `no_results` (src/dqe_funnel.erl:30-35)."""

@@ -70,3 +70,21 @@ def test_collect_ok_and_timeout(spark):
             SF_SMOKE,
             timeout_s=0.001,
         )
+
+
+def test_explain_dry_run(spark):
+    plans = engine.explain(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    (name,) = plans
+    assert "avg(" in name and "HashAggregate" in plans[name]
+
+    ru = engine.explain(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+        use_rollups=True,
+    )
+    assert "rollup_" in next(iter(ru.values()))
