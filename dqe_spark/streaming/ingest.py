@@ -85,3 +85,41 @@ def write_to_store(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_rollup_partials(
+    metrics: DataFrame,
+    res: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Continuous rollup maintenance: the streaming twin of
+    sources/rollup.build_rollup — per (metric, base-window) mergeable
+    partials (cnt, sum, sum_sq, min, max, sum_conf) with an event-time
+    watermark bounding state. Appended windows land in the same layout
+    the batch rollup writes, so the query-side rollup rewrite reads
+    streamed and backfilled partials identically; late points beyond
+    the watermark belong to the batch backfill path."""
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        metrics.withWatermark("ts", watermark)
+        .groupBy("bucket", "metric", F.window("ts", res).alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum(dec).alias("sum"),
+            F.sum(dec * dec).alias("sum_sq"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum(F.col("confidence").cast("decimal(18,2)")).alias("sum_conf"),
+        )
+        .select(
+            "bucket",
+            "metric",
+            F.unix_millis(F.col("w.start")).alias("wts"),
+            "cnt",
+            "sum",
+            "sum_sq",
+            "min",
+            "max",
+            "sum_conf",
+        )
+    )
