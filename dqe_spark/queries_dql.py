@@ -337,3 +337,27 @@ def dql_sqrt_scale(spark, sf_dir):
         sf_dir,
     )
     return df.select("metric", "ts_ms", F.round("value", 4).alias("value"))
+
+
+# GROUP BY with a grouping LIST (src/dql_parser.yrl:260-262)
+@q(
+    "dql_group_by_2tags",
+    _P
+    + """
+SELECT host, dc, (ts_ms // 3600000) * 3600000 AS wts, round(avg(value), 4) AS avg_value
+FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2, 3
+""",
+)
+def dql_group_by_2tags(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg('events'.'click' FROM 'events' GROUP BY $'host', $'dc' USING avg, 1h) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        F.col("g_host").alias("host"),
+        F.col("g_dc").alias("dc"),
+        F.col("ts_ms").alias("wts"),
+        F.col("value").alias("avg_value"),
+    )
