@@ -235,6 +235,7 @@ class Compiler:
         registry=None,
         rollups: dict[int, DataFrame] | None = None,
         hist_rollups: dict[int, DataFrame] | None = None,
+        cache_shared_scans: bool = False,
     ):
         from dqe_spark.functions.registry import default_registry
 
@@ -247,6 +248,15 @@ class Compiler:
         # eligible windowed aggregates are rewritten to read partials
         self.rollups = rollups or {}
         self.hist_rollups = hist_rollups or {}
+        # duplicate-scan CSE (the reference's dflow `optimize` merges
+        # duplicate gets, src/dqe.erl:204-225). Identical terminals in
+        # one compile always share the same DataFrame object (Catalyst
+        # canonicalization then reuses exchanges within a statement);
+        # with cache_shared_scans=True a terminal hit 2+ times is also
+        # .cache()d so SEPARATE statements (separate actions) share the
+        # scan compute instead of re-reading.
+        self.cache_shared_scans = cache_shared_scans
+        self._scan_memo: dict[tuple, DataFrame] = {}
 
     # -- public --------------------------------------------------------------
 
@@ -391,8 +401,18 @@ class Compiler:
             bucket = node.bucket
         else:  # pragma: no cover
             raise PlanError(f"bad terminal {node!r}")
+        sel = df.select(
+            "metric", "metric_parts", "tags", "ts_ms", "value", "confidence"
+        )
+        key = (repr(node), start, end)
+        if key in self._scan_memo:
+            sel = self._scan_memo[key]
+            if self.cache_shared_scans and not sel.is_cached:
+                sel.cache()
+        else:
+            self._scan_memo[key] = sel
         return SeriesFrame(
-            df=df.select("metric", "metric_parts", "tags", "ts_ms", "value", "confidence"),
+            df=sel,
             keys=("metric",),
             res_ms=self._res(bucket),
             label=unparse(node),

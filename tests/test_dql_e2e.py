@@ -208,3 +208,37 @@ def test_last_now(spark):
         now_ms=JAN1 + 86_400_000,
     )
     assert res.df.count() > 0
+
+
+def test_shared_scan_cse(spark):
+    """Duplicate selectors share one scan DataFrame (the reference's
+    dflow optimize, src/dqe.erl:204-225); with cache_shared_scans the
+    shared base is cached so separate statements reuse the compute."""
+    from dqe_spark.dql.compiler import Compiler
+    from dqe_spark.dql.parser import parse
+    from dqe_spark.sources.metric_store import (
+        BUCKET_RESOLUTION_MS,
+        load_events,
+        load_metrics,
+    )
+    from tests.conftest import SF_SMOKE
+
+    JAN1, FEB1 = 1704067200000, 1706745600000
+    dql = (
+        "SELECT avg('events'.'click' BUCKET 'events', 1m), "
+        "sum('events'.'click' BUCKET 'events', 1h) "
+        f"BETWEEN {JAN1} AND {FEB1}"
+    )
+    comp = Compiler(
+        metrics=load_metrics(spark, SF_SMOKE),
+        events=load_events(spark, SF_SMOKE),
+        resolutions=BUCKET_RESOLUTION_MS,
+        cache_shared_scans=True,
+    )
+    r1, r2 = comp.compile(parse(dql))
+    (shared,) = comp._scan_memo.values()
+    assert shared.is_cached
+    try:
+        assert r1.df.count() > 0 and r2.df.count() > 0
+    finally:
+        shared.unpersist()
