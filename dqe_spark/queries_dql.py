@@ -361,3 +361,47 @@ def dql_group_by_2tags(spark, sf_dir):
         F.col("ts_ms").alias("wts"),
         F.col("value").alias("avg_value"),
     )
+
+
+# LAST + AGO timeframes end-to-end with a pinned clock (engine.run's
+# now_ms; wall-clock `now` evaluation src/dql_resolution.erl:242-244)
+@q(
+    "dql_last_pinned_now",
+    f"""
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+FROM (
+  SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
+  FROM events WHERE event_type = 'click'
+) WHERE ts_ms >= {JAN15} - 2 * 86400000 AND ts_ms < {JAN15}
+GROUP BY 1
+""",
+)
+def dql_last_pinned_now(spark, sf_dir):
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1h) LAST 2d",
+        sf_dir,
+        now_ms=JAN15,
+    )
+    return res.df.select("ts_ms", "value")
+
+
+@q(
+    "dql_between_ago",
+    f"""
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+FROM (
+  SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
+  FROM events WHERE event_type = 'click'
+) WHERE ts_ms >= {JAN15} - 5 * 86400000 AND ts_ms < {JAN15} - 86400000
+GROUP BY 1
+""",
+)
+def dql_between_ago(spark, sf_dir):
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1h) BETWEEN 5d AGO AND 1d AGO",
+        sf_dir,
+        now_ms=JAN15,
+    )
+    return res.df.select("ts_ms", "value")
