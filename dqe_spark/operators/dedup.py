@@ -242,3 +242,59 @@ def simhash_signatures(
         F.lit(0).cast("long"),
     )
     return agg.select(id_col, sig.alias("simhash"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets a cluster_id = the smallest doc id reachable through the
+    near-dup graph (singletons cluster with themselves). The keep-one-
+    per-cluster step of a dedup pipeline.
+
+    Distributed label propagation: each round every node adopts the
+    minimum label in its neighborhood (one join + one groupBy per
+    round), until a round changes nothing. Rounds needed = graph
+    diameter — near-dup clusters are shallow (pairs share a bucket),
+    so this converges in a handful of rounds; each round is a pair of
+    shuffles over the EDGE set only, never all-pairs. The driver-side
+    loop carries only the change count, no data.
+    """
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    edges = (
+        pairs.select(F.col("id_i").alias("a"), F.col("id_j").alias("b"))
+        .unionByName(pairs.select(F.col("id_j").alias("a"), F.col("id_i").alias("b")))
+        .distinct()
+        # materialize once — every propagation round joins the edge
+        # set; without this the (possibly expensive) pair-generation
+        # pipeline upstream would re-execute per round
+        .localCheckpoint(eager=True)
+    )
+    labels = ids.withColumn("lbl", F.col("id"))
+    prev_sum = None
+    while True:
+        neigh = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nl", "lbl")).alias("lbl"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)  # cut the growing lineage
+        # labels are monotone non-increasing, so Σlbl strictly drops
+        # until the fixpoint — convergence needs one tiny agg, no join
+        cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
+        labels = new
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

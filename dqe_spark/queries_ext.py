@@ -588,3 +588,44 @@ def rollup_p90_1h(spark, sf_dir):
 
     h = load_hist_rollup(spark, sf_dir, 60_000)
     return hist_rollup_percentile(h, 3_600_000, 0.9).select("metric", "wts", "value")
+
+
+@q(
+    "dedup_clusters",
+    _SIMHASH_CTE
+    + """
+, pairs AS (
+  SELECT a.doc_id AS id_i, b.doc_id AS id_j
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), nodes AS (
+  SELECT doc_id AS id FROM documents
+), edges AS (
+  SELECT id_i AS a, id_j AS b FROM pairs
+  UNION SELECT id_j, id_i FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+  ) SELECT * FROM r
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Cluster assignment over SimHash near-dup pairs: distributed
+    min-label propagation vs the oracle's recursive-CTE transitive
+    closure — the keep-one-per-cluster step of a dedup pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(d)
+    a = sig.select(F.col("doc_id").alias("id_i"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_j"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_i") < F.col("id_j"))
+        .where(ham <= 3)
+        .select("id_i", "id_j")
+    )
+    return dedup.dedup_clusters(d, pairs)
