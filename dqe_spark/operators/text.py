@@ -73,3 +73,20 @@ def annotate(df: DataFrame, col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+#: GPT-2-style pretokenizer pattern: contractions, letter runs, digit
+#: runs, punctuation runs, whitespace remnants — the standard BPE
+#: pre-split, minus the lookahead (unsupported in RE2/Java regex alike)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-pretokenizer segmentation (JVM-side regexp_extract_all)."""
+    return F.expr(
+        f"regexp_extract_all(text, \"{BPE_PATTERN}\", 0)"
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")

@@ -629,3 +629,25 @@ def dedup_clusters(spark, sf_dir):
         .select("id_i", "id_j")
     )
     return dedup.dedup_clusters(d, pairs)
+
+
+_BPE_SQL = (
+    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+)
+
+
+@q(
+    "text_bpe_tokens",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL}', 0)) AS n_bpe
+FROM documents
+""",
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-pretokenizer token counts (GPT-2-style pattern, no
+    lookahead) — both engines run the same RE2-compatible regex."""
+    from dqe_spark.operators.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe"))
