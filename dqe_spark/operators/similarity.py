@@ -195,3 +195,53 @@ def neardup_cosine_pairs(
     return pairs.select("id_i", "id_j", F.round(c, 6).alias("cos")).where(
         F.col("cos") >= threshold
     )
+
+
+def neardup_srp_pairs(
+    df: DataFrame,
+    threshold: float,
+    planes_matrix: list[list[int]],
+    bands: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed embedding near-duplicates — the scale path for
+    neardup_cosine_pairs: candidates are pairs sharing any signature
+    band (linear per bucket, never all-pairs), verified with exact
+    cosine ≥ threshold. Same recall/band calculus as knn_srp."""
+    planes = len(planes_matrix)
+    bits_per = planes // bands
+    mask = (1 << bits_per) - 1
+    sig = df.select(
+        F.col(id_col), F.col(vec), srp_signature(F.col(vec), planes_matrix).alias("__sig")
+    )
+    band_rows = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sig"), b * bits_per)
+                    .bitwiseAND(mask)
+                    .bitwiseOR(F.lit(b << 32))  # disambiguate band index
+                    for b in range(bands)
+                ]
+            )
+        ).alias("key"),
+    )
+    a = band_rows.select(F.col(id_col).alias("id_i"), "key")
+    b = band_rows.select(F.col(id_col).alias("id_j"), "key")
+    cand = (
+        a.join(b, "key")
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j")
+        .distinct()
+    )
+    vi = df.select(F.col(id_col).alias("id_i"), F.col(vec).alias("va"))
+    vj = df.select(F.col(id_col).alias("id_j"), F.col(vec).alias("vb"))
+    c = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(vi, "id_i")
+        .join(vj, "id_j")
+        .select("id_i", "id_j", F.round(c, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -651,3 +651,33 @@ def text_bpe_tokens(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe"))
+
+
+@q(
+    "neardup_srp",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0
+),
+s AS (SELECT vec_id, v, {_srp_sig_sql('v')} AS sig FROM e),
+bands AS (
+  SELECT vec_id, b.i AS band, (sig >> (4 * b.i)) & 15 AS key
+  FROM s, generate_series(0, 7) b(i)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_i, c.id_j, round({_COS}, 6) AS cos
+FROM cand c
+JOIN e a ON a.vec_id = c.id_i
+JOIN e b ON b.vec_id = c.id_j
+WHERE round({_COS}, 6) >= 0.2
+""",
+)
+def neardup_srp(spark, sf_dir):
+    """LSH-bucketed near-dup over embeddings (candidates from shared
+    signature bands, exact cosine verification)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    return similarity.neardup_srp_pairs(e, 0.2, _SRP_PLANES, bands=8)
