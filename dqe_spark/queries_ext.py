@@ -681,3 +681,21 @@ def neardup_srp(spark, sf_dir):
     signature bands, exact cosine verification)."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     return similarity.neardup_srp_pairs(e, 0.2, _SRP_PLANES, bands=8)
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) % 240 + 1 AS n_frames
+  FROM documents
+)
+SELECT doc_id, unnest(range(0, n_frames, 30)) AS frame_idx
+FROM b
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: per-row frame index explosion
+    (deterministic stub in place of ffmpeg keyframe extraction)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample_stub(multimodal.to_binary_table(d))
