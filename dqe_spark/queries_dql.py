@@ -405,3 +405,44 @@ def dql_between_ago(spark, sf_dir):
         now_ms=JAN15,
     )
     return res.df.select("ts_ms", "value")
+
+
+# ISO date-literal timeframes (parsed at plan time like qdate does at
+# lex time in the reference, src/dql_parser.yrl:319)
+@q(
+    "dql_iso_dates",
+    """
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+FROM (
+  SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
+  FROM events WHERE event_type = 'click'
+) WHERE ts_ms >= 1704412800000 AND ts_ms < 1704672000000
+GROUP BY 1
+""",
+)
+def dql_iso_dates(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1h) "
+        'BETWEEN "2024-01-05" AND "2024-01-08"',
+        sf_dir,
+    )
+    return df.select("ts_ms", "value")
+
+
+@q(
+    "dql_confidence",
+    """
+SELECT 'events.' || event_type AS metric,
+       epoch_ns(ts) // 1000000 AS ts_ms,
+       (event_id % 11) / 10.0 AS value
+FROM events WHERE event_type = 'click'
+""",
+)
+def dql_confidence(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT confidence('events'.'click' BUCKET 'events') BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", "ts_ms", "value")
