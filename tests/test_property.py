@@ -127,3 +127,29 @@ def test_everything_plans(spark):
             assert "multiple" in str(e)
 
     inner()
+
+
+@given(selects())
+@settings(max_examples=200, deadline=None)
+def test_unparse_roundtrip(case):
+    """The reference's prop_query_parse_unparse
+    (eqc/qry_parser_eqc.erl:11-26): unparsing a parsed statement and
+    re-parsing yields the same AST."""
+    from dqe_spark.dql.compiler import unparse
+
+    txt, expected = case
+    ast = parse(txt)
+    rebuilt = "SELECT " + ", ".join(unparse(s) for s in ast.stmts)
+    # unparse covers statements; re-render the timeframe from the AST
+    from dqe_spark.dql import ast as A
+
+    tf = ast.timeframe
+    if isinstance(tf, A.Last):
+        tf_s = f"LAST {tf.t.n}{tf.t.unit}"
+    elif isinstance(tf, A.Between):
+        tf_s = f"BETWEEN {tf.a} AND {tf.b}"
+    elif isinstance(tf, A.After):
+        tf_s = f"AFTER {tf.pit} FOR {tf.dur.n}{tf.dur.unit}"
+    else:
+        tf_s = f"BEFORE {tf.pit} FOR {tf.dur.n}{tf.dur.unit}"
+    assert parse(rebuilt + " " + tf_s) == expected
