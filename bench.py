@@ -50,6 +50,9 @@ EXT_HEADLINE = [
     "ord_daily_count",
     "dql_avg_1m",
     "rollup_avg_1h",
+    "rollup_p90_1h",
+    "asof_error_click",
+    "sessionize_clicks",
 ]
 
 
@@ -67,6 +70,7 @@ def main() -> None:
 
     store.ingest(spark, SF_DIR)
     rollup.build_rollup(spark, SF_DIR, 60_000)
+    rollup.build_hist_rollup(spark, SF_DIR, 60_000)
 
     # warmup: JVM + whole-stage codegen + parquet footer reads, plus
     # the Arrow python-worker pool (first pandas UDF pays its startup)
