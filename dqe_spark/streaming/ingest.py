@@ -123,3 +123,27 @@ def stream_rollup_partials(
             "sum_conf",
         )
     )
+
+
+def stream_sessions(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization on Spark's native session_window:
+    per-key gap-merged sessions with watermark-bounded state — the
+    streaming twin of operators/temporal.sessionize (same gap
+    semantics; a drained stream yields the same sessions). Output
+    (key, session_start, session_end, n_events) in ms."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.unix_millis(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )

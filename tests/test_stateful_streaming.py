@@ -104,3 +104,56 @@ def test_derivate_matches_batch_operator(spark, tmpdirs):
     a = {(r["metric"], r["ts_ms"], r["value"]) for r in got.collect()}
     b = {(r["metric"], r["ts_ms"], r["value"]) for r in expect.collect()}
     assert a == b
+
+
+def test_stream_sessions_match_batch(spark, tmpdirs):
+    """Drained native session_window stream == batch gap sessionize
+    (same gap); session ids aside, the (key, start, count) sets agree."""
+    from dqe_spark.operators.temporal import sessionize
+    from dqe_spark.streaming.ingest import stream_sessions
+
+    landing, out, ckpt = tmpdirs
+    rows = (
+        [("u1", 1000 * i) for i in range(1, 20)]
+        + [("u1", 10_000_000 + 1000 * i) for i in range(5)]
+        + [("u2", 500_000), ("u2", 500_500), ("u2", 99_000_000)]
+    )
+    _write_batch(
+        spark,
+        landing,
+        [(k, t, 0.0) for k, t in rows],
+    )
+    src = (
+        spark.readStream.schema("metric string, ts_ms long, value double")
+        .parquet(str(landing))
+        .select(
+            F.col("metric").alias("user"),
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        )
+    )
+    q = (
+        stream_sessions(src, key="user", ts="ts", gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user"], r["session_start"], r["n_events"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+    batch = spark.createDataFrame(rows, "user string, ts_ms long")
+    want = {
+        (r["user"], r["session_start"], r["n_events"])
+        for r in sessionize(batch, key="user", gap_ms=1_800_000).collect()
+    }
+    # append mode can't close a session still inside the watermark at
+    # stream end — only the tail session may be absent (backfill owns it)
+    assert got and got <= want
+    max_ts = max(t for _, t in rows)
+    horizon = max_ts - 3_600_000 - 1_800_000
+    assert all(start >= horizon for _, start, _ in want - got)
