@@ -59,6 +59,9 @@ class SeriesFrame:
     scan_bucket: str | None = None
     scan_pred: Column | None = None  # metric predicate (portable F.col expr)
     scan_range: tuple[int, int] | None = None
+    # True when the frame may hold >1 series (glob / ALL lookup):
+    # ordered fold combinators reject such inputs at plan time
+    maybe_multi: bool = False
 
 
 @dataclass
@@ -420,6 +423,8 @@ class Compiler:
             scan_bucket=bucket,
             scan_pred=pred,
             scan_range=(start, end),
+            maybe_multi=isinstance(node, A.SGet)
+            or (isinstance(node, A.Lookup) and node.parts is None),
         )
 
     def _where_col(self, w) -> Column:
@@ -533,7 +538,9 @@ class Compiler:
 
         # combinators: N series inputs (src/dqe.erl:103-111)
         if len(series) >= 2:
-            if name not in COMBINE:
+            if name not in COMBINE or consts:
+                # no overload mixes multiple series with constants
+                # (src/dql_resolver.erl:77-108 would report not_found)
                 raise PlanError(
                 f"function not found: {name}/{len(node.inputs)}",
                 "not_found_fun", name, len(node.inputs),
@@ -545,10 +552,36 @@ class Compiler:
                     "resolution_conflict: combinator inputs differ",
                     "resolution_conflict",
                 )
+            if name in ("diff", "quotient") and any(
+                fr.maybe_multi for fr in frames
+            ):
+                # ordered folds are defined over single series; a glob /
+                # ALL input would cross-product rows at equal ts. The
+                # commutative combinators fold all matched series
+                # point-wise (union+groupBy), which IS the reference's
+                # expanded-list behavior.
+                raise PlanError(
+                    f"{name} requires single-series inputs; aggregate or "
+                    "GROUP BY the multi-series selector first"
+                )
             dfs = [fr.df.select("ts_ms", "value") for fr in frames]
             out = COMBINE[name](dfs, ts="ts_ms", v="value")
+            # combined confidence = mean of the inputs' per-point
+            # confidences (consistent with the windowed aggregates'
+            # confidence handling; the reference's mmath combines the
+            # channel in C — we define and document the mean)
+            from functools import reduce as _reduce
+
+            conf = (
+                _reduce(
+                    lambda a, b: a.unionByName(b),
+                    [fr.df.select("ts_ms", "confidence") for fr in frames],
+                )
+                .groupBy("ts_ms")
+                .agg(F.avg("confidence").alias("confidence"))
+            )
             return SeriesFrame(
-                df=out.withColumn("confidence", F.lit(1.0)),
+                df=out.join(conf, "ts_ms", "left"),
                 keys=(),
                 res_ms=res.pop(),
                 label=unparse(node),
@@ -610,6 +643,11 @@ class Compiler:
             p = consts[0]
             if isinstance(p, int):
                 p = p * 0.5  # reference quirk: src/dqe_percentile_aggr.erl:15-16
+            if not 0.0 <= float(p) <= 1.0:
+                raise PlanError(
+                    f"percentile {consts[0]!r} out of range: needs 0..1 "
+                    "(integer arguments are halved per the reference quirk)"
+                )
             agg = W.agg_percentile(vcol, float(p))
         elif base in AGGR_THRESHOLD and len(consts) == 2:
             agg = AGGR_THRESHOLD[base](vcol, float(consts[0]))
@@ -624,7 +662,7 @@ class Compiler:
             .withColumnRenamed("wts", "ts_ms")
         )
         return SeriesFrame(df, sub.keys, wms, unparse(node), has_dims=False,
-                           hist_window_ms=None)
+                           hist_window_ms=None, maybe_multi=sub.maybe_multi)
 
     def _try_rollup(
         self, sub: SeriesFrame, name: str, consts, node, wms: int
@@ -687,7 +725,8 @@ class Compiler:
                     .withColumnRenamed("wts2", "ts_ms")
                 )
                 return SeriesFrame(
-                    df, ("metric",), wms, unparse(node), has_dims=False
+                    df, ("metric",), wms, unparse(node), has_dims=False,
+                    maybe_multi=sub.maybe_multi,
                 )
         return None
 
@@ -703,6 +742,11 @@ class Compiler:
             p = consts[0]
             if isinstance(p, int):
                 p = p * 0.5  # reference quirk: src/dqe_percentile_aggr.erl:15-16
+            if not 0.0 <= float(p) <= 1.0:
+                raise PlanError(
+                    f"percentile {consts[0]!r} out of range: needs 0..1 "
+                    "(integer arguments are halved per the reference quirk)"
+                )
         else:
             p = 0.5
         start, end = sub.scan_range
@@ -728,7 +772,10 @@ class Compiler:
             .withColumnRenamed("wts2", "wts")
         )
         df = val.join(conf, ["metric", "wts"]).withColumnRenamed("wts", "ts_ms")
-        return SeriesFrame(df, ("metric",), wms, unparse(node), has_dims=False)
+        return SeriesFrame(
+            df, ("metric",), wms, unparse(node), has_dims=False,
+            maybe_multi=sub.maybe_multi,
+        )
 
     def _transform(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:
         if name == "derivate" and not consts:

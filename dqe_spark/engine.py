@@ -125,6 +125,7 @@ def collect(
     sf_dir: str,
     now_ms: int | None = None,
     timeout_s: float | None = None,
+    use_rollups: bool = False,
 ) -> list[tuple[Result, list]]:
     """Materialize every statement — the reference's dqe:run/2 shape:
     plan, execute, funnel, with an optional query timeout and the
@@ -133,7 +134,7 @@ def collect(
     The timeout runs the collects in a worker thread under a dedicated
     job group; on expiry the group's Spark jobs are cancelled
     driver-side before raising, so no executor work leaks."""
-    results = plan(spark, dql, sf_dir, now_ms)
+    results = plan(spark, dql, sf_dir, now_ms, use_rollups)
     if timeout_s is None:
         out = [(r, r.df.collect()) for r in results]
     else:

@@ -67,7 +67,14 @@ def asof_join(
     )
     u = u.withColumn("__asof", F.last("__rv", ignorenulls=True).over(w)).withColumn(
         "__asof_ts",
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w),
+        # track the ts of the row that supplied __asof: only right rows
+        # with a NON-NULL value — otherwise a null-valued right row
+        # advances asof_ts past the value actually returned, reporting
+        # a mismatched pair and defeating the staleness tolerance
+        F.last(
+            F.when((F.col("__side") == 0) & F.col("__rv").isNotNull(), F.col("__ts")),
+            ignorenulls=True,
+        ).over(w),
     )
     res = u.where(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
@@ -91,12 +98,14 @@ def sessionize(
     gap_ms: int = 1_800_000,
 ) -> DataFrame:
     """Gap-based sessions per key: a new session starts when the time
-    since the previous row exceeds `gap_ms`. Returns one row per
-    session: (key, session_id, session_start, session_end, n_events)
-    with session_id numbered 1..N per key in time order."""
+    since the previous row reaches `gap_ms` (strictly-less-than keeps a
+    session alive — the same boundary Spark's native session_window
+    uses, so the streaming twin agrees on exact-gap spacing). Returns
+    one row per session: (key, session_id, session_start, session_end,
+    n_events) with session_id numbered 1..N per key in time order."""
     w = Window.partitionBy(key).orderBy(ts)
     gap = F.col(ts) - F.lag(ts).over(w)
-    boundary = F.when(gap.isNull() | (gap > gap_ms), 1).otherwise(0)
+    boundary = F.when(gap.isNull() | (gap >= gap_ms), 1).otherwise(0)
     with_sid = df.withColumn(
         "session_id",
         F.sum(boundary).over(

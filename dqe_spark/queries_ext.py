@@ -525,7 +525,7 @@ WITH ev AS (
 ), x AS (
   SELECT user_id, ts_ms,
          CASE WHEN lag(ts_ms) OVER w IS NULL
-                   OR ts_ms - lag(ts_ms) OVER w > 3600000
+                   OR ts_ms - lag(ts_ms) OVER w >= 3600000
               THEN 1 ELSE 0 END AS b
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
 ), s AS (

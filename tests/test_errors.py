@@ -88,3 +88,55 @@ def test_explain_dry_run(spark):
         use_rollups=True,
     )
     assert "rollup_" in next(iter(ru.values()))
+
+
+def test_percentile_out_of_range(spark):
+    # int 90 → 45.0 after the reference's halving quirk: plan-time error,
+    # not a runtime Spark failure
+    with pytest.raises(PlanError, match="out of range"):
+        engine.run(
+            spark,
+            f"SELECT percentile('events'.'click' BUCKET 'events', 90, 1h) "
+            f"BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+
+
+def test_combinator_rejects_consts_and_multiseries(spark):
+    # two series + a window constant: no such overload
+    with pytest.raises(PlanError, match="function not found"):
+        engine.run(
+            spark,
+            "SELECT avg('events'.'click' BUCKET 'events', "
+            f"'events'.'view' BUCKET 'events', 5m) BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+    # ordered fold over a glob (multi-series) input: plan-time rejection
+    with pytest.raises(PlanError, match="single-series"):
+        engine.run(
+            spark,
+            "SELECT avg('events'.* BUCKET 'events', 1m) / "
+            f"avg('events'.'click' BUCKET 'events', 1m) BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+
+
+def test_combinator_confidence_is_mean(spark):
+    from pyspark.sql import functions as F
+
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1h) + "
+        f"avg('events'.'view' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    # confidence() over the combined frame sees real values, not 1.0
+    (res2,) = engine.run(
+        spark,
+        "SELECT confidence(avg('events'.'click' BUCKET 'events', 1h) + "
+        f"avg('events'.'view' BUCKET 'events', 1h)) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    vals = [r["value"] for r in res2.df.collect()]
+    assert vals and any(v != 1.0 for v in vals)
+    assert all(v is None or 0.0 <= v <= 1.0 for v in vals)

@@ -81,7 +81,7 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
     for k, ts in by_key.items():
         sid, start, prev, n = 0, None, None, 0
         for t in ts:
-            if prev is None or t - prev > gap:
+            if prev is None or t - prev >= gap:
                 if start is not None:
                     want[(k, sid)] = (start, prev, n)
                 sid, start, n = sid + 1, t, 0
