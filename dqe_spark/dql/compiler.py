@@ -261,6 +261,15 @@ class Compiler:
         self.cache_shared_scans = cache_shared_scans
         self._scan_memo: dict[tuple, DataFrame] = {}
 
+    def unpersist_shared(self) -> None:
+        """Release any scan caches created by cache_shared_scans.
+        Long-lived services should call this after consuming a query's
+        results — Spark's LRU eviction is the only other bound."""
+        for df in self._scan_memo.values():
+            if df.is_cached:
+                df.unpersist()
+        self._scan_memo.clear()
+
     # -- public --------------------------------------------------------------
 
     def compile(self, sel: A.Select) -> list[Result]:

@@ -55,4 +55,8 @@ _default = FunctionRegistry()
 
 
 def default_registry() -> FunctionRegistry:
+    """The process-global registry — deliberately shared, like the
+    reference's ``dqe_fun:reg`` which registers into one global table
+    (src/dqe.erl:121-122). Callers needing isolation construct their
+    own FunctionRegistry and pass it to Compiler(registry=...)."""
     return _default

@@ -241,4 +241,5 @@ def test_shared_scan_cse(spark):
     try:
         assert r1.df.count() > 0 and r2.df.count() > 0
     finally:
-        shared.unpersist()
+        comp.unpersist_shared()
+    assert not comp._scan_memo
