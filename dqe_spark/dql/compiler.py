@@ -703,6 +703,8 @@ class Compiler:
             ):
                 if quantile:
                     return self._quantile_from_hist(sub, name, consts, node, wms, res)
+                from dqe_spark.sources.rollup import partial_value_expr, rewindow
+
                 r = self.rollups[res].where(
                     (F.col("bucket") == sub.scan_bucket)
                     & (F.col("wts") >= start)
@@ -710,20 +712,9 @@ class Compiler:
                 )
                 if sub.scan_pred is not None:
                     r = r.where(sub.scan_pred)
-                n = F.sum("cnt")
-                sx = F.sum("sum").cast("double")
-                sxx = F.sum("sum_sq").cast("double")
-                var = F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))
-                value = {
-                    "sum": sx,
-                    "avg": sx / n,
-                    "min": F.min("min"),
-                    "max": F.max("max"),
-                    "variance": var,
-                    "stddev": F.sqrt(var),
-                }[name]
+                value = partial_value_expr(name)
                 df = (
-                    r.withColumn("wts2", (F.col("wts") - F.col("wts") % wms))
+                    r.withColumn("wts2", rewindow(wms))
                     .groupBy("metric", "wts2")
                     .agg(
                         W.rounded(value).alias("value"),

@@ -163,6 +163,38 @@ def load_rollup(spark: SparkSession, sf_dir: str, res_ms: int = 60_000) -> DataF
     return spark.read.parquet(str(p))
 
 
+def partial_value_expr(agg: str) -> Column:
+    """The merged-partials aggregate expression for one §2.4 window
+    aggregate — the SINGLE definition of the partials algebra, shared
+    by rollup_window_agg and the DQL compiler's rollup rewrite.
+
+    Sums divide as double AFTER the exact decimal accumulation, so
+    both engines perform one identical float division. Variance is the
+    population form from exact Σx/Σx² (matches var_pop), clamped at
+    zero because the final float subtraction can dip a hair negative
+    on near-constant windows."""
+    if not supports(agg):
+        raise ValueError(f"aggregate {agg!r} is not distributive over rollups")
+    n = F.sum("cnt")
+    sx = F.sum("sum").cast("double")
+    sxx = F.sum("sum_sq").cast("double")
+    var = F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))
+    return {
+        "sum": sx,
+        "count": n.cast("double"),
+        "avg": sx / n,
+        "min": F.min("min"),
+        "max": F.max("max"),
+        "variance": var,
+        "stddev": F.sqrt(var),
+    }[agg]
+
+
+def rewindow(window_ms: int, wts: str = "wts") -> Column:
+    """Coarser window-start column over rollup rows."""
+    return F.col(wts) - (F.col(wts) % F.lit(window_ms))
+
+
 def rollup_window_agg(
     rollup: DataFrame,
     window_ms: int,
@@ -175,35 +207,16 @@ def rollup_window_agg(
     window must be a multiple of the rollup resolution — the planner
     picks the coarsest rollup that divides the window and falls back to
     raw points otherwise."""
-    if not supports(agg):
-        raise ValueError(f"aggregate {agg!r} is not distributive over rollups")
     if window_ms % rollup_res_ms != 0:
         raise ValueError(
             f"window {window_ms}ms is not a multiple of rollup {rollup_res_ms}ms"
         )
-    wts = (F.col("wts") - (F.col("wts") % F.lit(window_ms))).alias("wts2")
     g = rollup.select(
-        "bucket", "metric", wts, "cnt", "sum", "sum_sq", "min", "max"
+        "bucket", "metric", rewindow(window_ms).alias("wts2"),
+        "cnt", "sum", "sum_sq", "min", "max",
     ).groupBy("bucket", "metric", "wts2")
-    n = F.sum("cnt")
-    sx = F.sum("sum").cast("double")
-    sxx = F.sum("sum_sq").cast("double")
-    exprs = {
-        "sum": F.sum("sum").cast("double"),
-        "count": F.sum("cnt").cast("double"),
-        # divide as double AFTER the exact decimal sum: both engines
-        # then perform one identical float division
-        "avg": F.sum("sum").cast("double") / F.sum("cnt"),
-        "min": F.min("min"),
-        "max": F.max("max"),
-        # population variance from exact partial sums (matches var_pop)
-        # clamp: exact partials can still yield a tiny negative from
-        # the final float subtraction on near-constant windows
-        "variance": F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0)),
-        "stddev": F.sqrt(F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))),
-    }
     return (
-        g.agg(F.round(exprs[agg], ndigits).alias(out))
+        g.agg(F.round(partial_value_expr(agg), ndigits).alias(out))
         .withColumnRenamed("wts2", "wts")
     )
 
