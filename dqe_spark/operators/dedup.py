@@ -298,3 +298,50 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with hamming distance ≤
+    max_hamming, via EXACT banded candidate generation: with
+    bands > max_hamming, the pigeonhole principle guarantees any pair
+    within distance max_hamming agrees on at least one band — banding
+    loses nothing, and the all-pairs cross join becomes an equi-join
+    linear in docs per bucket. Output (id_i, id_j, hamming)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the banded candidates to be exact"
+        )
+    bits_per = SIMHASH_BITS // bands
+    mask = (1 << bits_per) - 1
+    sig = simhash_signatures(df, col, id_col)
+    lf = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * bits_per)
+                    .bitwiseAND(mask)
+                    .bitwiseOR(F.lit(b << 40))  # disambiguate band index
+                    for b in range(bands)
+                ]
+            )
+        ).alias("key"),
+    )
+    a = lf.select(F.col(id_col).alias("id_i"), F.col("simhash").alias("sa"), "key")
+    b = lf.select(F.col(id_col).alias("id_j"), F.col("simhash").alias("sb"), "key")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        a.join(b, "key")
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

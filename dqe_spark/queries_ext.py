@@ -275,20 +275,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
 )
 def dedup_simhash_neardup(spark, sf_dir):
-    """SimHash near-duplicate pairs: hamming distance ≤ 3 over 32-bit
-    signatures. At corpus scale, candidates come from banding the
-    signature (4×8-bit bands, pigeonhole: hamming ≤ 3 ⇒ one band
-    equal) — here the corpus is small enough for the exact self-join."""
-    sig = dedup.simhash_signatures(load_table(spark, sf_dir, "documents"))
-    a = sig.select(F.col("doc_id").alias("id_i"), F.col("simhash").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("id_j"), F.col("simhash").alias("sb"))
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_i") < F.col("id_j"))
-        .select("id_i", "id_j", ham.cast("long").alias("hamming"))
-        .where(F.col("hamming") <= 3)
-    )
+    """SimHash near-duplicate pairs, hamming ≤ 3 over 32-bit
+    signatures — banded candidate generation (4×8-bit bands;
+    pigeonhole makes it EXACT at this distance), never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(d, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -618,16 +609,7 @@ def dedup_clusters(spark, sf_dir):
     min-label propagation vs the oracle's recursive-CTE transitive
     closure — the keep-one-per-cluster step of a dedup pipeline."""
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.simhash_signatures(d)
-    a = sig.select(F.col("doc_id").alias("id_i"), F.col("simhash").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("id_j"), F.col("simhash").alias("sb"))
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("id_i") < F.col("id_j"))
-        .where(ham <= 3)
-        .select("id_i", "id_j")
-    )
+    pairs = dedup.simhash_neardup_pairs(d, max_hamming=3).select("id_i", "id_j")
     return dedup.dedup_clusters(d, pairs)
 
 
