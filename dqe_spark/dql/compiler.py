@@ -848,7 +848,8 @@ class Compiler:
         if fun not in AGGR_PLAIN:
             raise PlanError(f"unknown limit function: {fun}")
         score = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
-                 "variance": F.var_pop, "stddev": F.stddev_pop}.get(fun)
+                 "variance": F.var_pop, "stddev": F.stddev_pop,
+                 "median": lambda c: F.percentile(c, F.lit(0.5))}.get(fun)
         if score is None:
             raise PlanError(f"limit BY {fun} unsupported")
         out = []
