@@ -446,3 +446,28 @@ def dql_confidence(spark, sf_dir):
         sf_dir,
     )
     return df.select("metric", "ts_ms", "value")
+
+
+@q(
+    "dql_top1_median",
+    _P
+    + """
+, w AS (
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, round(avg(value), 4) AS value
+  FROM metrics GROUP BY 1, 2
+), winner AS (
+  SELECT metric FROM w GROUP BY metric
+  ORDER BY quantile_cont(value, 0.5) DESC, metric ASC LIMIT 1
+)
+SELECT w.metric AS metric, w.wts AS wts, w.value AS value
+FROM w WHERE w.metric IN (SELECT metric FROM winner)
+""",
+)
+def dql_top1_median(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1} "
+        "TOP 1 BY median",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), "value")

@@ -89,3 +89,72 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
             prev = t
         want[(k, sid)] = (start, prev, n)
     assert got == want
+
+
+points = st.lists(
+    st.tuples(
+        st.sampled_from(["m1", "m2"]),
+        st.integers(0, 120).map(lambda x: x * 60_000),  # 1m-aligned ts
+        st.integers(-10000, 10000).map(lambda x: x / 100),  # 2-decimal
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_slow
+@given(pts=points)
+def test_rollup_partials_match_raw(spark, pts):
+    """Partials built at 1m then re-aggregated to 1h must equal direct
+    window aggregates over the raw points, for every distributive
+    aggregate — randomized values/gaps/duplicates."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.sources.rollup import partial_value_expr, rewindow
+
+    df = spark.createDataFrame(pts, "metric string, ts_ms long, value double")
+    partials = (
+        df.withColumn("wts", F.col("ts_ms") - F.col("ts_ms") % 60_000)
+        .groupBy("metric", "wts")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum"),
+            F.sum(
+                F.col("value").cast("decimal(18,2)")
+                * F.col("value").cast("decimal(18,2)")
+            ).alias("sum_sq"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+    )
+    for agg, raw in {
+        "sum": F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4),
+        "avg": F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value"),
+            4,
+        ),
+        "min": F.round(F.min("value"), 4),
+        "max": F.round(F.max("value"), 4),
+        "variance": F.round(F.var_pop("value"), 3),
+        "stddev": F.round(F.stddev_pop("value"), 3),
+    }.items():
+        got = {
+            (r["metric"], r["w2"], r["v"])
+            for r in partials.groupBy(
+                "metric", rewindow(3_600_000).alias("w2")
+            )
+            .agg(
+                F.round(partial_value_expr(agg), 3 if agg in ("variance", "stddev") else 4).alias("v")
+            )
+            .collect()
+        }
+        want = {
+            (r["metric"], r["w2"], r["v"])
+            for r in df.groupBy(
+                "metric", (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("w2")
+            )
+            .agg(raw.alias("v"))
+            .collect()
+        }
+        assert got == want, agg
