@@ -762,9 +762,11 @@ class Compiler:
         val = hist_rollup_percentile(
             scoped(self.hist_rollups[res]), wms, float(p), rollup_res_ms=res
         ).select("metric", "wts", "value")
+        from dqe_spark.sources.rollup import rewindow as _rw
+
         conf = (
             scoped(self.rollups[res])
-            .withColumn("wts2", (F.col("wts") - F.col("wts") % wms))
+            .withColumn("wts2", _rw(wms))
             .groupBy("metric", "wts2")
             .agg(
                 (F.sum("sum_conf").cast("double") / F.sum("cnt")).alias("confidence")

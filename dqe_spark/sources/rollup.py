@@ -307,9 +307,8 @@ def hist_rollup_percentile(
         raise ValueError(
             f"window {window_ms}ms is not a multiple of rollup {rollup_res_ms}ms"
         )
-    w2 = (F.col("wts") - (F.col("wts") % F.lit(window_ms))).alias("w2")
     c = (
-        hist.select("bucket", "metric", w2, "v100", "cnt")
+        hist.select("bucket", "metric", rewindow(window_ms).alias("w2"), "v100", "cnt")
         .groupBy("bucket", "metric", "w2", "v100")
         .agg(F.sum("cnt").alias("cnt"))
     )
