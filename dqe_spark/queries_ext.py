@@ -681,3 +681,41 @@ def multimodal_frame_sample(spark, sf_dir):
     (deterministic stub in place of ffmpeg keyframe extraction)."""
     d = load_table(spark, sf_dir, "documents")
     return multimodal.frame_sample_stub(multimodal.to_binary_table(d))
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (operators/downsample.py): the error-free
+# visualization reduction — per (series, pixel bucket) keep the rows
+# at first/last ts and min/max value.
+# ---------------------------------------------------------------------------
+
+_M4_START, _M4_END, _M4_W = 1704067200000, 1706745600000, 400
+
+
+@q(
+    "m4_downsample",
+    _P
+    + f"""
+, pts AS (
+  SELECT metric,
+         CAST(floor((ts_ms - {_M4_START}) * {_M4_W} / {_M4_END - _M4_START}) AS BIGINT) AS bucket,
+         ts_ms, value
+  FROM metrics
+  WHERE metric = 'events.click' AND ts_ms >= {_M4_START} AND ts_ms < {_M4_END}
+), ext AS (
+  SELECT metric, bucket, min(ts_ms) AS t_first, max(ts_ms) AS t_last,
+         min(value) AS v_min, max(value) AS v_max
+  FROM pts GROUP BY 1, 2
+)
+SELECT DISTINCT p.metric, p.bucket, p.ts_ms, p.value
+FROM pts p JOIN ext e USING (metric, bucket)
+WHERE p.ts_ms = e.t_first OR p.ts_ms = e.t_last
+   OR p.value = e.v_min OR p.value = e.v_max
+""",
+)
+def m4_downsample(spark, sf_dir):
+    from dqe_spark.operators.downsample import m4_downsample as m4
+    from dqe_spark.sources.metric_store import load_metrics
+
+    m = load_metrics(spark, sf_dir).where(F.col("metric") == "events.click")
+    return m4(m, _M4_START, _M4_END, _M4_W)
