@@ -646,6 +646,17 @@ class Compiler:
             return rewritten
         if base in self.registry.aggregates and len(consts) == 1:
             agg = self.registry.aggregates[base](vcol)
+        elif (
+            base in ("variance", "stddev")
+            and len(consts) == 1
+            and sub.pristine
+            and vcol == "value"
+        ):
+            # pristine scan → store values are fixed 2-decimal: use the
+            # exact-decimal algebra so the answer is bit-identical to the
+            # rollup-partials path (windows.agg_variance_exact docstring)
+            agg = (W.agg_variance_exact if base == "variance"
+                   else W.agg_stddev_exact)(vcol)
         elif base in AGGR_PLAIN and len(consts) == 1:
             agg = AGGR_PLAIN[base](vcol)
         elif base == "percentile" and len(consts) == 2:

@@ -71,6 +71,39 @@ def agg_stddev(v: str) -> Column:  # src/dqe_stddev_aggr.erl:27-31
     return rounded(F.stddev_pop(v))
 
 
+def _var_exact(v: str) -> Column:
+    """Population variance for FIXED 2-DECIMAL inputs, computed as
+    `(n·Σx² − (Σx)²) / n²` with the numerator in exact DECIMAL and a
+    single float division at the end. The naive `Σx²/n − (Σx/n)²` in
+    double cancels catastrophically (one large value among zeros flips
+    the 3rd decimal vs the true value); this form is exact up to one
+    correctly-rounded IEEE division, so the raw scan and the rollup-
+    partials path (sources/rollup.py partial_value_expr) produce
+    BIT-IDENTICAL answers. Decimal widths keep every intermediate at
+    precision ≤ 38 (no Spark precision-loss rounding): (17,2)² → (35,4),
+    (12,0)·(22,4) → (35,4), difference → (36,4)."""
+    d = F.col(v).cast("decimal(18,2)")
+    n = F.count(v)
+    sx = F.sum(d).cast("decimal(17,2)")
+    sxx = F.sum(d * d).cast("decimal(22,4)")
+    numer = n.cast("decimal(12,0)") * sxx - sx * sx
+    return F.greatest(
+        numer.cast("double") / (n.cast("double") * n.cast("double")), F.lit(0.0)
+    )
+
+
+def agg_variance_exact(v: str) -> Column:
+    """Exact-decimal variance — only valid when `v` holds 2-decimal
+    fixed-point values (the raw metric store); the compiler selects it
+    for pristine scans so rollup-answered and raw-answered queries
+    can never disagree."""
+    return rounded(_var_exact(v))
+
+
+def agg_stddev_exact(v: str) -> Column:
+    return rounded(F.sqrt(_var_exact(v)))
+
+
 def agg_median(v: str) -> Column:  # src/dqe_median_aggr.erl:27-31
     return agg_percentile(v, 0.5)
 

@@ -545,12 +545,17 @@ def sessionize_clicks(spark, sf_dir):
     "rollup_stddev_1h",
     _P
     + """
-SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+SELECT metric, wts,
        round(sqrt(greatest(0.0,
-         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
-         - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 2)
+         CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
        )), 4) AS value
-FROM metrics GROUP BY 1, 2
+FROM (
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+         count(*) AS n,
+         sum(CAST(round(value * 100) AS HUGEINT)) AS sx,
+         sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT)) AS sxx
+  FROM metrics GROUP BY 1, 2
+)
 """,
 )
 def rollup_stddev_1h(spark, sf_dir):

@@ -32,8 +32,10 @@ from dqe_spark.operators.windows import (
     agg_min,
     agg_percentile,
     agg_stddev,
+    agg_stddev_exact,
     agg_sum,
     agg_variance,
+    agg_variance_exact,
     rounded,
     window_agg,
     wts_col,
@@ -223,17 +225,26 @@ def aggr_max_5m(spark, sf_dir):
     return _one_series_window(spark, sf_dir, agg_max("value"), "max_value", 5 * MIN_MS)
 
 
-@q("aggr_variance_5m", _agg_oracle("round(var_pop(value), 4)", "var_value", 5 * MIN_MS))
+# DuckDB replay of windows._var_exact: exact HUGEINT numerator over
+# v·100 ints, then the same two correctly-rounded float divisions
+# (/10⁴ then /n²) the Spark side performs — bit-identical doubles.
+_VAR_EXACT = """greatest(0.0,
+  CAST(count(value) * sum(CAST(round(value*100) AS HUGEINT) * CAST(round(value*100) AS HUGEINT))
+       - sum(CAST(round(value*100) AS HUGEINT)) * sum(CAST(round(value*100) AS HUGEINT)) AS DOUBLE)
+  / 10000.0 / (CAST(count(value) AS DOUBLE) * CAST(count(value) AS DOUBLE)))"""
+
+
+@q("aggr_variance_5m", _agg_oracle(f"round({_VAR_EXACT}, 4)", "var_value", 5 * MIN_MS))
 def aggr_variance_5m(spark, sf_dir):
     return _one_series_window(
-        spark, sf_dir, agg_variance("value"), "var_value", 5 * MIN_MS
+        spark, sf_dir, agg_variance_exact("value"), "var_value", 5 * MIN_MS
     )
 
 
-@q("aggr_stddev_5m", _agg_oracle("round(stddev_pop(value), 4)", "sd_value", 5 * MIN_MS))
+@q("aggr_stddev_5m", _agg_oracle(f"round(sqrt({_VAR_EXACT}), 4)", "sd_value", 5 * MIN_MS))
 def aggr_stddev_5m(spark, sf_dir):
     return _one_series_window(
-        spark, sf_dir, agg_stddev("value"), "sd_value", 5 * MIN_MS
+        spark, sf_dir, agg_stddev_exact("value"), "sd_value", 5 * MIN_MS
     )
 
 

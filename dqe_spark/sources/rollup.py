@@ -169,16 +169,27 @@ def partial_value_expr(agg: str) -> Column:
     by rollup_window_agg and the DQL compiler's rollup rewrite.
 
     Sums divide as double AFTER the exact decimal accumulation, so
-    both engines perform one identical float division. Variance is the
-    population form from exact Σx/Σx² (matches var_pop), clamped at
-    zero because the final float subtraction can dip a hair negative
-    on near-constant windows."""
+    both engines perform one identical float division. Variance is
+    population variance via `(n·Σx² − (Σx)²) / n²` with the NUMERATOR
+    kept in DECIMAL: the naive `Σx²/n − (Σx/n)²` in double suffers
+    catastrophic cancellation (a mostly-zero window with one large
+    value flips the 3rd decimal vs var_pop). For 2-decimal inputs the
+    numerator is an exact scale-4 decimal — one float division at the
+    end, clamped at zero for the all-equal-values case. Decimal widths
+    are chosen so every intermediate stays ≤ precision 38 (exact, no
+    Spark precision-loss rounding): decimal(17,2)² → (35,4),
+    decimal(12,0)·decimal(22,4) → (35,4), difference → (36,4)."""
     if not supports(agg):
         raise ValueError(f"aggregate {agg!r} is not distributive over rollups")
     n = F.sum("cnt")
     sx = F.sum("sum").cast("double")
-    sxx = F.sum("sum_sq").cast("double")
-    var = F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))
+    numer = (
+        n.cast("decimal(12,0)") * F.sum("sum_sq").cast("decimal(22,4)")
+        - F.sum("sum").cast("decimal(17,2)") * F.sum("sum").cast("decimal(17,2)")
+    )
+    var = F.greatest(
+        numer.cast("double") / (n.cast("double") * n.cast("double")), F.lit(0.0)
+    )
     return {
         "sum": sx,
         "count": n.cast("double"),

@@ -127,6 +127,17 @@ def test_rollup_partials_match_raw(spark, pts):
             F.max("value").alias("max"),
         )
     )
+    from dqe_spark.operators.windows import (
+        _var_exact,
+        agg_stddev_exact,
+        agg_variance_exact,
+    )
+
+    # var_pop itself drifts by float error on mostly-zero windows and on
+    # exact rounding boundaries (e.g. var = 78.3225); the engine's raw
+    # path uses the same exact-decimal algebra as the rollup partials,
+    # so rollup vs raw must be BIT-identical — assert at full rounding.
+    # A separate tolerance check below pins the exact algebra to var_pop.
     for agg, raw in {
         "sum": F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4),
         "avg": F.round(
@@ -136,17 +147,15 @@ def test_rollup_partials_match_raw(spark, pts):
         ),
         "min": F.round(F.min("value"), 4),
         "max": F.round(F.max("value"), 4),
-        "variance": F.round(F.var_pop("value"), 3),
-        "stddev": F.round(F.stddev_pop("value"), 3),
+        "variance": agg_variance_exact("value"),
+        "stddev": agg_stddev_exact("value"),
     }.items():
         got = {
             (r["metric"], r["w2"], r["v"])
             for r in partials.groupBy(
                 "metric", rewindow(3_600_000).alias("w2")
             )
-            .agg(
-                F.round(partial_value_expr(agg), 3 if agg in ("variance", "stddev") else 4).alias("v")
-            )
+            .agg(F.round(partial_value_expr(agg), 4).alias("v"))
             .collect()
         }
         want = {
@@ -158,3 +167,16 @@ def test_rollup_partials_match_raw(spark, pts):
             .collect()
         }
         assert got == want, agg
+
+    # ground-truth guard: the exact-decimal variance must sit within
+    # float noise of var_pop (catches a wrong algebra, which bit-equal
+    # self-comparison above cannot)
+    for r in (
+        df.groupBy("metric", (F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("w2"))
+        .agg(
+            _var_exact("value").alias("exact"),
+            F.var_pop("value").alias("ref"),
+        )
+        .collect()
+    ):
+        assert abs(r["exact"] - r["ref"]) <= 1e-6 + 1e-9 * abs(r["ref"]), r
