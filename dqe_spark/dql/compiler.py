@@ -76,6 +76,11 @@ class Result:
     kind: str  # "metrics" | "events"
     df: DataFrame  # (name, keys..., ts_ms, value) or event rows
     resolution_ms: int | None = None
+    # glob selectors feeding this statement (reference formatting,
+    # src/dqe_lib.erl:51-58); lets the engine raise the reference's
+    # "No series matches <glob>!" when a glob matched nothing
+    # (src/dqe.erl:133-135) — plan-time there, collect-time here
+    globs: tuple[str, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -89,17 +94,43 @@ def _pit_ms(p, now_ms: int) -> int:
     if isinstance(p, A.Ago):
         return now_ms - _dur_ms(p.t)
     if isinstance(p, A.DateLit):
-        txt = p.text.strip()
-        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
-            try:
-                dt = datetime.strptime(txt, fmt).replace(tzinfo=timezone.utc)
-                return int(dt.timestamp() * 1000)
-            except ValueError:
-                continue
-        raise PlanError(f"unparseable date: {p.text!r}")
+        return _date_lit_ms(p.text)
     if isinstance(p, int):
         return p
     raise PlanError(f"bad point-in-time: {p!r}")
+
+
+#: strptime fallbacks beyond ISO-8601, toward the breadth of the
+#: reference's qdate date parsing (src/dql_parser.yrl:319 — qdate
+#: wraps ec_date, which accepts slashed dates, US month/day order,
+#: and spelled-out month names). Timezone-less forms are UTC.
+_DATE_FMTS = (
+    "%Y/%m/%d %H:%M:%S", "%Y/%m/%d %H:%M", "%Y/%m/%d",
+    "%m/%d/%Y %H:%M:%S", "%m/%d/%Y %H:%M", "%m/%d/%Y",
+    "%d %b %Y", "%d %B %Y", "%b %d %Y", "%B %d %Y",
+    "%b %d, %Y", "%B %d, %Y",
+)
+
+
+def _date_lit_ms(text: str) -> int:
+    """Date literal → epoch ms. ISO-8601 first (incl. 'T' separator,
+    fractional seconds, 'Z'/±HH:MM offsets — datetime.fromisoformat),
+    then the qdate-ish fallbacks above."""
+    txt = text.strip()
+    try:
+        dt = datetime.fromisoformat(txt.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+    except ValueError:
+        pass
+    for fmt in _DATE_FMTS:
+        try:
+            dt = datetime.strptime(txt, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1000)
+        except ValueError:
+            continue
+    raise PlanError(f"unparseable date: {text!r}")
 
 
 def _dur_ms(t) -> int:
@@ -211,6 +242,28 @@ HIST_RED = {"max": W.agg_max, "min": W.agg_min, "mean": W.agg_avg,
             "median": W.agg_median, "stddev": W.agg_stddev}
 
 
+def hdr_quantize(v: Column, htv: int, sig_figs: int) -> Column:
+    """HDR-histogram value quantization as a Column expression
+    (reference records int-rounded points into hdr_histogram:open(HTV,
+    SF), src/dqe_hist.erl:43-57). HDR keeps unit resolution up to
+    sub_bucket_count = 2^ceil(log2(2·10^sf)) and above that drops one
+    bit of resolution per power-of-two bucket: a value v collapses to
+    v − v mod 2^(floor(log2 v) − (sbc_mag − 1)) (the bucket's lowest
+    equivalent value). floor(log2 v) is computed as len(bin(v)) − 1 so
+    exact powers of two never suffer float log drift; values above the
+    highest trackable value saturate at htv. Quantization is provably
+    identity when every value < sub_bucket_count — the sig_figs=3 /
+    values<1000 case the int-round model covered before."""
+    import math
+
+    sbc_mag = math.ceil(math.log2(2 * 10**sig_figs))
+    half_mag = sbc_mag - 1
+    v = F.least(v, F.lit(int(htv)).cast("long"))
+    k = F.length(F.bin(v)) - F.lit(1)  # floor(log2(v)) for v > 0, exact
+    quantum = F.pow(F.lit(2.0), (k - F.lit(half_mag)).cast("double")).cast("long")
+    return F.when(v < F.lit(1 << sbc_mag), v).otherwise(v - v % quantum)
+
+
 def glob_to_regex(parts: tuple[str, ...]) -> str:
     segs = [("[^.]+" if p == "*" else re.escape(p)) for p in parts]
     return "^" + r"\.".join(segs) + "$"
@@ -239,6 +292,7 @@ class Compiler:
         rollups: dict[int, DataFrame] | None = None,
         hist_rollups: dict[int, DataFrame] | None = None,
         cache_shared_scans: bool = False,
+        dense: bool = False,
     ):
         from dqe_spark.functions.registry import default_registry
 
@@ -259,6 +313,12 @@ class Compiler:
         # .cache()d so SEPARATE statements (separate actions) share the
         # scan compute instead of re-reading.
         self.cache_shared_scans = cache_shared_scans
+        # dense=True re-densifies every metric result over the query
+        # range: one row per (series, window), NULL value for empty
+        # windows — the reference's NULL-filled dense-array semantics
+        # (src/dqe_get.erl:53-60). Opt-in: dense output over a wide
+        # range at raw resolution multiplies rows, so services choose.
+        self.dense = dense
         self._scan_memo: dict[tuple, DataFrame] = {}
 
     def unpersist_shared(self) -> None:
@@ -275,16 +335,22 @@ class Compiler:
     def compile(self, sel: A.Select) -> list[Result]:
         self.aliases = {a.name: a.sel for a in sel.aliases}
         start, end = timeframe_range(sel.timeframe, self.now_ms)
+        self._range = (start, end)  # presented axis, used by dense fill
         results: list[Result] = []
         frames: list[tuple[SeriesFrame | EventsFrame, A.Named | None]] = []
+        stmt_globs: list[tuple[str, ...]] = []
         for stmt in sel.stmts:
             named = stmt if isinstance(stmt, A.Named) else None
             node = stmt.child if named else stmt
+            self._cur_globs: list[str] = []
             frames.append((self._node(node, start, end), named))
+            stmt_globs.append(tuple(self._cur_globs))
         if sel.limit is not None:
             frames = self._apply_limit(frames, sel.limit)
-        for frame, named in frames:
-            results.append(self._finalize(frame, named))
+        for (frame, named), globs in zip(frames, stmt_globs):
+            res = self._finalize(frame, named)
+            res.globs = globs
+            results.append(res)
         return results
 
     # -- statement finalization (collect/naming, src/dqe_collect.erl:35-43) --
@@ -295,7 +361,19 @@ class Compiler:
             return Result(name, "events", frame.df.withColumn("name", F.lit(name)))
         name_col, label = self._name_column(frame, named)
         cols = ["name", *frame.keys, "ts_ms", "value"]
-        df = frame.df.withColumn("name", name_col)
+        base = frame.df
+        if self.dense and frame.keys:
+            # NULL-fill empty windows over the query range at the
+            # frame's output resolution (src/dqe_get.erl:53-60); the
+            # spine's series set comes from the result keys, and the
+            # name column is computed after the fill so filled rows
+            # are named too (key-derived naming survives; columns not
+            # in the key, e.g. metric_parts, are NULL on filled rows)
+            from dqe_spark.operators.densify import densify
+
+            s, e = self._range
+            base = densify(base, s, e, frame.res_ms, keys=frame.keys, ts="ts_ms")
+        df = base.withColumn("name", name_col)
         # METADATA {k: v, ...} rides along as a map column; $N/$tag
         # values resolve per series like names do (src/dql_naming.erl:34-39)
         if named and named.metadata:
@@ -402,6 +480,10 @@ class Compiler:
             pred = F.col("metric").rlike(glob_to_regex(node.parts))
             df = self._scan(node.bucket, start, end).where(pred)
             bucket = node.bucket
+            if hasattr(self, "_cur_globs"):
+                self._cur_globs.append(
+                    ".".join(f"'{p}'" for p in node.parts)  # dqe_lib.erl:51-58
+                )
         elif isinstance(node, A.Lookup):
             df = self._scan(node.bucket, start, end)
             if node.parts is not None:
@@ -823,13 +905,25 @@ class Compiler:
         return replace(sub, df=df, label=unparse(node), pristine=False)
 
     def _histogram(self, sub: SeriesFrame, consts, node) -> SeriesFrame:
-        # histogram(m, highest_trackable, sig_figs, t): our engine models
-        # the HDR histogram as the window's multiset of values rounded to
-        # integers (SURVEY.md §2.7; exact for sig_figs ≥ len(str(value)))
+        # histogram(m, highest_trackable, sig_figs, t): the reference
+        # int-rounds every point and records it into an HDR histogram
+        # with the given highest-trackable-value and significant figures
+        # (src/dqe_hist.erl:30-57). We model the histogram as the
+        # window's multiset of HDR-QUANTIZED values: reductions over it
+        # are then exact aggregates (src/dqe_hist_*.erl) while honoring
+        # the HDR bucket rule — identity below 2·10^sf (rounded up to a
+        # power of two), halving resolution per power-of-two bucket
+        # above, saturating at htv.
         if len(consts) != 3:
             raise PlanError("histogram(metric, htv, sig_figs, time)")
+        htv, sf = consts[0], consts[1]
+        if not isinstance(sf, int) or not 1 <= sf <= 5:
+            raise PlanError(f"histogram significant figures must be 1..5, got {sf!r}")
+        if not isinstance(htv, int) or htv < 1:
+            raise PlanError(f"histogram highest trackable value must be >= 1, got {htv!r}")
         wms = self._window_count(sub, consts[-1])
-        df = sub.df.withColumn("value", F.round(F.col("value"), 0).cast("double"))
+        v = F.round(F.col("value"), 0).cast("long")
+        df = sub.df.withColumn("value", hdr_quantize(v, htv, sf).cast("double"))
         return replace(
             sub, df=df, label=unparse(node), hist_window_ms=wms, has_dims=False,
             pristine=False,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from dqe_spark import engine
 from dqe_spark.queries_parity import ORACLES as PARITY_ORACLES
+from dqe_spark.queries_parity import P as PARITY_P
 
 JAN1 = 1704067200000
 FEB1 = 1706745600000  # past the synthetic range end
@@ -119,11 +120,30 @@ def dql_shift_1d(spark, sf_dir):
     return df.select("metric", F.col("ts_ms").alias("wts"), F.col("value").alias("avg_value"))
 
 
-@q("dql_hist_p99", PARITY_ORACLES["hist_percentile_99"])
+# sig_figs=1 → sub_bucket_count = 2^ceil(log2(20)) = 32: values ≥ 32
+# REALLY quantize (data runs to ~490, quantum 16 at the top), proving
+# the HDR bucket rule end-to-end, not just the identity case. The
+# oracle replays compiler.hdr_quantize: len(bin(v))−1 = floor(log2 v).
+_HDR_SF1 = PARITY_P + """
+, hist AS (
+  SELECT metric, (ts_ms // 300000) * 300000 AS wts,
+         CASE WHEN v < 32 THEN v
+              ELSE v - v % CAST(pow(2, length(bin(v)) - 1 - 4) AS BIGINT)
+         END AS hv
+  FROM (SELECT metric, ts_ms,
+               least(CAST(round(value, 0) AS BIGINT), 1000) AS v
+        FROM metrics WHERE metric = 'events.click')
+)
+SELECT metric, wts, round(quantile_cont(hv, 0.99), 4) AS h_p99
+FROM hist GROUP BY 1, 2
+"""
+
+
+@q("dql_hist_p99", _HDR_SF1)
 def dql_hist_p99(spark, sf_dir):
     df = _one(
         spark,
-        "SELECT percentile(histogram('events'.'click' BUCKET 'events', 1000000, 3, 5m), 0.99) "
+        "SELECT percentile(histogram('events'.'click' BUCKET 'events', 1000, 1, 5m), 0.99) "
         f"BETWEEN {JAN1} AND {FEB1}",
         sf_dir,
     )

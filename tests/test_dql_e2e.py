@@ -243,3 +243,46 @@ def test_shared_scan_cse(spark):
     finally:
         comp.unpersist_shared()
     assert not comp._scan_memo
+
+
+def test_hdr_quantize_bucket_rule(spark):
+    """HDR quantization (src/dqe_hist.erl:30-57): identity below
+    sub_bucket_count, lowest-equivalent-value collapse above it,
+    saturation at the highest trackable value."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.dql.compiler import hdr_quantize
+
+    cases = [0, 1, 31, 32, 33, 63, 64, 65, 100, 255, 256, 257, 490, 1000, 5000]
+    df = spark.createDataFrame([(v,) for v in cases], "v long")
+    got = dict(
+        df.select("v", hdr_quantize(F.col("v"), 1000, 1).alias("q")).collect()
+    )
+    # sf=1 → sbc = 2^ceil(log2(20)) = 32, half_mag = 4
+    want = {
+        0: 0, 1: 1, 31: 31,          # identity below sub_bucket_count
+        32: 32, 33: 32,              # quantum 2^(5-4) = 2
+        63: 62, 64: 64, 65: 64,      # boundary: quantum 2 then 4
+        100: 100,                    # 100 % 4 == 0
+        255: 248, 256: 256, 257: 256,  # quantum 8 then 16
+        490: 480,                    # top of the data range
+        1000: 992,                   # htv itself still bucket-collapses
+        5000: 992,                   # saturates at htv=1000 first
+    }
+    assert got == want
+
+
+def test_histogram_sig_figs_validation(spark):
+    import pytest
+
+    from dqe_spark import engine
+    from dqe_spark.dql.compiler import PlanError
+    from tests.conftest import SF_SMOKE
+
+    with pytest.raises(PlanError, match="1..5"):
+        engine.run(
+            spark,
+            "SELECT mean(histogram('events'.'click' BUCKET 'events', 1000, 9, 5m)) "
+            "LAST 30m",
+            SF_SMOKE,
+        )
