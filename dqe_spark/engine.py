@@ -29,6 +29,7 @@ def plan(
     sf_dir: str,
     now_ms: int | None = None,
     use_rollups: bool = False,
+    dense: bool = False,
 ) -> list[Result]:
     """Parse + compile; returns lazy per-statement results.
 
@@ -57,6 +58,7 @@ def plan(
         now_ms=now_ms,
         rollups=rollups,
         hist_rollups=hist_rollups,
+        dense=dense,
     )
     return comp.compile(ast)
 
@@ -67,8 +69,9 @@ def run(
     sf_dir: str,
     now_ms: int | None = None,
     use_rollups: bool = False,
+    dense: bool = False,
 ) -> list[Result]:
-    return plan(spark, dql, sf_dir, now_ms, use_rollups)
+    return plan(spark, dql, sf_dir, now_ms, use_rollups, dense)
 
 
 def explain(
@@ -95,6 +98,12 @@ class NoResults(Exception):
     the funnel's `no_results` (src/dqe_funnel.erl:30-35)."""
 
 
+class GlobNotFound(Exception):
+    """A glob selector matched no series (src/dqe.erl:133-135 —
+    plan-time expansion there; detected at collect here since globs
+    stay Column filters). args[0] is the reference-formatted glob."""
+
+
 class QueryTimeout(Exception):
     """Query exceeded the caller's timeout (reference default is
     infinity, src/dqe.erl:161-162,191); outstanding Spark jobs are
@@ -112,11 +121,43 @@ def error_string(err: Exception) -> str:
         return f"Not recognized function {info[0]}/{info[1]}."
     if code == "resolution_conflict":
         return "Combination functions can't have mix resolutions as children."
+    if isinstance(err, GlobNotFound):
+        return f"No series matches {err.args[0]}!"
     if isinstance(err, NoResults):
         return "No results were returned for the query."
     if isinstance(err, QueryTimeout):
         return "timeout"
     return str(err)
+
+
+#: slow-query threshold, matching the reference's dqe.debug.max_time
+#: default (priv/dqe.schema:18-21)
+DEBUG_SLOW_MS = 5000
+
+
+def _debug_artifact(results: list[Result], dql: str, elapsed_ms: int):
+    """Write a post-mortem artifact for a slow (or force-debugged)
+    query: the query text + every statement's formatted physical plan —
+    the engine's analogue of the reference's dot-graph + log dump into
+    the debug folder (src/dqe.erl:282-322)."""
+    import time as _t
+    import uuid
+
+    from dqe_spark.plans.debug import explain_string
+    from dqe_spark.sources.store import STORE_ROOT
+
+    d = STORE_ROOT / "debug"
+    d.mkdir(parents=True, exist_ok=True)
+    f = d / f"{int(_t.time())}-{uuid.uuid4().hex[:8]}.log"
+    parts = [f"## query [{elapsed_ms}ms]: {dql}\n"]
+    for r in results:
+        parts.append(f"\n## statement: {r.name}\n")
+        try:
+            parts.append(explain_string(r.df))
+        except Exception as e:  # never let debugging mask the result
+            parts.append(f"<explain failed: {e}>\n")
+    f.write_text("".join(parts))
+    return f
 
 
 def collect(
@@ -126,6 +167,8 @@ def collect(
     now_ms: int | None = None,
     timeout_s: float | None = None,
     use_rollups: bool = False,
+    debug: bool = False,
+    slow_ms: int | None = DEBUG_SLOW_MS,
 ) -> list[tuple[Result, list]]:
     """Materialize every statement — the reference's dqe:run/2 shape:
     plan, execute, funnel, with an optional query timeout and the
@@ -133,7 +176,14 @@ def collect(
 
     The timeout runs the collects in a worker thread under a dedicated
     job group; on expiry the group's Spark jobs are cancelled
-    driver-side before raising, so no executor work leaks."""
+    driver-side before raising, so no executor work leaks.
+
+    debug=True always writes a plan artifact; otherwise one is written
+    when the query runs longer than slow_ms (reference behavior:
+    src/dqe.erl:288-305; slow_ms=None disables)."""
+    import time as _time_mod
+
+    t0 = _time_mod.monotonic()
     results = plan(spark, dql, sf_dir, now_ms, use_rollups)
     if timeout_s is None:
         out = [(r, r.df.collect()) for r in results]
@@ -160,6 +210,12 @@ def collect(
         if "err" in box:
             raise box["err"]
         out = box["rows"]
+    elapsed_ms = int((_time_mod.monotonic() - t0) * 1000)
+    if debug or (slow_ms is not None and elapsed_ms > slow_ms):
+        _debug_artifact(results, dql, elapsed_ms)
+    for r, rows in out:
+        if r.globs and len(rows) == 0:
+            raise GlobNotFound(r.globs[0])
     if all(len(rows) == 0 for _, rows in out):
         raise NoResults()
     return out

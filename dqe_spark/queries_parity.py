@@ -891,13 +891,21 @@ LEFT JOIN agg ON agg.metric = m.metric AND agg.wts = g.wts
 """,
 )
 def dense_avg_1m(spark, sf_dir):
-    from dqe_spark.operators.densify import densify
+    # via the ENGINE's dense path (compiler NULL-fill capability), not
+    # a bespoke densify call — proves src/dqe_get.erl:53-60 semantics
+    # end-to-end through parse → compile → finalize
+    from dqe_spark import engine
 
-    m = _points(spark, sf_dir).where(
-        (F.col("ts_ms") >= JAN5) & (F.col("ts_ms") < JAN5 + D_MS)
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events', 1m) "
+        f"BETWEEN {JAN5} AND {JAN5 + D_MS}",
+        sf_dir,
+        dense=True,
     )
-    agg = window_agg(m, MIN_MS, agg_avg("value"), "avg_value")
-    return densify(agg, JAN5, JAN5 + D_MS, MIN_MS)
+    return res.df.select(
+        "metric", F.col("ts_ms").alias("wts"), F.col("value").alias("avg_value")
+    )
 
 
 # DQL: SELECT avg('lineitem'.* BUCKET 'lineitem', 1d) ... TOP 1 BY avg
