@@ -140,3 +140,64 @@ def test_combinator_confidence_is_mean(spark):
     vals = [r["value"] for r in res2.df.collect()]
     assert vals and any(v != 1.0 for v in vals)
     assert all(v is None or 0.0 <= v <= 1.0 for v in vals)
+
+
+def test_glob_not_found(spark):
+    # glob that matches no metric: the reference raises at expand time
+    # with this exact phrasing (src/dqe.erl:133-135)
+    with pytest.raises(engine.GlobNotFound) as ei:
+        engine.collect(
+            spark,
+            f"SELECT avg('nosuchprefix'.* BUCKET 'events', 1m) BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+    assert engine.error_string(ei.value) == "No series matches 'nosuchprefix'.'*'!"
+
+
+def test_glob_found_no_error(spark):
+    # matching globs must not trip the not-found check
+    out = engine.collect(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    assert sum(len(rows) for _, rows in out) > 0
+
+
+def test_slow_query_debug_artifact(spark, tmp_path):
+    # slow_ms=0 forces every query over the threshold; artifact lands in
+    # the store debug folder with the query text + physical plans
+    # (reference: 5s default, priv/dqe.schema:18-21; src/dqe.erl:282-322)
+    from dqe_spark.sources.store import STORE_ROOT
+
+    before = set((STORE_ROOT / "debug").glob("*.log")) if (STORE_ROOT / "debug").exists() else set()
+    engine.collect(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+        slow_ms=0,
+    )
+    after = set((STORE_ROOT / "debug").glob("*.log"))
+    new = after - before
+    assert len(new) == 1
+    text = next(iter(new)).read_text()
+    assert "BUCKET 'events'" in text and "## statement:" in text
+    for p in new:
+        p.unlink()  # keep the store clean for repeated runs
+
+
+def test_debug_flag_forces_artifact(spark):
+    from dqe_spark.sources.store import STORE_ROOT
+
+    before = set((STORE_ROOT / "debug").glob("*.log")) if (STORE_ROOT / "debug").exists() else set()
+    engine.collect(
+        spark,
+        f"SELECT avg('events'.'click' BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+        debug=True,
+        slow_ms=None,
+    )
+    new = set((STORE_ROOT / "debug").glob("*.log")) - before
+    assert len(new) == 1
+    for p in new:
+        p.unlink()
