@@ -184,10 +184,30 @@ def neardup_cosine_pairs(
     threshold: float,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    exact: bool = False,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs (i < j) with cosine ≥ threshold — the exact O(n²)
-    near-duplicate reference. At scale, run minhash/LSH-bucketed or
-    IVF-partitioned variants and use this only on candidates."""
+    near-duplicate reference. DELIBERATELY gated: callers must pass
+    exact=True to acknowledge the cross join, and the input is counted
+    against max_rows first so a 100 TB corpus can never reach an
+    all-pairs plan by accident. The public scale path is
+    neardup_srp_pairs (banded LSH candidates, exact verify on
+    candidates only); use this one for small exact baselines or to
+    verify candidate subsets."""
+    if not exact:
+        raise ValueError(
+            "neardup_cosine_pairs is O(n²); pass exact=True for small "
+            "inputs or use neardup_srp_pairs (LSH-bucketed) at scale"
+        )
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"neardup_cosine_pairs refused: {n} rows > max_rows="
+                f"{max_rows}; use neardup_srp_pairs or raise max_rows "
+                "explicitly"
+            )
     a = df.select(F.col(id_col).alias("id_i"), F.col(vec).alias("va"))
     b = df.select(F.col(id_col).alias("id_j"), F.col(vec).alias("vb"))
     pairs = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))

@@ -397,8 +397,10 @@ WHERE round({_COS}, 6) >= 0.2
 """,
 )
 def neardup_cosine(spark, sf_dir):
+    # exact=True: sampled baseline (1/5 of the vectors) — the operator
+    # itself refuses all-pairs plans without the flag / above max_rows
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
-    return similarity.neardup_cosine_pairs(e, 0.2)
+    return similarity.neardup_cosine_pairs(e, 0.2, exact=True)
 
 
 # ---------------------------------------------------------------------------

@@ -44,3 +44,20 @@ def test_sessionize_gaps(spark):
         2: (10_000, 11_000, 2),
         3: (30_000, 30_000, 1),
     }
+
+
+def test_neardup_cosine_guard(spark):
+    """The exact all-pairs path must refuse to run without exact=True,
+    and must refuse oversized inputs even with it."""
+    import pytest
+
+    from dqe_spark.operators.similarity import neardup_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="exact=True"):
+        neardup_cosine_pairs(df, 0.5)
+    with pytest.raises(ValueError, match="max_rows"):
+        neardup_cosine_pairs(df, 0.5, exact=True, max_rows=5)
+    assert neardup_cosine_pairs(df, 0.99, exact=True).count() > 0
