@@ -122,3 +122,48 @@ def test_lexer_escapes_reference_parity():
         (".", "."),
         ("part", "size"),
     ]
+
+
+def test_date_literal_breadth():
+    """Date formats toward qdate's accepted set (src/dql_parser.yrl:319):
+    ISO with/without time, T separator, Z / offsets, fractional seconds,
+    slashed Y/M/D, US M/D/Y, spelled months. Timezone-less == UTC."""
+    from dqe_spark.dql.compiler import _date_lit_ms
+
+    jan15 = 1705276800000  # 2024-01-15T00:00:00Z
+    assert _date_lit_ms("2024-01-15") == jan15
+    assert _date_lit_ms("2024-01-15 06:30:00") == jan15 + (6 * 3600 + 1800) * 1000
+    assert _date_lit_ms("2024-01-15T06:30:00") == jan15 + (6 * 3600 + 1800) * 1000
+    assert _date_lit_ms("2024-01-15T06:30:00Z") == jan15 + (6 * 3600 + 1800) * 1000
+    assert _date_lit_ms("2024-01-15T07:30:00+01:00") == jan15 + (6 * 3600 + 1800) * 1000
+    assert _date_lit_ms("2024-01-15 06:30:00.250") == jan15 + (6 * 3600 + 1800) * 1000 + 250
+    assert _date_lit_ms("2024-01-15 06:30") == jan15 + (6 * 3600 + 1800) * 1000
+    assert _date_lit_ms("2024/01/15") == jan15
+    assert _date_lit_ms("2024/01/15 06:30:00") == jan15 + (6 * 3600 + 1800) * 1000
+    assert _date_lit_ms("01/15/2024") == jan15
+    assert _date_lit_ms("Jan 15, 2024") == jan15
+    assert _date_lit_ms("15 January 2024") == jan15
+
+    import pytest
+
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="unparseable date"):
+        _date_lit_ms("not-a-date")
+
+
+def test_date_literal_in_query_roundtrip():
+    """BETWEEN with mixed date-literal styles must compute the same
+    range as the ISO form."""
+    from dqe_spark.dql.compiler import timeframe_range
+    from dqe_spark.dql.parser import parse
+
+    def rng(a, b):
+        sel = parse(
+            f"SELECT avg('e'.'c' BUCKET 'events', 1m) BETWEEN \"{a}\" AND \"{b}\""
+        )
+        return timeframe_range(sel.timeframe, now_ms=0)
+
+    iso = rng("2024-01-10", "2024-01-15")
+    assert rng("2024/01/10", "2024/01/15") == iso
+    assert rng("01/10/2024", "Jan 15, 2024") == iso
