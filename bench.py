@@ -109,5 +109,39 @@ def main() -> None:
     spark.stop()
 
 
+def compare(prior_path: str, current_path: str | None = None, gate: float = 1.5) -> int:
+    """Regression gate: per-query ratio of a fresh (or given) bench run
+    vs a prior BENCH_r{N}.json (driver format, timings under
+    'parsed.queries', or a raw bench.py JSON line). Prints a markdown
+    table; exit 1 if any shared query regressed by more than `gate`×."""
+    def load(p: str) -> dict:
+        doc = json.loads(Path(p).read_text())
+        return doc.get("parsed", doc)
+
+    prior = load(prior_path)
+    cur = load(current_path) if current_path else None
+    if cur is None:
+        raise SystemExit("compare needs a current bench JSON (run bench.py > f.json)")
+    pq, cq = prior["queries"], cur["queries"]
+    shared = [n for n in cq if n in pq]
+    print(f"| query | prior s | now s | ratio |")
+    print(f"|---|---|---|---|")
+    bad = []
+    for n in shared:
+        r = cq[n] / pq[n] if pq[n] else float("inf")
+        flag = "  ⚠" if r > gate else ""
+        print(f"| {n} | {pq[n]:.3f} | {cq[n]:.3f} | {r:.2f}×{flag} |")
+        if r > gate:
+            bad.append(n)
+    print(f"| **suite** | {prior['value']:.3f} | {cur['value']:.3f} | "
+          f"{cur['value'] / prior['value']:.2f}× |")
+    if bad:
+        print(f"REGRESSED (> {gate}x): {bad}")
+        return 1
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--compare":
+        sys.exit(compare(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
     main()

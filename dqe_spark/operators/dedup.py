@@ -248,19 +248,29 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document
     gets a cluster_id = the smallest doc id reachable through the
     near-dup graph (singletons cluster with themselves). The keep-one-
     per-cluster step of a dedup pipeline.
 
-    Distributed label propagation: each round every node adopts the
-    minimum label in its neighborhood (one join + one groupBy per
-    round), until a round changes nothing. Rounds needed = graph
-    diameter — near-dup clusters are shallow (pairs share a bucket),
-    so this converges in a handful of rounds; each round is a pair of
-    shuffles over the EDGE set only, never all-pairs. The driver-side
-    loop carries only the change count, no data.
+    Distributed min-label propagation WITH pointer doubling: each
+    round every node (1) adopts the minimum label in its edge
+    neighborhood, then (2) shortcuts to its label's own label
+    (lbl := lbl(lbl), the large-star/small-star-style path halving).
+    Step 2 halves label-chain depth every round, so convergence is
+    O(log diameter) instead of O(diameter) — a 1000-node chain of
+    pairwise near-dups settles in ~10 rounds, not ~1000. Each round
+    is two keyed joins (edge set + label table), never all-pairs; the
+    driver-side loop carries only a convergence scalar.
+
+    Monotonicity argument: labels only decrease, and every label value
+    is always the id of a node in the same component (start: self;
+    step 1 takes ids from neighbors; step 2 from a component-mate's
+    label), so the fixpoint is exactly the component minimum.
+
+    Pass stats={} to receive {"rounds": n} for observability/tests.
     """
     ids = df.select(F.col(id_col).alias("id")).distinct()
     edges = (
@@ -274,20 +284,34 @@ def dedup_clusters(
     )
     labels = ids.withColumn("lbl", F.col("id"))
     prev_sum = None
+    rounds = 0
     while True:
+        lmap = labels.select(F.col("id").alias("mid"), F.col("lbl").alias("mlbl"))
         neigh = (
-            edges.join(labels, edges["b"] == labels["id"])
+            edges.join(lmap, edges["b"] == lmap["mid"])
             .groupBy("a")
-            .agg(F.min("lbl").alias("nl"))
+            .agg(F.min("mlbl").alias("nl"))
         )
-        new = (
+        step = (
             labels.join(neigh, labels["id"] == neigh["a"], "left")
             .select(
                 "id",
                 F.least(F.col("lbl"), F.coalesce("nl", "lbl")).alias("lbl"),
             )
         )
+        # pointer doubling: follow the label's own (possibly smaller)
+        # label — every id is present in the table, so the left join
+        # only misses when lbl == id (already a root)
+        smap = step.select(F.col("id").alias("mid"), F.col("lbl").alias("mlbl"))
+        new = (
+            step.join(smap, step["lbl"] == smap["mid"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("mlbl", "lbl")).alias("lbl"),
+            )
+        )
         new = new.localCheckpoint(eager=True)  # cut the growing lineage
+        rounds += 1
         # labels are monotone non-increasing, so Σlbl strictly drops
         # until the fixpoint — convergence needs one tiny agg, no join
         cur_sum = new.agg(F.sum("lbl")).collect()[0][0]
@@ -295,6 +319,8 @@ def dedup_clusters(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
     )

@@ -61,3 +61,34 @@ def test_neardup_cosine_guard(spark):
     with pytest.raises(ValueError, match="max_rows"):
         neardup_cosine_pairs(df, 0.5, exact=True, max_rows=5)
     assert neardup_cosine_pairs(df, 0.99, exact=True).count() > 0
+
+
+def test_dedup_clusters_chain_converges_logarithmically(spark):
+    """A 1000-node chain (worst-case diameter) must settle in
+    O(log n) rounds thanks to pointer doubling — and label every node
+    with the chain minimum."""
+    from dqe_spark.operators.dedup import dedup_clusters
+
+    n = 1000
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_i long, id_j long"
+    )
+    stats: dict = {}
+    out = dedup_clusters(docs, pairs, stats=stats)
+    assert stats["rounds"] < 12, stats
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_dedup_clusters_components_and_singletons(spark):
+    from dqe_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # components: {0,1,2}, {3,4}; singletons 5,6,7
+    pairs = spark.createDataFrame(
+        [(1, 2), (0, 1), (3, 4)], "id_i long, id_j long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
