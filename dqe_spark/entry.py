@@ -28,14 +28,14 @@ PRIORITY = [
     # §2.4 window aggregates (family representatives)
     "aggr_avg_1m", "aggr_variance_5m",
     "aggr_percentile_90_5m", "aggr_count_above_5m", "aggr_last_below_5m",
-    "aggr_count_above_conf_5m", "aggr_first_below_conf_5m",
+    "aggr_count_above_conf_5m",
     # §2.6 transforms & scalar arithmetic
     "trans_derivate", "trans_confidence", "trans_log10_scale",
-    "trans_min_clamp", "arith_add", "arith_divide",
+    "arith_add", "arith_divide",
     # §2.5 combinators
-    "comb_sum", "comb_diff", "comb_quotient",
+    "comb_diff", "comb_quotient",
     # §2.7 histograms
-    "hist_mean", "hist_percentile_99",
+    "hist_percentile_99",
     # §2.8 structure: grouping, limits, timeshift, timeframes, dense fill
     "group_by_host_avg_1m", "top2_by_avg", "bottom2_by_avg",
     "shift_1d_avg_1h", "between_avg_1m", "dense_avg_1m",
@@ -43,7 +43,8 @@ PRIORITY = [
     "dql_after_for", "dql_iso_dates", "dql_between_ago",
     "dql_shift_1d", "dql_top2", "dql_alias_reuse", "dql_group_by_2tags",
     "dql_events_regex", "dql_hist_p99", "dql_rollup_avg_1h",
-    "dql_top1_median",
+    "dql_top1_median", "dql_as_naming", "dql_metadata", "dql_custom_fun",
+    "dql_rollup_stddev_1h",
     # extension families (one each)
     "dedup_minhash_lsh", "dedup_clusters", "knn_srp", "neardup_srp",
     "text_bpe_tokens", "rollup_stddev_1h", "rollup_p90_1h",

@@ -491,3 +491,121 @@ def dql_top1_median(spark, sf_dir):
         sf_dir,
     )
     return df.select("metric", F.col("ts_ms").alias("wts"), "value")
+
+
+# AS naming with positional $N vars (src/dql_parser.yrl:56-72,
+# src/dql_naming.erl:25-70): every output series carries a computed
+# display name — here 'm'.$2 → "m.<second metric path segment>".
+# The name COLUMN itself is oracle-checked, closing SURVEY §2 row 60.
+@q(
+    "dql_as_naming",
+    PARITY_P
+    + """
+SELECT 'm.' || split_part(metric, '.', 2) AS name,
+       metric, (ts_ms // 3600000) * 3600000 AS wts,
+       round(avg(value), 4) AS value
+FROM metrics WHERE metric LIKE 'events.%' GROUP BY 2, 3
+""",
+)
+def dql_as_naming(spark, sf_dir):
+    df = _one(
+        spark,
+        f"SELECT avg('events'.* BUCKET 'events', 1h) AS 'm'.$2 BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("name", "metric", F.col("ts_ms").alias("wts"), "value")
+
+
+# METADATA {k: v, ...} with $-var values (src/dql_parser.yrl:61-72,
+# src/dql_naming.erl:34-39) rides along as a map column; serialized to
+# JSON for the oracle so SURVEY §2 row 61 gets a hard-signal row.
+@q(
+    "dql_metadata",
+    PARITY_P
+    + """
+SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+       round(avg(value), 4) AS value,
+       '{"source":"bench","kind":"' || split_part(metric, '.', 2) || '"}' AS md
+FROM metrics WHERE metric LIKE 'events.%' GROUP BY 1, 2
+""",
+)
+def dql_metadata(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg('events'.* BUCKET 'events', 1h) AS 'm'.$2 "
+        "METADATA {'source': 'bench', 'kind': $2} "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        "metric",
+        F.col("ts_ms").alias("wts"),
+        "value",
+        F.to_json("metadata").alias("md"),
+    )
+
+
+# dqe_fun registry surface (src/dqe.erl:121-122, resolver
+# src/dql_resolver.erl:77-108): a user-registered aggregate joins the
+# language and runs through the full pipeline — SURVEY §2 row 64.
+@q(
+    "dql_custom_fun",
+    PARITY_P
+    + """
+SELECT metric, (ts_ms // 300000) * 300000 AS wts,
+       round(max(value) - min(value), 4) AS value
+FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2
+""",
+)
+def dql_custom_fun(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from dqe_spark.functions.registry import default_registry
+    from dqe_spark.operators.windows import rounded
+
+    default_registry().register_aggregate(
+        "span", lambda v: rounded(SF.max(v) - SF.min(v))
+    )
+    df = _one(
+        spark,
+        "SELECT span('events'.'click' BUCKET 'events', 5m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), "value")
+
+
+# Variance-class aggregate answered FROM THE ROLLUP REWRITE through the
+# full pipeline — the path where float cancellation once lived: the
+# compiler reads 1m partials and finishes `(n·Σx² − (Σx)²)/n²` with an
+# exact DECIMAL numerator (sources/rollup.py partial_value_expr); the
+# oracle replays the same algebra in HUGEINT over the raw points.
+@q(
+    "dql_rollup_stddev_1h",
+    """
+WITH m AS (
+  SELECT 'events.' || event_type AS metric,
+         epoch_ns(ts) // 1000000 AS ts_ms, value
+  FROM events
+), p AS (
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS ts_ms,
+         count(*) AS n,
+         sum(CAST(round(value * 100) AS HUGEINT)) AS sx,
+         sum(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS HUGEINT)) AS sxx
+  FROM m GROUP BY 1, 2
+)
+SELECT metric, ts_ms,
+       round(sqrt(greatest(0.0,
+         CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       )), 4) AS value
+FROM p
+""",
+)
+def dql_rollup_stddev_1h(spark, sf_dir):
+    (res,) = engine.run(
+        spark,
+        f"SELECT stddev('events'.* BUCKET 'events', 1h) BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+        use_rollups=True,
+    )
+    return res.df.select("metric", "ts_ms", "value")
