@@ -609,3 +609,33 @@ def dql_rollup_stddev_1h(spark, sf_dir):
         use_rollups=True,
     )
     return res.df.select("metric", "ts_ms", "value")
+
+
+# Multi-statement SELECT through the funnel (src/dqe_funnel.erl:9-57):
+# two statements over one ALIAS'd selector, presented as one unioned
+# frame distinguished by the per-statement name column. Also proves
+# ALIAS sharing + the compiler's duplicate-scan CSE end-to-end.
+@q(
+    "dql_multi_stmt",
+    PARITY_P
+    + """
+, w AS (
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+         round(avg(value), 4) AS a, round(sum(value), 4) AS s
+  FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2
+)
+SELECT 'mean' AS name, wts, a AS value FROM w
+UNION ALL
+SELECT 'total' AS name, wts, s AS value FROM w
+""",
+)
+def dql_multi_stmt(spark, sf_dir):
+    r1, r2 = engine.run(
+        spark,
+        "SELECT avg(q, 1h) AS 'mean', sum(q, 1h) AS 'total' "
+        "ALIAS 'events'.'click' BUCKET 'events' AS q "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    cols = ["name", F.col("ts_ms").alias("wts"), "value"]
+    return r1.df.select(*cols).unionByName(r2.df.select(*cols))

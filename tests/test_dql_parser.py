@@ -167,3 +167,4 @@ def test_date_literal_in_query_roundtrip():
     iso = rng("2024-01-10", "2024-01-15")
     assert rng("2024/01/10", "2024/01/15") == iso
     assert rng("01/10/2024", "Jan 15, 2024") == iso
+

@@ -180,3 +180,45 @@ def test_rollup_partials_match_raw(spark, pts):
         .collect()
     ):
         assert abs(r["exact"] - r["ref"]) <= 1e-6 + 1e-9 * abs(r["ref"]), r
+
+
+@_slow
+@given(
+    vs=st.lists(
+        st.one_of(
+            st.integers(0, 10**7),
+            st.sampled_from([31, 32, 33, 63, 64, 1023, 1024, 2**20, 2**20 + 1]),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    sf=st.integers(1, 5),
+)
+def test_hdr_quantize_properties(spark, vs, sf):
+    """HDR bucket-rule invariants for every sig_figs over adversarial
+    values (powers of two, boundaries): quantization never increases a
+    value, is idempotent, is identity below sub_bucket_count, and keeps
+    relative error under 10^-sf (src/dqe_hist.erl:30-57)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dqe_spark.dql.compiler import hdr_quantize
+
+    htv = 10**8  # above every generated value: isolate the bucket rule
+    df = spark.createDataFrame([(v,) for v in vs], "v long")
+    rows = df.select(
+        "v",
+        hdr_quantize(F.col("v"), htv, sf).alias("q"),
+        hdr_quantize(hdr_quantize(F.col("v"), htv, sf), htv, sf).alias("qq"),
+    ).collect()
+    sbc = 1 << math.ceil(math.log2(2 * 10**sf))
+    for r in rows:
+        v, q, qq = r["v"], r["q"], r["qq"]
+        assert q <= v
+        assert qq == q, "idempotent"
+        if v < sbc:
+            assert q == v, "identity below sub_bucket_count"
+        else:
+            assert (v - q) / v < 10**-sf, (v, q, sf)
