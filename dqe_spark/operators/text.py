@@ -90,3 +90,89 @@ def bpe_tokens(text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text)).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a
+    w-hash window, keep each window's minimum; the DISTINCT selected
+    hashes are the fingerprint set. Guarantee: two documents sharing
+    any substring of length ≥ w+k−1 share a fingerprint, so the
+    overlap join below finds partial-copy candidates that whole-doc
+    or bag-of-shingles methods miss.
+
+    Shape at scale: posexplode is map-side; the only shuffle is the
+    per-document window sort (key doc_id — uniform), and output is
+    ~n/w fingerprints per doc. Documents shorter than w+k−1 chars
+    have no complete window and produce no fingerprints (below the
+    guarantee threshold by construction).
+
+    Hashes are the engine-wide md5/32-bit scheme so the DuckDB oracle
+    replays the algorithm (dedup._hash32)."""
+    from pyspark.sql import Window
+
+    from dqe_spark.operators.dedup import _hash32
+
+    t = F.col(col)
+    grams = (
+        df.where(F.length(t) >= k + w - 1)
+        .select(
+            id_col,
+            (F.length(t) - (k - 1)).alias("n"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({col}) - {k - 1}), "
+                    f"i -> substring({col}, i, {k}))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(id_col, "n", "pos", _hash32(F.col("gram"), 0).alias("h"))
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .where(F.col("pos") <= F.col("n") - w)
+        .select(F.col(id_col), F.col("wmin").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partial-overlap candidates: pairs of documents sharing at least
+    min_shared winnowing fingerprints. The equi-join on fingerprint
+    value is linear per bucket; fingerprints appearing in more than
+    max_df documents (boilerplate) are dropped first — the same skew
+    guard as the shingle join, bounding any bucket's contribution to
+    max_df² pairs."""
+    fp = winnow_fingerprints(df, k, w, col, id_col)
+    rare = (
+        fp.groupBy("fp").count().where(F.col("count") <= max_df).select("fp")
+    )
+    fpr = fp.join(rare, "fp")
+    a = fpr.select(F.col(id_col).alias("id_i"), "fp")
+    b = fpr.select(F.col(id_col).alias("id_j"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_i") < F.col("id_j"))
+        .groupBy("id_i", "id_j")
+        .agg(F.count("*").alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )

@@ -726,3 +726,55 @@ def m4_downsample(spark, sf_dir):
 
     m = load_metrics(spark, sf_dir).where(F.col("metric") == "events.click")
     return m4(m, _M4_START, _M4_END, _M4_W)
+
+
+_WINNOW_CTE = """
+WITH g AS (
+  SELECT doc_id, i - 1 AS pos,
+         (('0x' || substr(md5('0:' || substring(text, i, 5)), 1, 8))::BIGINT) AS h,
+         length(text) - 4 AS n
+  FROM documents, UNNEST(generate_series(1, length(text) - 4)) AS t(i)
+  WHERE length(text) >= 8
+), sel AS (
+  SELECT doc_id, pos, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM g
+), fp AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM sel WHERE pos <= n - 4
+)"""
+
+
+@q("text_winnow", _WINNOW_CTE + "\nSELECT doc_id, fp FROM fp")
+def text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD'03): both engines hash the
+    same k-grams and take the same per-window minima — algorithm
+    verified, not just counts."""
+    from dqe_spark.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, k=5, w=4)
+
+
+@q(
+    "text_winnow_overlap",
+    _WINNOW_CTE
+    + """
+, rare AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100
+), fpr AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS shared_fp
+FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+)
+def text_winnow_overlap(spark, sf_dir):
+    """Partial-copy candidates: document pairs sharing ≥2 winnowing
+    fingerprints (df-capped join, same skew guard as the shingle
+    join)."""
+    from dqe_spark.operators.text import winnow_overlap_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, k=5, w=4, min_shared=2, max_df=100)
