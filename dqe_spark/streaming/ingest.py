@@ -48,19 +48,23 @@ def stream_metrics(
 def windowed_stream_agg(
     metrics: DataFrame,
     window: str = "1 minute",
-    watermark: str = "5 minutes",
+    watermark: str | None = "5 minutes",
     agg: str = "avg",
 ) -> DataFrame:
     """Streaming §2.4 aggregate: per (metric, tumbling window), with an
     event-time watermark bounding state. Output matches the batch
-    engine's (metric, wts, value) shape."""
+    engine's (metric, wts, value) shape.
+
+    watermark=None skips the withWatermark call for inputs that
+    already carry one (e.g. stream_dedup output — Spark forbids
+    redefining the watermark on one stream)."""
     fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
            "count": F.count, "stddev": F.stddev_pop}
     if agg not in fns:
         raise ValueError(f"unsupported streaming aggregate: {agg}")
+    src = metrics.withWatermark("ts", watermark) if watermark else metrics
     out = (
-        metrics.withWatermark("ts", watermark)
-        .groupBy("metric", F.window("ts", window).alias("w"))
+        src.groupBy("metric", F.window("ts", window).alias("w"))
         .agg(F.round(fns[agg]("value"), 4).alias("value"))
     )
     return out.select(
@@ -146,4 +150,25 @@ def stream_sessions(
             F.unix_millis(F.col("w.start")).alias("session_start"),
             "n_events",
         )
+    )
+
+
+def stream_dedup(
+    metrics: DataFrame,
+    keys: tuple[str, ...] = ("metric", "ts"),
+    watermark: str = "10 minutes",
+    ts: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key ingest dedup for streams: drop repeated
+    (key, event-time) rows — at-least-once upstream delivery (Kafka
+    replays, retried file lands) otherwise double-counts points in
+    every downstream aggregate.
+
+    dropDuplicatesWithinWatermark keeps the state store bounded by the
+    watermark horizon — per-key state expires once the watermark
+    passes it, so state size tracks the live window, not the stream's
+    lifetime. A plain dropDuplicates on a stream grows state forever;
+    this is the 100 TB-safe formulation."""
+    return metrics.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
     )

@@ -103,3 +103,39 @@ def test_stream_rollup_matches_batch_rollup(spark):
         assert all(w >= horizon for _, w in missing)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_drops_replays(spark):
+    """At-least-once delivery simulated by landing the same file twice:
+    the watermark-bounded dedup must make the duplicated stream agree
+    with the batch answer over the single copy."""
+    from dqe_spark.streaming.ingest import (
+        stream_dedup,
+        stream_metrics,
+        windowed_stream_agg,
+        write_to_store,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_stream_dd_"))
+    landing, out, ckpt = tmp / "landing", tmp / "out", tmp / "ckpt"
+    landing.mkdir()
+    # same events land twice (replayed delivery)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "batch0.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "replay0.parquet")
+
+    try:
+        metrics = stream_dedup(stream_metrics(spark, str(landing)))
+        # the dedup already set the stream's watermark; don't redefine
+        agg = windowed_stream_agg(metrics, window="1 minute", watermark=None)
+        q = write_to_store(agg, str(out), str(ckpt), available_now=True)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(str(out)).where(F.col("metric") == "events.click")
+        from dqe_spark.queries_parity import aggr_avg_1m
+
+        expect = aggr_avg_1m(spark, SF_SMOKE)
+        a = {(r["metric"], r["wts"], r["value"]) for r in got.collect()}
+        b = {(r["metric"], r["wts"], r["avg_value"]) for r in expect.collect()}
+        assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
