@@ -526,7 +526,17 @@ class Compiler:
             return self._where_col(w[1]) | self._where_col(w[2])
         tag: A.TagRef = w[1]
         key = f"{tag.ns}:{tag.key}" if tag.ns else tag.key
-        ref = F.col("tags")[key]
+        # a bare tag key that exists as a physical column uses the
+        # column, not the tags map: map accesses can't push into the
+        # parquet scan, while plain-column predicates become
+        # PushedFilters (row-group min/max skipping) — the reference
+        # gets the same effect by pushing tag WHEREs into its index
+        # (src/dql_expand.erl:60-93). Semantics are identical because
+        # the tags map is BUILT from these columns.
+        if not tag.ns and tag.key in self.metrics.columns:
+            ref = F.col(tag.key)
+        else:
+            ref = F.col("tags")[key]
         if op == "=":
             return ref == w[2]
         if op == "!=":

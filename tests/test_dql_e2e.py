@@ -286,3 +286,26 @@ def test_histogram_sig_figs_validation(spark):
             "LAST 30m",
             SF_SMOKE,
         )
+
+
+def test_tag_where_pushes_to_scan(spark):
+    """Bare tag keys backed by physical columns must reach the parquet
+    scan as PushedFilters (row-group skipping) instead of running as
+    post-scan tags-map lookups — the engine's analogue of the
+    reference pushing tag WHEREs into its index
+    (src/dql_expand.erl:60-93)."""
+    from dqe_spark import engine
+    from dqe_spark.plans.debug import explain_string
+    from tests.conftest import SF_SMOKE
+
+    JAN1, FEB1 = 1704067200000, 1706745600000
+    (res,) = engine.run(
+        spark,
+        "SELECT 'events'.'click' FROM 'events' WHERE 'host' = 'h1' "
+        f"AND 'dc' != 'west' BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    plan = explain_string(res.df)
+    assert "EqualTo(host,h1)" in plan, plan
+    # the tags map must not be materialized for this query at all
+    assert "tags" not in plan.split("ReadSchema")[1].splitlines()[0], plan
