@@ -264,6 +264,28 @@ def hdr_quantize(v: Column, htv: int, sig_figs: int) -> Column:
     return F.when(v < F.lit(1 << sbc_mag), v).otherwise(v - v % quantum)
 
 
+def arg_types(inputs, sub_type: str = "metric") -> tuple[str, ...]:
+    """Reference-style argument type names for error messages
+    (src/dqe.erl:136-138 joins the unresolved signature's types:
+    "Not recognized function f(metric, integer)."). Series-valued
+    nodes render as sub_type; constants by their literal class."""
+    out = []
+    for a in inputs:
+        if isinstance(a, A.TimeUnit):
+            out.append("time")
+        elif isinstance(a, bool):
+            out.append("integer")
+        elif isinstance(a, int):
+            out.append("integer")
+        elif isinstance(a, float):
+            out.append("float")
+        elif isinstance(a, str):
+            out.append("string")
+        else:
+            out.append(sub_type)
+    return tuple(out)
+
+
 def glob_to_regex(parts: tuple[str, ...]) -> str:
     segs = [("[^.]+" if p == "*" else re.escape(p)) for p in parts]
     return "^" + r"\.".join(segs) + "$"
@@ -644,7 +666,7 @@ class Compiler:
                 # (src/dql_resolver.erl:77-108 would report not_found)
                 raise PlanError(
                 f"function not found: {name}/{len(node.inputs)}",
-                "not_found_fun", name, len(node.inputs),
+                "not_found_fun", name, arg_types(node.inputs),
             )
             frames = [self._expect_series(self._node(s, start, end)) for s in series]
             res = {fr.res_ms for fr in frames}
@@ -692,7 +714,7 @@ class Compiler:
         if len(series) != 1:
             raise PlanError(
                 f"function not found: {name}/{len(node.inputs)}",
-                "not_found_fun", name, len(node.inputs),
+                "not_found_fun", name, arg_types(node.inputs),
             )
         sub = self._expect_series(self._node(series[0], start, end))
 
@@ -765,7 +787,8 @@ class Compiler:
             agg = AGGR_THRESHOLD[base](vcol, float(consts[0]))
         else:
             raise PlanError(
-                f"function not found: {name}", "not_found_fun", name, 1
+                f"function not found: {name}", "not_found_fun", name,
+                arg_types(node.inputs),
             )
         df = (
             sub.df.withColumn("wts", W.wts_col(wms))
@@ -910,7 +933,8 @@ class Compiler:
             df = sub.df.withColumn("value", ARITH[name](F.col("value"), float(consts[0])))
         else:
             raise PlanError(
-                f"function not found: {name}", "not_found_fun", name, 1
+                f"function not found: {name}", "not_found_fun", name,
+                arg_types(node.inputs),
             )
         return replace(sub, df=df, label=unparse(node), pristine=False)
 
@@ -948,7 +972,8 @@ class Compiler:
         else:
             raise PlanError(
                 f"function not found on histogram: {name}",
-                "not_found_fun", name, 1,
+                "not_found_fun", name,
+                arg_types(node.inputs, sub_type="histogram"),
             )
         df = (
             sub.df.withColumn("wts", W.wts_col(wms))

@@ -118,6 +118,10 @@ def error_string(err: Exception) -> str:
     if code == "not_found_var":
         return f"Variable '{info[0]}' referenced but not defined!"
     if code == "not_found_fun":
+        # reference joins the unresolved signature's argument types
+        # (src/dqe.erl:136-138): "Not recognized function f(metric, time)."
+        if isinstance(info[1], (tuple, list)):
+            return f"Not recognized function {info[0]}({', '.join(info[1])})."
         return f"Not recognized function {info[0]}/{info[1]}."
     if code == "resolution_conflict":
         return "Combination functions can't have mix resolutions as children."

@@ -639,3 +639,26 @@ def dql_multi_stmt(spark, sf_dir):
     )
     cols = ["name", F.col("ts_ms").alias("wts"), "value"]
     return r1.df.select(*cols).unionByName(r2.df.select(*cols))
+
+
+# ALL FROM 'bucket' WHERE tags — the no-metric-predicate lookup
+# (src/dql_parser.yrl:264-277 "ALL" production): every series in the
+# bucket matching the tag filter, each windowed independently. The tag
+# predicate rides the physical dc column into the parquet scan.
+@q(
+    "dql_lookup_all",
+    PARITY_P
+    + """
+SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+       round(avg(value), 4) AS value
+FROM metrics WHERE dc = 'east' GROUP BY 1, 2
+""",
+)
+def dql_lookup_all(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg(ALL FROM 'events' WHERE 'dc' = 'east', 1h) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select("metric", F.col("ts_ms").alias("wts"), "value")

@@ -29,7 +29,7 @@ def test_unknown_function(spark):
         spark,
         f"SELECT frobnicate('events'.'click' BUCKET 'events') BETWEEN {JAN1} AND {FEB1}",
     )
-    assert msg == "Not recognized function frobnicate/1."
+    assert msg == "Not recognized function frobnicate(metric)."
 
 
 def test_resolution_conflict(spark):
