@@ -45,40 +45,34 @@ def _rollup_dir(sf_dir: str, res_ms: int) -> Path:
     return STORE_ROOT / Path(sf_dir.rstrip("/")).name / f"rollup_{res_ms}ms"
 
 
-def build_rollup(
-    spark: SparkSession, sf_dir: str, res_ms: int = 60_000, force: bool = False
-) -> Path:
-    """Materialize the base rollup from the metric store (idempotent,
-    atomic via tmp-dir rename, same as the store ingest)."""
-    from dqe_spark.sources.metric_store import load_metrics
+def point_partials(points: DataFrame, res_ms: int = 60_000) -> DataFrame:
+    """Mergeable partials for a batch of points — the SINGLE partials
+    aggregation shared by the full build, the incremental merge, and
+    (shape-wise) the streaming maintenance path.
 
-    out = _rollup_dir(sf_dir, res_ms)
-    if not force and (out / "_SUCCESS").exists():
-        return out
-    m = load_metrics(spark, sf_dir)
+    DECIMAL sums: source values are fixed-decimal, so partial sums stay
+    EXACT — re-aggregated answers are then bit-identical to a raw scan
+    (no float-association drift between rollup-path and raw-path
+    results). Σx² makes variance/stddev distributive too; 2-decimal
+    inputs → 4-decimal squares, still exact in DECIMAL."""
     wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
-    partials = (
-        m.select("bucket", "metric", wts, "value", "confidence")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        points.select("bucket", "metric", wts, "value", "confidence")
         .groupBy("bucket", "metric", "wts")
         .agg(
             F.count("value").alias("cnt"),
-            # DECIMAL sum: source values are fixed-decimal, so partial
-            # sums stay EXACT — re-aggregated answers are then
-            # bit-identical to a raw scan (no float-association drift
-            # between rollup-path and raw-path results)
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum"),
-            # sum of squares makes variance/stddev distributive too:
-            # var = Σx²/n − (Σx/n)²; 2-decimal inputs → 4-decimal
-            # squares, still exact in DECIMAL(28,4)
-            F.sum(
-                (F.col("value").cast("decimal(18,2)") * F.col("value").cast("decimal(18,2)"))
-            ).alias("sum_sq"),
+            F.sum(dec).alias("sum"),
+            F.sum(dec * dec).alias("sum_sq"),
             F.min("value").alias("min"),
             F.max("value").alias("max"),
             F.sum(F.col("confidence").cast("decimal(18,2)")).alias("sum_conf"),
         )
     )
-    tmp = out.parent / f"_tmp_rollup_{res_ms}ms"
+
+
+def _atomic_write(partials: DataFrame, out: Path, tmp_name: str) -> Path:
+    tmp = out.parent / tmp_name
     if tmp.exists():
         shutil.rmtree(tmp)
     (
@@ -97,6 +91,87 @@ def build_rollup(
         if not (out / "_SUCCESS").exists():
             raise
         shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def build_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 60_000, force: bool = False
+) -> Path:
+    """Materialize the base rollup from the metric store (idempotent,
+    atomic via tmp-dir rename, same as the store ingest)."""
+    from dqe_spark.sources.metric_store import load_metrics
+
+    out = _rollup_dir(sf_dir, res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    return _atomic_write(
+        point_partials(load_metrics(spark, sf_dir), res_ms),
+        out,
+        f"_tmp_rollup_{res_ms}ms",
+    )
+
+
+#: canonical column types build_rollup's writer produces — the merge
+#: casts back to these so incrementally-rewritten partitions stay
+#: schema-identical to untouched ones (mixed decimal widths across
+#: parquet footers would poison later reads)
+_PARTIAL_TYPES = {
+    "cnt": "long", "sum": "decimal(28,2)", "sum_sq": "decimal(38,4)",
+    "min": "double", "max": "double", "sum_conf": "decimal(28,2)",
+}
+
+
+def merge_rollup_increment(
+    spark: SparkSession,
+    new_points: DataFrame,
+    sf_dir: str,
+    res_ms: int = 60_000,
+) -> Path:
+    """Fold newly-landed points into the materialized rollup WITHOUT a
+    full rebuild: partials are mergeable by construction (cnt/sums add,
+    min/max fold), so the update reads and rewrites only the
+    (bucket, metric) partitions the increment touches — at 100 TB an
+    hourly backfill costs proportional to the new data, not the store.
+
+    Dynamic partition overwrite replaces exactly the affected
+    directories; the merged frame is localCheckpoint'ed first so the
+    write doesn't read from the path it overwrites. This is the batch
+    twin of streaming.stream_rollup_partials (late/backfill data beyond
+    the stream's watermark lands here)."""
+    out = _rollup_dir(sf_dir, res_ms)
+    if not (out / "_SUCCESS").exists():
+        build_rollup(spark, sf_dir, res_ms)
+        return out
+    inc = point_partials(new_points, res_ms)
+    affected = inc.select("bucket", "metric").distinct()
+    existing = spark.read.parquet(str(out)).join(
+        F.broadcast(affected), ["bucket", "metric"], "left_semi"
+    )
+    merged = (
+        existing.unionByName(inc)
+        .groupBy("bucket", "metric", "wts")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum_conf").alias("sum_conf"),
+        )
+        .select(
+            "bucket", "metric", "wts",
+            *[F.col(c).cast(t).alias(c) for c, t in _PARTIAL_TYPES.items()],
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.repartition("bucket", "metric")
+        .sortWithinPartitions("wts")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "metric")
+        .parquet(str(out))
+    )
     return out
 
 

@@ -66,3 +66,67 @@ def test_hist_rollup_percentile_equals_raw(spark):
     a = {(r["metric"], r["wts"], r["value"]) for r in got.collect()}
     b = {(r["metric"], r["wts"], r["value"]) for r in ref.collect()}
     assert a == b and a
+
+
+def test_incremental_merge_equals_full_rebuild(spark, tmp_path):
+    """Partials merged incrementally (initial build from the first half
+    of the data + merge of the second half) must be row-identical to a
+    full rebuild — and only the affected partitions are rewritten."""
+    import shutil as _sh
+
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.sources.metric_store import load_metrics
+
+    sf = SF_SMOKE
+    res = 60_000
+    full_dir = R.build_rollup(spark, sf, res, force=True)
+    expected = {
+        tuple(r) for r in spark.read.parquet(str(full_dir))
+        .select("bucket", "metric", "wts", "cnt", "sum", "sum_sq",
+                "min", "max", "sum_conf").collect()
+    }
+
+    m = load_metrics(spark, sf)
+    cut = int(m.agg(F.expr("percentile(ts_ms, 0.5)")).collect()[0][0])
+    first, second = m.where(F.col("ts_ms") < cut), m.where(F.col("ts_ms") >= cut)
+
+    # seed the store with the first half only, then merge the rest
+    R._atomic_write(R.point_partials(first, res), full_dir, "_tmp_inc_seed")
+    R.merge_rollup_increment(spark, second, sf, res)
+
+    got = {
+        tuple(r) for r in spark.read.parquet(str(full_dir))
+        .select("bucket", "metric", "wts", "cnt", "sum", "sum_sq",
+                "min", "max", "sum_conf").collect()
+    }
+    assert got == expected
+
+    # leave a clean full rollup for other tests
+    R.build_rollup(spark, sf, res, force=True)
+
+
+def test_incremental_merge_new_metric_partition(spark):
+    """An increment for a metric the rollup has never seen must create
+    its partition without disturbing the others."""
+    from dqe_spark.sources import rollup as R
+
+    res = 60_000
+    out = R.build_rollup(spark, SF_SMOKE, res, force=True)
+    before = spark.read.parquet(str(out))
+    n_before = before.count()
+
+    new = spark.createDataFrame(
+        [("events", "events.synthetic_new", 60_000 * 7, 3.25, 1.0),
+         ("events", "events.synthetic_new", 60_000 * 7 + 1000, 1.75, 1.0)],
+        "bucket string, metric string, ts_ms long, value double, confidence double",
+    )
+    R.merge_rollup_increment(spark, new, SF_SMOKE, res)
+    after = spark.read.parquet(str(out))
+    added = after.where(F.col("metric") == "events.synthetic_new").collect()
+    assert len(added) == 1
+    row = added[0]
+    assert row["cnt"] == 2 and float(row["sum"]) == 5.0
+    assert row["min"] == 1.75 and row["max"] == 3.25
+    assert after.count() == n_before + 1
+
+    R.build_rollup(spark, SF_SMOKE, res, force=True)
