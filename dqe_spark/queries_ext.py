@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from dqe_spark.operators import dedup, multimodal, similarity, text
 from dqe_spark.operators.dedup import MINHASH_BANDS, MINHASH_K, SIMHASH_BITS
-from dqe_spark.sources.metric_store import load_table
+from dqe_spark.sources.metric_store import load_table, ts_ms_col
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -491,10 +491,11 @@ def asof_error_click(spark, sf_dir):
     """Each error event enriched with the user's latest click value at
     or before it — the as-of join pattern for joining events to the
     most recent reading of a slowly-changing series."""
-    ev = load_table(spark, sf_dir, "events").select(
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
         "event_id",
         "user_id",
-        F.expr("CAST(ts div 1000000 AS LONG)").alias("ts_ms"),
+        ts_ms_col(raw).alias("ts_ms"),
         "event_type",
         "value",
     )
@@ -534,10 +535,10 @@ FROM s GROUP BY 1, 2
 )
 def sessionize_clicks(spark, sf_dir):
     """Gap-bounded sessions (1h) over each user's click stream."""
+    raw = load_table(spark, sf_dir, "events")
     ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_type") == "click")
-        .select("user_id", F.expr("CAST(ts div 1000000 AS LONG)").alias("ts_ms"))
+        raw.where(F.col("event_type") == "click")
+        .select("user_id", ts_ms_col(raw).alias("ts_ms"))
         .distinct()
     )
     return temporal.sessionize(ev, key="user_id", gap_ms=3_600_000)

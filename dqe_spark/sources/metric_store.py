@@ -63,6 +63,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_ms_col(df: DataFrame, col: str = "ts"):
+    """Epoch-milliseconds expression for ``df[col]``, whatever the
+    parquet encoding of the timestamp is.
+
+    The driver's testdata has flipped between ``int64`` nanoseconds
+    (read as BIGINT under ``spark.sql.legacy.parquet.nanosAsLong``) and
+    ``timestamp[us]`` (read as TIMESTAMP_NTZ) across generations, so
+    the derivation must adapt to the schema it actually sees:
+
+      - timestamp / timestamp_ntz -> unix_micros(cast ts as timestamp)
+        div 1000   (exact integer ms; no float round-trip)
+      - bigint (nanos)            -> ts div 1000000
+
+    The DuckDB oracle side (``epoch_ns(ts) // 1000000`` in
+    METRICS_ORACLE_CTE) is polymorphic over both encodings already.
+    """
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype.startswith("timestamp"):
+        return F.expr(
+            f"CAST(unix_micros(CAST({col} AS TIMESTAMP)) div 1000 AS long)"
+        )
+    return F.expr(f"CAST({col} div 1000000 AS long)")
+
+
 def load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The metric-point store.
 
@@ -105,7 +129,7 @@ def _derive_metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"),
         dc.alias("dc"),
         user.alias("user"),
-        F.expr("CAST(ts div 1000000 AS long)").alias("ts_ms"),
+        ts_ms_col(ev).alias("ts_ms"),
         F.col("value").cast("double").alias("value"),
         ((F.col("event_id") % 11) / F.lit(10.0)).alias("confidence"),
     )
@@ -121,7 +145,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.lit("events").alias("bucket"),
-        F.expr("CAST(ts div 1000000 AS long)").alias("ts_ms"),
+        ts_ms_col(ev).alias("ts_ms"),
         F.col("event_id"),
         F.col("event_type"),
         F.col("user_id"),

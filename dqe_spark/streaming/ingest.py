@@ -20,10 +20,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# the driver's parquet carries TIMESTAMP(NANOS) which our sessions read
-# as long ns (see session.py) — the schema reflects that, and the
-# derivation rebuilds a proper event-time timestamp from it.
+# the driver's parquet has flipped between int64-nanosecond ts (read as
+# long under nanosAsLong) and timestamp[us] across data generations —
+# both schemas are accepted; the derivation below adapts to whichever
+# the landing files actually carry (same drift the batch path absorbs
+# in sources/metric_store.ts_ms_col).
 STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+STREAM_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
@@ -33,13 +40,22 @@ def stream_metrics(
     spark: SparkSession, source_dir: str, schema: str = STREAM_SCHEMA
 ) -> DataFrame:
     """readStream over a landing directory of parquet event files,
-    mapped to the metric-store shape (same derivation as batch)."""
+    mapped to the metric-store shape (same derivation as batch).
+
+    ``ts`` may be declared timestamp (used as event time directly) or
+    long nanoseconds (rebuilt via timestamp_micros) — pass the schema
+    matching the landing files' encoding.
+    """
     ev = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(ev.dtypes)["ts"].startswith("timestamp"):
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.expr("timestamp_micros(ts div 1000)")
     metric = F.concat(F.lit("events."), F.col("event_type"))
     return ev.select(
         F.lit("events").alias("bucket"),
         metric.alias("metric"),
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        ts.alias("ts"),
         F.col("value").cast("double").alias("value"),
         ((F.col("event_id") % 11) / F.lit(10.0)).alias("confidence"),
     )

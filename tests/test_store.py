@@ -6,6 +6,39 @@ from __future__ import annotations
 from tests.conftest import SF_SMOKE
 
 
+def test_ts_schema_contract(spark, tmp_path):
+    """Data-generation drift guard: the metric derivation must analyze
+    and yield ts_ms:long for BOTH historical encodings of events.ts —
+    int64 nanoseconds and timestamp[us] (the round-2 regression was a
+    silent flip between the two; see VERDICT round 2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dqe_spark.sources.metric_store import _derive_metrics_view
+
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 11],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    ms = [1_700_000_000_000, 1_700_000_060_000]
+
+    for sub, ts_arr in (
+        ("ts_long", pa.array([m * 1_000_000 for m in ms], pa.int64())),
+        ("ts_us", pa.array([m * 1_000 for m in ms], pa.timestamp("us"))),
+    ):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table({**{k: pa.array(v) for k, v in base.items()}, "ts": ts_arr})
+        pq.write_table(tbl, d / "events.parquet")
+        m = _derive_metrics_view(spark, str(d))
+        assert dict(m.dtypes)["ts_ms"] == "bigint"
+        got = sorted(r["ts_ms"] for r in m.select("ts_ms").collect())
+        assert got == ms, f"{sub}: {got} != {ms}"
+
+
 def test_ingest_and_parity(spark):
     from dqe_spark.sources import store
     from dqe_spark.sources.metric_store import _derive_metrics_view
