@@ -43,6 +43,57 @@ def test_stream_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_metrics_both_ts_encodings(spark, tmp_path):
+    """stream_metrics must accept landing files with ts as int64 nanos
+    (STREAM_SCHEMA_NANOS) or timestamp[us] (STREAM_SCHEMA) and yield
+    identical event-time rows — the streaming twin of the batch
+    ts_ms_col drift guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dqe_spark.streaming.ingest import (
+        STREAM_SCHEMA,
+        STREAM_SCHEMA_NANOS,
+        stream_metrics,
+    )
+
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    ms = [1_700_000_000_000, 1_700_000_060_000]
+    results = {}
+    for sub, schema, ts_arr in (
+        ("nanos", STREAM_SCHEMA_NANOS,
+         pa.array([m * 1_000_000 for m in ms], pa.int64())),
+        ("micros", STREAM_SCHEMA,
+         pa.array([m * 1_000 for m in ms], pa.timestamp("us"))),
+    ):
+        landing = tmp_path / sub
+        landing.mkdir()
+        pq.write_table(pa.table({**base, "ts": ts_arr}),
+                       landing / "batch0.parquet")
+        out, ckpt = tmp_path / f"{sub}_out", tmp_path / f"{sub}_ckpt"
+        q = (
+            stream_metrics(spark, str(landing), schema=schema)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        results[sub] = sorted(
+            (r["metric"], r["ts"].isoformat(), r["value"])
+            for r in spark.read.parquet(str(out)).collect()
+        )
+    assert results["nanos"] == results["micros"] and len(results["nanos"]) == 2
+
+
 def test_densify(spark):
     from dqe_spark.operators.densify import densify
     from dqe_spark.operators.windows import agg_avg, window_agg
