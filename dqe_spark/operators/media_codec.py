@@ -1,0 +1,335 @@
+"""Pure-Python/numpy media decoders for the multimodal column path.
+
+The container has no PIL/ffmpeg/librosa, but several real formats are
+fully decodable from the standard library + numpy:
+
+  * WAV  (audio/wav)  — stdlib ``wave``: sample rate, channels,
+    duration, plus PCM frames → numpy for RMS energy.
+  * PNG  (image/png)  — stdlib ``zlib`` inflate of IDAT + the five
+    scanline filters (None/Sub/Up/Average/Paeth) re-applied in numpy;
+    8-bit gray / RGB / RGBA, non-interlaced.
+  * BMP  (image/bmp)  — ``struct`` parse of BITMAPINFOHEADER; 24-bpp
+    uncompressed bottom-up pixel rows.
+  * JPEG (image/jpeg) — marker scan for SOF0/SOF2 frame headers gives
+    real width/height (full entropy decode is out of scope — that part
+    still raises, honestly).
+
+These run inside mapInPandas batches (operators/multimodal.py), so the
+decode is per-executor, Arrow-batched, and never touches the driver.
+Row-at-a-time byte parsing is acceptable here: decode cost is dominated
+by the payload bytes themselves (same at any scale), and each call
+handles one media object — the parallelism axis is objects, which Spark
+partitions.
+
+Reference scope note: the reference engine (dalmatinerdb/dqe) has no
+media path at all; this module is part of the beyond-reference
+LLM-pipeline surface (SURVEY.md §7 M6).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "decode_wav",
+    "decode_png",
+    "decode_bmp",
+    "jpeg_dimensions",
+    "decode_media",
+    "MediaDecodeError",
+]
+
+
+class MediaDecodeError(ValueError):
+    """Malformed or unsupported media payload."""
+
+
+# --------------------------------------------------------------------------
+# WAV
+
+def decode_wav(data: bytes) -> dict:
+    """Decode a RIFF/WAVE payload → metadata + PCM-derived features.
+
+    Returns dict(kind, sample_rate, channels, n_samples, duration_ms,
+    rms) — rms computed over the full PCM stream (16-bit or 8-bit).
+    """
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise MediaDecodeError(f"bad WAV: {e}") from e
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise MediaDecodeError(f"unsupported WAV sample width: {width}")
+    rms = float(np.sqrt(np.mean(pcm * pcm))) if pcm.size else 0.0
+    return {
+        "kind": "audio",
+        "sample_rate": sr,
+        "channels": ch,
+        "n_samples": n,
+        "duration_ms": int(round(n * 1000.0 / sr)) if sr else 0,
+        "rms": rms,
+    }
+
+
+def encode_wav(samples_i16: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE writer (16-bit PCM) — stdlib ``wave``; the
+    encode half of decode_wav for tests and synthetic-media sinks."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → samples per pixel (8-bit depths only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        yield ctype, data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> dict:
+    """Decode an 8-bit non-interlaced PNG → pixels + metadata.
+
+    Full pipeline: IHDR parse → IDAT zlib inflate → scanline
+    unfiltering (all five PNG filter types) → (h, w, c) uint8 array.
+    Returns dict(kind, width, height, channels, pixels, mean_luma).
+    """
+    if data[:8] != _PNG_SIG:
+        raise MediaDecodeError("bad PNG signature")
+    width = height = None
+    bitdepth = colortype = interlace = None
+    idat = bytearray()
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise MediaDecodeError("PNG missing IHDR")
+    if bitdepth != 8 or colortype not in _PNG_CHANNELS or interlace:
+        raise MediaDecodeError(
+            f"unsupported PNG (bitdepth={bitdepth}, colortype={colortype}, "
+            f"interlace={interlace}); 8-bit non-interlaced gray/RGB/RGBA only"
+        )
+    nch = _PNG_CHANNELS[colortype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"bad PNG IDAT: {e}") from e
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise MediaDecodeError("PNG IDAT length mismatch")
+
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up — fully vectorized
+            row += prev
+        elif ftype == 1:  # Sub — sequential in x
+            for x in range(nch, stride):
+                row[x] = (int(row[x]) + int(row[x - nch])) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(row[x - nch]) if x >= nch else 0
+                ul = int(prev[x - nch]) if x >= nch else 0
+                row[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise MediaDecodeError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = out[y]
+    pixels = out.reshape(height, width, nch)
+    # luma over color channels only (alpha excluded)
+    color = pixels[:, :, : 3 if nch >= 3 else 1].astype(np.float64)
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "channels": nch,
+        "pixels": pixels,
+        "mean_luma": float(color.mean()),
+    }
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0 rows) — used by tests to build real
+    payloads and by resize sinks; gray/gray+alpha/RGB/RGBA uint8."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, nch = pixels.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
+# BMP
+
+def decode_bmp(data: bytes) -> dict:
+    """Decode an uncompressed 24-bpp BITMAPINFOHEADER BMP → pixels.
+
+    Rows are 4-byte aligned and stored bottom-up (top-down when height
+    is negative, per the spec). Returns the same dict shape as
+    decode_png (channels=3, BGR reordered to RGB).
+    """
+    if data[:2] != b"BM" or len(data) < 54:
+        raise MediaDecodeError("bad BMP header")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise MediaDecodeError(
+            f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression}); "
+            "24-bpp uncompressed only"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    need = offset + stride * height
+    if len(data) < need:
+        raise MediaDecodeError("BMP pixel data truncated")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=offset)
+    rows = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    pixels = rows[:, :, ::-1].copy()  # BGR → RGB
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "pixels": pixels,
+        "mean_luma": float(pixels.astype(np.float64).mean()),
+    }
+
+
+# --------------------------------------------------------------------------
+# JPEG (frame header only — honest partial decode)
+
+def jpeg_dimensions(data: bytes) -> dict:
+    """Width/height from the SOF0/SOF1/SOF2 frame header (the marker
+    scan every image tool performs). Pixel decode needs a full huffman/
+    DCT implementation — out of scope, so ``pixels`` stays absent."""
+    if data[:2] != b"\xff\xd8":
+        raise MediaDecodeError("bad JPEG SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack_from(">HH", data, pos + 5)
+            return {"kind": "image", "width": w, "height": h,
+                    "channels": data[pos + 9], "mean_luma": None}
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        pos += 2 + seglen
+    raise MediaDecodeError("JPEG has no SOF frame header")
+
+
+# --------------------------------------------------------------------------
+# resize (nearest-neighbor — numpy index math, no deps)
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w[, c]) uint8 array."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+# --------------------------------------------------------------------------
+# dispatch
+
+_DECODERS = {
+    "audio/wav": decode_wav,
+    "image/png": decode_png,
+    "image/bmp": decode_bmp,
+    "image/jpeg": jpeg_dimensions,
+}
+
+
+def decode_media(content: bytes, media_type: str) -> dict:
+    """Dispatch a binary payload to its real decoder.
+
+    Raises MediaDecodeError for malformed payloads and
+    NotImplementedError for media types with no in-container decoder
+    (video/*, compressed audio) — the caller surfaces that per-row
+    rather than failing the batch.
+    """
+    fn = _DECODERS.get(media_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"no in-container decoder for {media_type!r} (video and "
+            "compressed audio need ffmpeg); supported: "
+            + ", ".join(sorted(_DECODERS))
+        )
+    return fn(bytes(content))
