@@ -480,11 +480,25 @@ class Compiler:
     # -- terminals (src/dqe_get.erl, src/dql_expand.erl) ---------------------
 
     def _scan(self, bucket: str, start: int, end: int) -> DataFrame:
-        return self.metrics.where(
+        cond = (
             (F.col("bucket") == bucket)
             & (F.col("ts_ms") >= start)
             & (F.col("ts_ms") < end)
         )
+        if "dt" in self.metrics.columns:
+            # date-partitioned store (sources/store.py layout="date"):
+            # restate the ts range on the dt partition column so the
+            # time bound becomes partition PRUNING, not just a row
+            # filter. ISO yyyy-MM-dd compares correctly as a string.
+            from datetime import datetime, timezone
+
+            def _d(ms: int) -> str:
+                return datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime(
+                    "%Y-%m-%d"
+                )
+
+            cond &= F.col("dt").between(_d(start), _d(max(start, end - 1)))
+        return self.metrics.where(cond)
 
     def _res(self, bucket: str) -> int:
         return int(self.resolutions.get(bucket, 1000))

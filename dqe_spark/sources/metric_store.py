@@ -98,9 +98,10 @@ def load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dqe_spark.sources import store
 
-    mat = store.load(spark, sf_dir)
-    if mat is not None:
-        return mat
+    for layout in ("metric", "date"):
+        mat = store.load(spark, sf_dir, layout=layout)
+        if mat is not None:
+            return mat
     return _derive_metrics_view(spark, sf_dir)
 
 

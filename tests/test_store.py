@@ -69,6 +69,67 @@ def test_partition_pruning(spark):
     assert "PartitionFilters" in plan and "events.click" in plan
 
 
+def test_date_layout_parity_and_pruning(spark):
+    """The 100 TB store shape: partitioned by (bucket, dt) with
+    (metric, ts)-sorted files. Must (a) hold the same rows as the view
+    derivation, (b) turn a DQL time range into dt PARTITION pruning via
+    the compiler's restated predicate, and (c) answer a windowed query
+    identically to the default layout."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dqe_spark import engine
+    from dqe_spark.dql.compiler import Compiler
+    from dqe_spark.dql.parser import parse
+    from dqe_spark.sources import store
+    from dqe_spark.sources.metric_store import (
+        BUCKET_RESOLUTION_MS,
+        _derive_metrics_view,
+        load_events,
+    )
+
+    JAN1, JAN3 = 1704067200000, 1704067200000 + 2 * 86_400_000
+    p = store.ingest(spark, SF_SMOKE, layout="date")
+    try:
+        mat = store.load(spark, SF_SMOKE, layout="date")
+        assert mat is not None and "dt" in mat.columns
+
+        cols = ["bucket", "metric", "host", "dc", "user", "ts_ms", "value",
+                "confidence"]
+        a = sorted(map(tuple, mat.select(*cols).collect()))
+        b = sorted(map(tuple, _derive_metrics_view(spark, SF_SMOKE).select(*cols).collect()))
+        assert a == b
+
+        comp = Compiler(
+            metrics=mat,
+            events=load_events(spark, SF_SMOKE),
+            resolutions=BUCKET_RESOLUTION_MS,
+        )
+        (res,) = comp.compile(parse(
+            "SELECT avg('events'.'click' BUCKET 'events', 1m) "
+            f"BETWEEN {JAN1} AND {JAN3}"
+        ))
+        plan = res.df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PartitionFilters" in plan and "dt" in plan and "2024-01-0" in plan
+
+        (want,) = engine.run(
+            spark,
+            "SELECT avg('events'.'click' BUCKET 'events', 1m) "
+            f"BETWEEN {JAN1} AND {JAN3}",
+            SF_SMOKE,
+        )
+        assert sorted(map(tuple, res.df.collect())) == sorted(
+            map(tuple, want.df.collect())
+        )
+    finally:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def test_salted_agg_equals_plain(spark):
     from pyspark.sql import functions as F
 
