@@ -56,6 +56,17 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def quality_e4(col_name: str = "text") -> Column:
+    """quality_score in exact integer 1e-4 units:
+    (min(n,100) * n_distinct * 10000) DIV (100 * n) — integer math end
+    to end, so Spark and the DuckDB oracle agree bit-for-bit."""
+    return F.expr(
+        f"CAST((least(size(split(trim({col_name}), '\\\\s+')), 100) "
+        f"* size(array_distinct(split(trim({col_name}), '\\\\s+'))) * 10000) "
+        f"DIV (100 * size(split(trim({col_name}), '\\\\s+'))) AS long)"
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (Rolling-hash shingle fingerprints live in dedup.simhash.)"""
@@ -90,6 +101,102 @@ def bpe_tokens(text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text)).cast("long")
+
+
+def vocab_stats(
+    df: DataFrame,
+    k: int = 100,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by term frequency, with document
+    frequency — the tf/df table behind IDF weighting, vocabulary
+    pruning, and tokenizer-training corpus stats.
+
+    The canonical distributed wordcount: explode is map-side, then ONE
+    shuffle keyed by token for the combined (tf, df) aggregate —
+    count(*) and approx-free count(DISTINCT doc) share the exchange.
+    Token frequency is Zipfian by nature (the head token can be ~5% of
+    all occurrences) but partial aggregation absorbs the skew: each map
+    task pre-merges its local counts, so the hot token's reducer
+    receives one partial row per task, not one row per occurrence.
+    Deterministic total order (tf desc, token asc) makes top-k stable.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(col))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+#: redaction patterns — kept to syntax shared by Java regex (Spark)
+#: and RE2 (DuckDB) so the oracle replays the exact same rewrite.
+REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact(text: Column) -> Column:
+    """PII scrubbing: emails, URLs, phone-shaped numbers → typed
+    placeholder tokens. Narrow regexp_replace chain — map-only,
+    pipelines with the scan; the standard pre-training privacy pass."""
+    out = text
+    for _name, pat, repl in REDACT_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def split_assign(id_col: Column, train_pct: int = 98, val_pct: int = 1) -> Column:
+    """Deterministic train/val/test assignment from a stable content
+    hash — never random: reruns, backfills, and incremental ingests
+    land every document in the same split, which is what prevents
+    train/eval contamination. Bucket = md5(id) mod 100."""
+    bucket = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def clean_corpus(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_quality_e4: int = 3000,
+    col: str = "text",
+) -> DataFrame:
+    """C4-style corpus cleanup as ONE composed narrow pass: token
+    bounds + quality threshold + language gate + redaction + split
+    assignment. Everything is a Column expression over a single scan —
+    no shuffle, no UDF; at 100 TB this runs at parquet-read speed and
+    the filters push into the scan where the columns are physical.
+    Quality compares in exact integer 1e-4 units (quality_e4)."""
+    t = F.col(col)
+    n = token_count(t)
+    return (
+        df.where((n >= min_tokens) & (n <= max_tokens))
+        .where(quality_e4(col) >= min_quality_e4)
+        .where(lang_id(t) == "en")
+        .select(
+            "doc_id",
+            redact(t).alias("clean_text"),
+            n.alias("n_tokens"),
+            quality_e4(col).alias("quality_e4"),
+            split_assign(F.col("doc_id")).alias("split"),
+        )
+    )
 
 
 def winnow_fingerprints(

@@ -282,6 +282,100 @@ def dedup_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardup_pairs(d, max_hamming=3)
 
 
+#: redaction as nested SQL regexp_replace — same pattern strings and
+#: application order as text.REDACT_PATTERNS ('g' = replace-all, which
+#: is Spark's default)
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'https?://[^\\s]+', '<URL>', 'g'), "
+    "'\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g')"
+)
+
+_SPLIT_SQL = (
+    "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 100 < 98 THEN 'train' "
+    "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "% 100 < 99 THEN 'val' ELSE 'test' END"
+)
+
+_QE4_SQL = (
+    f"(least(len({_TOK}), 100) * len(list_distinct({_TOK})) * 10000) "
+    f"// (100 * len({_TOK}))"
+)
+
+
+@q(
+    "text_redact",
+    f"SELECT doc_id, {_REDACT_SQL} AS clean_text FROM documents",
+)
+def text_redact(spark, sf_dir):
+    """PII scrubbing (emails/URLs/phone-shaped numbers → typed
+    placeholders) — hash-checked against the oracle's identical
+    regexp_replace chain, proving the Java-regex and RE2 rewrites
+    agree byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.redact(F.col("text")).alias("clean_text"))
+
+
+@q(
+    "corpus_split",
+    f"SELECT doc_id, {_SPLIT_SQL} AS split FROM documents",
+)
+def corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (98/1/1) from a stable
+    md5 bucket of the document id — reruns and incremental ingests
+    place every document identically, preventing train/eval leakage."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text.split_assign(F.col("doc_id")).alias("split")
+    )
+
+
+@q(
+    "corpus_clean",
+    f"""
+WITH s AS (
+  SELECT doc_id, text,
+         len({_TOK}) AS n_tokens,
+         {_QE4_SQL} AS quality_e4,
+         ({_STOP_HITS}) AS hits
+  FROM documents
+)
+SELECT doc_id, {_REDACT_SQL} AS clean_text, n_tokens, quality_e4,
+       {_SPLIT_SQL} AS split
+FROM s
+WHERE n_tokens >= 20 AND n_tokens <= 100000
+  AND quality_e4 >= 3000 AND 50 * hits > n_tokens
+""",
+)
+def corpus_clean(spark, sf_dir):
+    """The composed C4-style cleanup pass: length bounds, quality
+    threshold, language gate, PII redaction, and split assignment in
+    one narrow scan-speed projection (operators/text.clean_corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.clean_corpus(d)
+
+
+@q(
+    "text_vocab_top100",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS token FROM documents
+)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM tok GROUP BY token
+ORDER BY tf DESC, token ASC LIMIT 100
+""",
+)
+def text_vocab_top100(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by term frequency with
+    document frequency — the tf/df table behind IDF weighting and
+    vocabulary pruning in a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.vocab_stats(d, k=100)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
