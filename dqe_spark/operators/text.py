@@ -199,6 +199,36 @@ def clean_corpus(
     )
 
 
+def split_contamination(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination scan: document pairs in DIFFERENT splits that
+    share ≥ min_shared winnowing fingerprints — substring-level overlap
+    between train and eval data is exactly the leakage that inflates
+    benchmark scores, and the winnowing guarantee (any shared substring
+    of length ≥ w+k−1 shares a fingerprint) is what whole-doc hashes
+    miss. Runs AFTER split assignment, which is why assignment must be
+    deterministic (split_assign): the contamination report stays valid
+    across reruns. Output (id_i, id_j, split_i, split_j, shared_fp)."""
+    pairs = winnow_overlap_pairs(df, k, w, min_shared, max_df, col, id_col)
+    # no join needed for the split columns: assignment is a pure
+    # function of the id, so recompute it on the pair row — the whole
+    # decoration stays a narrow projection over the (tiny) pair set.
+    return pairs.select(
+        "id_i",
+        "id_j",
+        split_assign(F.col("id_i")).alias("split_i"),
+        split_assign(F.col("id_j")).alias("split_j"),
+        "shared_fp",
+    ).where(F.col("split_i") != F.col("split_j"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,

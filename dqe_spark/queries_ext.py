@@ -890,6 +890,13 @@ def m4_downsample(spark, sf_dir):
     return m4(m, _M4_START, _M4_END, _M4_W)
 
 
+#: split bucket CASE on an arbitrary id expression (oracle twin of
+#: text.split_assign)
+def _split_sql_for(expr: str) -> str:
+    b = f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % 100"
+    return f"CASE WHEN {b} < 98 THEN 'train' WHEN {b} < 99 THEN 'val' ELSE 'test' END"
+
+
 _WINNOW_CTE = """
 WITH g AS (
   SELECT doc_id, i - 1 AS pos,
@@ -940,3 +947,34 @@ def text_winnow_overlap(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_overlap_pairs(d, k=5, w=4, min_shared=2, max_df=100)
+
+
+@q(
+    "split_contamination",
+    _WINNOW_CTE
+    + f"""
+, rare AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 100
+), fpr AS (
+  SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)
+), ov AS (
+  SELECT a.doc_id AS id_i, b.doc_id AS id_j, count(*) AS shared_fp
+  FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_i, id_j,
+       {_split_sql_for('id_i')} AS split_i,
+       {_split_sql_for('id_j')} AS split_j,
+       shared_fp
+FROM ov
+WHERE {_split_sql_for('id_i')} != {_split_sql_for('id_j')}
+""",
+)
+def split_contamination(spark, sf_dir):
+    """Train/eval decontamination: cross-split document pairs sharing
+    winnowing fingerprints — substring-level leakage whole-doc hashes
+    miss (operators/text.split_contamination)."""
+    from dqe_spark.operators.text import split_contamination as _sc
+
+    d = load_table(spark, sf_dir, "documents")
+    return _sc(d, k=5, w=4, min_shared=2, max_df=100)
