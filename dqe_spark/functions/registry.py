@@ -60,3 +60,79 @@ def default_registry() -> FunctionRegistry:
     (src/dqe.erl:121-122). Callers needing isolation construct their
     own FunctionRegistry and pass it to Compiler(registry=...)."""
     return _default
+
+
+def describe(registry: FunctionRegistry | None = None) -> list[dict]:
+    """The function catalog — the reference's ``dqe_fun`` behaviour
+    exports ``describe/1`` and ``help/0`` per module and dqe surfaces
+    them as the queryable function listing; this is the engine-wide
+    equivalent: one row per callable name with its class, DQL call
+    signature, and the first docstring line of the implementation.
+
+    Covers every built-in table the compiler dispatches on (aggregates,
+    threshold/confidence aggregates, percentile, transforms, scalar
+    arithmetic, combinators, histogram reductions) plus anything
+    user-registered in ``registry`` (defaults to the global one)."""
+    from dqe_spark.dql import compiler as C
+
+    reg = registry or default_registry()
+
+    def doc(fn) -> str:
+        return (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else ""
+
+    rows: list[dict] = []
+
+    def add(name, klass, sig, fn, builtin=True):
+        rows.append(
+            {
+                "name": name,
+                "class": klass,
+                "signature": sig,
+                "builtin": builtin,
+                "help": doc(fn),
+            }
+        )
+
+    for n, fn in sorted(C.AGGR_PLAIN.items()):
+        add(n, "aggregate", f"{n}(metric, time)", fn)
+    for n, fn in sorted(C.AGGR_THRESHOLD.items()):
+        add(n, "aggregate", f"{n}(metric, threshold, time)", fn)
+        add(
+            f"{n}_conf", "aggregate", f"{n}_conf(metric, threshold, time)", fn
+        )
+    add("percentile", "aggregate", "percentile(metric, fraction, time)",
+        C.W.agg_percentile)
+    add("derivate", "transform", "derivate(metric)", C.T.derivate)
+    add("confidence", "transform", "confidence(metric)", C.T.t_confidence)
+    for n, fn in sorted(C.TRANS_PLAIN.items()):
+        add(n, "transform", f"{n}(metric)", fn)
+    for n, fn in sorted(C.ARITH.items()):
+        add(n, "arith", f"{n}(metric, number)", fn)
+    for n, fn in sorted(C.COMBINE.items()):
+        add(n, "combinator", f"{n}(metric, metric, ...)", fn)
+    add("histogram", "histogram", "histogram(metric, htv, sig_figs, time)",
+        C.hdr_quantize)
+    for n, fn in sorted(C.HIST_RED.items()):
+        add(n, "histogram-reduction", f"{n}(histogram)", fn)
+    add("percentile", "histogram-reduction", "percentile(histogram, fraction)",
+        C.W.agg_percentile)
+
+    for n, fn in sorted(reg.aggregates.items()):
+        add(n, "aggregate", f"{n}(metric, time)", fn, builtin=False)
+    for n, fn in sorted(reg.transforms.items()):
+        add(n, "transform", f"{n}(metric)", fn, builtin=False)
+    for n, fn in sorted(reg.arith.items()):
+        add(n, "arith", f"{n}(metric, number)", fn, builtin=False)
+    return rows
+
+
+def help_text(registry: FunctionRegistry | None = None) -> str:
+    """Human-readable catalog (the reference's ``help/0`` surface)."""
+    rows = describe(registry)
+    width = max(len(r["signature"]) for r in rows)
+    lines = []
+    for r in rows:
+        tag = "" if r["builtin"] else "  [registered]"
+        lines.append(f"{r['signature']:<{width}}  {r['class']}{tag}"
+                     + (f" — {r['help']}" if r["help"] else ""))
+    return "\n".join(lines)

@@ -38,6 +38,44 @@ def test_register_aggregate(spark):
         reg.aggregates.pop("p95", None)
 
 
+def test_describe_catalog():
+    """The dqe_fun describe/help surface: every name the compiler
+    dispatches on appears in the catalog (drift guard), registered
+    functions show up tagged, and the count matches the reference's
+    45 registered function modules (src/dqe.erl:62-122)."""
+    from dqe_spark.dql import compiler as C
+    from dqe_spark.functions import default_registry
+    from dqe_spark.functions.registry import describe, help_text
+
+    rows = describe()
+    assert len(rows) == 45  # parity with the reference's registration count
+    names = {(r["name"], r["class"]) for r in rows}
+    for n in C.AGGR_PLAIN:
+        assert (n, "aggregate") in names
+    for n in C.AGGR_THRESHOLD:
+        assert (n, "aggregate") in names and (f"{n}_conf", "aggregate") in names
+    for n in C.TRANS_PLAIN:
+        assert (n, "transform") in names
+    for n in C.ARITH:
+        assert (n, "arith") in names
+    for n in C.COMBINE:
+        assert (n, "combinator") in names
+    for n in C.HIST_RED:
+        assert (n, "histogram-reduction") in names
+    assert ("histogram", "histogram") in names
+    assert ("percentile", "aggregate") in names
+
+    reg = default_registry()
+    reg.register_transform("noop", lambda v: v)
+    try:
+        cat = describe()
+        (row,) = [r for r in cat if r["name"] == "noop"]
+        assert row["builtin"] is False and row["class"] == "transform"
+        assert "noop(metric)" in help_text()
+    finally:
+        reg.transforms.pop("noop", None)
+
+
 def test_register_transform(spark):
     from dqe_spark.functions import default_registry
 
