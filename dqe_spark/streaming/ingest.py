@@ -169,6 +169,27 @@ def stream_sessions(
     )
 
 
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_clean_corpus(
+    spark: SparkSession, source_dir: str, schema: str = DOCS_SCHEMA
+) -> DataFrame:
+    """Streaming twin of operators/text.clean_corpus: the C4-style
+    cleanup (length bounds, quality gate, language gate, PII redaction,
+    split assignment) applied to a landing directory of document
+    parquet as they arrive. The pass is a stateless narrow projection,
+    so the streaming plan is the batch plan with a file source in
+    front — no watermark or state store involved; a drained stream
+    equals the batch run over the same files (asserted in tests)."""
+    from dqe_spark.operators.text import clean_corpus
+
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    return clean_corpus(docs)
+
+
 def stream_dedup(
     metrics: DataFrame,
     keys: tuple[str, ...] = ("metric", "ts"),

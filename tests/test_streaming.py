@@ -94,6 +94,34 @@ def test_stream_metrics_both_ts_encodings(spark, tmp_path):
     assert results["nanos"] == results["micros"] and len(results["nanos"]) == 2
 
 
+def test_stream_clean_corpus_matches_batch(spark, tmp_path):
+    """Drained streaming clean pass == batch clean pass over the same
+    document files (stateless narrow projection, so exact equality)."""
+    from dqe_spark.operators.text import clean_corpus
+    from dqe_spark.sources.metric_store import load_table
+    from dqe_spark.streaming.ingest import stream_clean_corpus
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", landing / "batch0.parquet")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        stream_clean_corpus(spark, str(landing))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    want = sorted(
+        map(tuple, clean_corpus(load_table(spark, SF_SMOKE, "documents")).collect())
+    )
+    assert got == want and got
+
+
 def test_densify(spark):
     from dqe_spark.operators.densify import densify
     from dqe_spark.operators.windows import agg_avg, window_agg
