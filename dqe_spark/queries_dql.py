@@ -563,15 +563,20 @@ def dql_custom_fun(spark, sf_dir):
     from dqe_spark.functions.registry import default_registry
     from dqe_spark.operators.windows import rounded
 
-    default_registry().register_aggregate(
-        "span", lambda v: rounded(SF.max(v) - SF.min(v))
-    )
-    df = _one(
-        spark,
-        "SELECT span('events'.'click' BUCKET 'events', 5m) "
-        f"BETWEEN {JAN1} AND {FEB1}",
-        sf_dir,
-    )
+    reg = default_registry()
+    reg.register_aggregate("span", lambda v: rounded(SF.max(v) - SF.min(v)))
+    try:
+        # compile is eager (engine.run builds the DataFrame now), so the
+        # registration can be dropped immediately — the default catalog
+        # stays at its reference parity count for later callers.
+        df = _one(
+            spark,
+            "SELECT span('events'.'click' BUCKET 'events', 5m) "
+            f"BETWEEN {JAN1} AND {FEB1}",
+            sf_dir,
+        )
+    finally:
+        reg.aggregates.pop("span", None)
     return df.select("metric", F.col("ts_ms").alias("wts"), "value")
 
 

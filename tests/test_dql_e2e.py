@@ -296,7 +296,13 @@ def test_tag_where_pushes_to_scan(spark):
     (src/dql_expand.erl:60-93)."""
     from dqe_spark import engine
     from dqe_spark.plans.debug import explain_string
+    from dqe_spark.sources import store
     from tests.conftest import SF_SMOKE
+
+    # Pushdown needs the MATERIALIZED store (host as a physical parquet
+    # column); build it here so the test doesn't depend on test_store.py
+    # having run first in the same session.
+    store.ingest(spark, SF_SMOKE)
 
     JAN1, FEB1 = 1704067200000, 1706745600000
     (res,) = engine.run(
