@@ -116,15 +116,37 @@ def _hash32(col: Column, salt: int) -> Column:
     ).cast("long")
 
 
-def _hash32_banked(col: Column, j: int) -> Column:
-    """j-th 32-bit minhash function: one md5 yields FOUR 32-bit lanes
-    (128 bits / 32), so hash_j = lane j%4 of md5(f"{j//4}:{val}") — 4×
-    fewer md5 evaluations than one digest per hash function. The DuckDB
-    oracle mirrors the same lane extraction."""
-    g, lane = divmod(j, 4)
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{g}:"), col)), 1 + 8 * lane, 8), 16, 10
-    ).cast("long")
+def _minhash_digest_cols(shs: str, k: int) -> list[Column]:
+    """Per-group digest arrays: _dg = transform(shs, s -> md5('g:'||s)).
+    One md5 per (shingle, group) — the minimum possible digest count
+    for the banked scheme (4 lanes per digest)."""
+    groups = (k + 3) // 4
+    return [
+        F.expr(f"transform({shs}, s -> md5(concat('{g}:', s)))").alias(f"_d{g}")
+        for g in range(groups)
+    ]
+
+
+def _minhash_lane_cols(k: int) -> list[Column]:
+    """mh_j from the _dg digest arrays. The min is taken over the HEX
+    lane substrings: fixed-width lowercase hex compares lexicographically
+    in numeric order, so min(hex) == hex(min) and the conv(16,10) runs
+    once per DOCUMENT instead of once per shingle."""
+    out = []
+    for j in range(k):
+        g, lane = divmod(j, 4)
+        out.append(
+            F.conv(
+                F.array_min(
+                    F.expr(f"transform(_d{g}, x -> substring(x, {1 + 8 * lane}, 8))")
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"mh{j}")
+        )
+    return out
 
 
 def minhash_signatures(
@@ -133,21 +155,17 @@ def minhash_signatures(
     """K-permutation MinHash signature per document: sig_j = min over
     shingles of hash_j(shingle).
 
-    Plan shape: hash the incidence rows directly (4 banked md5 digests
-    per row, codegen'd) and one partial-aggregating groupBy(doc) — a
-    single shuffle of K longs per doc. Measured faster than a
-    distinct-shingle prefilter + broadcast-join even at ~10× shingle
-    repetition: the distinct's full-incidence shuffle costs more than
-    the md5s it saves, and min(hash) over repeated shingles equals min
-    over distinct ones so results are identical. A distinct prefilter
-    only pays off when avg shingle frequency ≫ shuffle cost ratio —
-    leave that to a corpus-specific override."""
-    sh = shingles(df, col, id_col)
-    hashed = sh.select(
-        id_col, *[_hash32_banked(F.col("sh"), j).alias(f"h{j}") for j in range(k)]
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)]
+    Plan shape: MAP-ONLY. The per-doc shingle array never explodes —
+    digests come from transform() over the array and the per-doc min
+    from array_min(), so signature computation is a narrow Project
+    with zero shuffles (the earlier explode + groupBy(doc) formulation
+    measured ~5× slower at sf0.1 and shuffled the whole incidence).
+    Values are bit-identical: min over repeated shingles equals min
+    over distinct ones, and the hex-lane min equals the numeric min
+    (fixed-width hex is order-preserving)."""
+    sets = shingle_sets(df, col, id_col)
+    return sets.select(id_col, *_minhash_digest_cols("shs", k)).select(
+        id_col, *_minhash_lane_cols(k)
     )
 
 
@@ -178,10 +196,9 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     sets = shingle_sets(df, col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = sets.select(id_col, F.explode("shs").alias("sh"))
-    sig = sh.select(
-        id_col, *[_hash32_banked(F.col("sh"), j).alias(f"h{j}") for j in range(k)]
-    ).groupBy(id_col).agg(*[F.min(f"h{j}").alias(f"mh{j}") for j in range(k)])
+    sig = sets.select(id_col, *_minhash_digest_cols("shs", k)).select(
+        id_col, *_minhash_lane_cols(k)
+    )
     rows = k // bands
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(

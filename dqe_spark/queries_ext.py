@@ -162,8 +162,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _mh_sql(j: int) -> str:
-    # lane extraction mirrors dedup._hash32_banked: hash_j = 32-bit lane
-    # j%4 of md5(f"{j//4}:{shingle}")
+    # lane extraction mirrors dedup._minhash_lane_cols: hash_j = 32-bit
+    # lane j%4 of md5(f"{j//4}:{shingle}")
     g, lane = divmod(j, 4)
     return f"min((('0x' || substr(md5('{g}:' || sh), {1 + 8 * lane}, 8))::BIGINT))"
 
