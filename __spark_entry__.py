@@ -26,6 +26,12 @@ def _configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # keep explicit semi-joins (series_limit) above their aggregates —
+    # see dqe_spark/session.py for the rationale
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.PushDownLeftSemiAntiJoin",
+    )
     return spark
 
 

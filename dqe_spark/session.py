@@ -32,6 +32,17 @@ def get_spark(app_name: str = "dqe-spark") -> SparkSession:
         # HDR-exact fallbacks) — never row-at-a-time Python.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The engine builds its semi-joins exactly where it wants them
+        # (series_limit: tiny winner set broadcast back onto the scored
+        # aggregate). PushDownLeftSemiAntiJoin rewrites that into a join
+        # BELOW the aggregation, forcing a second full scan of the raw
+        # table instead of re-reading the (small) aggregate — measured
+        # ~25% slower on TOP/BOTTOM queries at sf0.1 and strictly worse
+        # at 100 TB where the raw scan dominates.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.PushDownLeftSemiAntiJoin",
+        )
         # The driver's parquet carries TIMESTAMP(NANOS) which Spark has
         # no native type for — read as long (ns since epoch); the metric
         # store derives integer ms from it (exact, matches DuckDB).
