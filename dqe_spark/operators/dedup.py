@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dqe_spark.operators.partitioning import spread
 from dqe_spark.operators.text import tokens
 
 SHINGLE_N = 3
@@ -82,7 +83,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All near-duplicate pairs (i < j) with shingle-set Jaccard ≥
     threshold. Output: (id_i, id_j, jaccard 4dp)."""
-    sh = shingles(df, col, id_col)
+    sh = shingles(spread(df), col, id_col)
     if df_cap is not None:
         # skew guard: drop shingles shared by more than df_cap docs —
         # they contribute O(df²) candidate pairs and almost no signal.
@@ -163,7 +164,7 @@ def minhash_signatures(
     Values are bit-identical: min over repeated shingles equals min
     over distinct ones, and the hex-lane min equals the numeric min
     (fixed-width hex is order-preserving)."""
-    sets = shingle_sets(df, col, id_col)
+    sets = shingle_sets(spread(df), col, id_col)
     return sets.select(id_col, *_minhash_digest_cols("shs", k)).select(
         id_col, *_minhash_lane_cols(k)
     )
@@ -195,7 +196,7 @@ def minhash_lsh_pairs(
     incidence."""
     from pyspark import StorageLevel
 
-    sets = shingle_sets(df, col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = shingle_sets(spread(df), col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     sig = sets.select(id_col, *_minhash_digest_cols("shs", k)).select(
         id_col, *_minhash_lane_cols(k)
     )
@@ -241,7 +242,9 @@ def simhash_signatures(
     the sum of ±1 votes from each distinct token's hash bit. One
     explode + one groupBy; md5-derived hashes for oracle parity."""
     tok = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(col)))).alias("t"))
+        spread(df).select(
+            F.col(id_col), F.explode(F.array_distinct(tokens(F.col(col)))).alias("t")
+        )
     )
     h = _hash32(F.col("t"), 0)
     tok = tok.select(id_col, h.alias("h"))

@@ -27,6 +27,8 @@ import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dqe_spark.operators.partitioning import spread
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -124,7 +126,7 @@ def decode_media_features(df: DataFrame) -> DataFrame:
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
-    return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+    return spread(df).mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -143,7 +145,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
             yield out[["doc_id", "media_type", "n_bytes", "digest"]]
 
-    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return spread(df).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:

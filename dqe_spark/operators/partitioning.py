@@ -1,0 +1,34 @@
+"""Input-parallelism guard for CPU-heavy operators.
+
+The document/embedding corpora arrive as a handful of small parquet
+files with one row group each, so Spark's byte-range file splitting
+yields ONE input partition — and a narrow, compute-bound pipeline
+(minhash digests, SRP matvecs, winnowing, media decode) then runs on a
+single core no matter how wide the executor is. ``spread`` round-robins
+such inputs up to the session's default parallelism before the
+expensive map work.
+
+At production scale this is a no-op by construction: a real corpus has
+(many × maxPartitionBytes) of input, the scan already yields ≥ cores
+partitions, and ``spread`` returns the frame untouched — no shuffle is
+added. The repartition only fires in exactly the regime where its cost
+(shuffling a corpus that fits in a couple of row groups) is trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition ``df`` to ``factor × defaultParallelism`` iff it
+    currently has fewer partitions than that — otherwise unchanged.
+
+    Call this at the START of a compute-bound operator, on the raw
+    source (before persist, so the cached blocks land spread out).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dqe_spark.operators.partitioning import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold, double)."""
@@ -46,7 +48,7 @@ def knn_bruteforce(
     """Exact top-k by cosine: broadcast the (single-row) query against
     the corpus; deterministic tie-break on id. Output (vec_id, cos)."""
     q = query.select(F.col(vec).alias("__q"))
-    scored = df.crossJoin(F.broadcast(q)).select(
+    scored = spread(df).crossJoin(F.broadcast(q)).select(
         F.col(id_col), F.round(cosine(F.col(vec), F.col("__q")), 6).alias("cos")
     )
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
@@ -160,7 +162,7 @@ def knn_srp(
     planes = len(planes_matrix)
     bits_per = planes // bands
     mask = (1 << bits_per) - 1
-    corpus = df.withColumn("__sig", srp_signature(F.col(vec), planes_matrix))
+    corpus = spread(df).withColumn("__sig", srp_signature(F.col(vec), planes_matrix))
     q = query.select(
         F.col(vec).alias("__q"),
         srp_signature(F.col(vec), planes_matrix).alias("__qsig"),
@@ -232,7 +234,7 @@ def neardup_srp_pairs(
     planes = len(planes_matrix)
     bits_per = planes // bands
     mask = (1 << bits_per) - 1
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col), F.col(vec), srp_signature(F.col(vec), planes_matrix).alias("__sig")
     )
     band_rows = sig.select(

@@ -244,43 +244,38 @@ def winnow_fingerprints(
     overlap join below finds partial-copy candidates that whole-doc
     or bag-of-shingles methods miss.
 
-    Shape at scale: posexplode is map-side; the only shuffle is the
-    per-document window sort (key doc_id — uniform), and output is
-    ~n/w fingerprints per doc. Documents shorter than w+k−1 chars
+    Shape at scale: MAP-ONLY — the k-gram hashes live in a per-doc
+    array and each window's min comes from array_min(slice(...)), so
+    the whole fingerprint derivation is a narrow Project with zero
+    shuffles (the earlier posexplode + per-doc window sort + distinct
+    formulation shuffled ~L rows per document twice). array_distinct
+    dedups within the doc, and cross-doc duplicates can't exist for a
+    (doc_id, fp) output, so no distinct is needed afterwards. Output
+    is ~L/w fingerprints per doc. Documents shorter than w+k−1 chars
     have no complete window and produce no fingerprints (below the
     guarantee threshold by construction).
 
     Hashes are the engine-wide md5/32-bit scheme so the DuckDB oracle
     replays the algorithm (dedup._hash32)."""
-    from pyspark.sql import Window
-
-    from dqe_spark.operators.dedup import _hash32
+    from dqe_spark.operators.partitioning import spread
 
     t = F.col(col)
-    grams = (
-        df.where(F.length(t) >= k + w - 1)
-        .select(
-            id_col,
-            (F.length(t) - (k - 1)).alias("n"),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length({col}) - {k - 1}), "
-                    f"i -> substring({col}, i, {k}))"
-                )
-            ).alias("pos", "gram"),
-        )
-        .select(id_col, "n", "pos", _hash32(F.col("gram"), 0).alias("h"))
+    # h[i] = hash32 of the i-th k-gram (1-based), one md5 per gram
+    hs = (
+        f"transform(sequence(1, length({col}) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(concat('0:', "
+        f"substring({col}, i, {k}))), 1, 8), 16, 10) as bigint))"
     )
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
+    # window i covers h[i .. i+w-1]; L-(k+w-2) windows total
+    fps = (
+        f"array_distinct(transform(sequence(1, length({col}) - {k + w - 2}), "
+        f"i -> array_min(slice(__h, i, {w}))))"
     )
     return (
-        grams.withColumn("wmin", F.min("h").over(win))
-        .where(F.col("pos") <= F.col("n") - w)
-        .select(F.col(id_col), F.col("wmin").alias("fp"))
-        .distinct()
+        spread(df)
+        .where(F.length(t) >= k + w - 1)
+        .select(id_col, F.col(col), F.expr(hs).alias("__h"))
+        .select(id_col, F.explode(F.expr(fps)).alias("fp"))
     )
 
 
