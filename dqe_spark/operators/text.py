@@ -229,6 +229,31 @@ def split_contamination(
     ).where(F.col("split_i") != F.col("split_j"))
 
 
+def dedup_lines(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+) -> DataFrame:
+    """Intra-document repetition removal: drop repeated lines, keeping
+    each distinct line's FIRST occurrence in order — the standard
+    boilerplate/chorus cleaning rule for web-scraped training text
+    (repeated nav bars, cookie banners, chat headers).
+
+    Map-only: split → array_distinct (first-occurrence order is the
+    documented Spark semantics) → rejoin; zero shuffles, pipelines with
+    the scan. Output per doc: the cleaned text, line counts, and the
+    duplicate-line ratio in integer 1e-4 units (exact cross-engine).
+    """
+    lines = F.split(F.col(col), sep)
+    uniq = F.array_distinct(lines)
+    n, nu = F.size(lines), F.size(uniq)
+    return df.select(
+        F.col(id_col),
+        F.array_join(uniq, sep).alias("text_clean"),
+        n.cast("long").alias("n_lines"),
+        nu.cast("long").alias("n_distinct_lines"),
+        ((n - nu) * F.lit(10000) / n).cast("long").alias("dup_line_ratio_e4"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 5,

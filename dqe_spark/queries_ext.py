@@ -978,3 +978,104 @@ def split_contamination(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return _sc(d, k=5, w=4, min_shared=2, max_df=100)
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling / mixing + intra-document repetition removal
+# ---------------------------------------------------------------------------
+
+_RH = (
+    "('0x' || substr(md5('0:' || {strata} || ':' || CAST(doc_id AS VARCHAR)), "
+    "1, 8))::BIGINT"
+)
+
+
+@q(
+    "corpus_sample_stratified",
+    f"""
+WITH r AS (
+  SELECT source, doc_id, {_RH.format(strata="source")} AS rh FROM documents
+), c AS (
+  SELECT source, count(*) AS n FROM r GROUP BY 1
+), s AS (
+  SELECT r.source, r.doc_id, r.rh FROM r JOIN c USING (source)
+  WHERE c.n <= 400 OR r.rh <= (400 * 4294967296) // c.n
+)
+SELECT source, doc_id,
+       row_number() OVER (PARTITION BY source ORDER BY rh, doc_id) AS rn
+FROM s QUALIFY rn <= 100
+""",
+)
+def corpus_sample_stratified(spark, sf_dir):
+    """Deterministic 100-docs-per-source mixing sample; the hash
+    prefilter keeps the window sort O(quota) per stratum
+    (operators/sampling.sample_stratified)."""
+    from dqe_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.sample_stratified(d, 100, strata="source")
+
+
+@q(
+    "corpus_sample_pct",
+    f"""
+SELECT doc_id FROM documents
+WHERE {_RH.format(strata="CAST(doc_id AS VARCHAR)")} * 100 < 4294967296 * 10
+""",
+)
+def corpus_sample_pct(spark, sf_dir):
+    """Map-only 10% hash-threshold sample: membership is a pure
+    function of the row, stable under re-runs and insertions
+    (operators/sampling.sample_fraction_deterministic)."""
+    from dqe_spark.operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.sample_fraction_deterministic(d, 10).select("doc_id")
+
+
+@q(
+    "text_dedup_lines",
+    """
+WITH l AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+), u AS (
+  SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> list_position(ls, x) = i) AS ul
+  FROM l
+)
+SELECT doc_id, array_to_string(ul, chr(10)) AS text_clean,
+       len(ls) AS n_lines, len(ul) AS n_distinct_lines,
+       ((len(ls) - len(ul)) * 10000) // len(ls) AS dup_line_ratio_e4
+FROM u
+""",
+)
+def text_dedup_lines(spark, sf_dir):
+    """Intra-document repeated-line removal (first occurrence kept, in
+    order) + duplicate-line ratio (operators/text.dedup_lines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.dedup_lines(d)
+
+
+@q(
+    "corpus_mix_report",
+    f"""
+SELECT source, lang, count(*) AS n_docs,
+       sum(len({_TOK})) AS n_tokens,
+       round(quantile_cont(len({_TOK}), 0.5), 4) AS p50_tokens,
+       round(quantile_cont(len({_TOK}), 0.9), 4) AS p90_tokens
+FROM documents GROUP BY 1, 2
+""",
+)
+def corpus_mix_report(spark, sf_dir):
+    """Mixing report per (source, lang): doc and token volume plus the
+    token-count distribution tails a mixture planner needs. One grouped
+    aggregation; the exact percentiles sort only within each (source,
+    lang) group."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = text.token_count(F.col("text"))
+    return d.select("source", "lang", tc.alias("tc")).groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tc").alias("n_tokens"),
+        F.round(F.expr("percentile(tc, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(tc, 0.9)"), 4).alias("p90_tokens"),
+    )

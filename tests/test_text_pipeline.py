@@ -84,3 +84,76 @@ def test_clean_corpus_filters_compose(spark):
         assert r["split"] in {"train", "val", "test"}
     # the pass never invents documents
     assert out.count() <= d.count()
+
+
+def test_dedup_lines_semantics(spark):
+    """First occurrence kept in order; ratio exact; single-line docs
+    pass through (the sf corpus has no newlines, so the registry hash
+    check alone can't prove the multi-line path)."""
+    from dqe_spark.operators.text import dedup_lines
+
+    rows = [
+        (1, "nav\nbody one\nnav\nbody two\nnav"),
+        (2, "only line"),
+        (3, "a\na\na\na"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    assert got[1]["text_clean"] == "nav\nbody one\nbody two"
+    assert got[1]["n_lines"] == 5 and got[1]["n_distinct_lines"] == 3
+    assert got[1]["dup_line_ratio_e4"] == 4000  # 2/5
+    assert got[2]["text_clean"] == "only line"
+    assert got[2]["dup_line_ratio_e4"] == 0
+    assert got[3]["text_clean"] == "a" and got[3]["dup_line_ratio_e4"] == 7500
+
+
+def test_sample_stratified_quota_and_prefilter_equivalence(spark):
+    """The hash prefilter must not change the sample: top-quota by
+    (rank hash, id) with the threshold filter equals the same ranking
+    without it; quotas are exact; small strata are kept whole."""
+    from dqe_spark.operators.sampling import rank_hash, sample_stratified
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sample_stratified(df, 50, strata="source").collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["source"], []).append(r)
+    assert len(by_stratum["big"]) == 50
+    # 'small' has 200 rows (i % 10 == 0) -> quota still 50
+    assert len(by_stratum["small"]) == 50
+    assert {r["rn"] for r in by_stratum["big"]} == set(range(1, 51))
+
+    # brute-force reference ranking without any prefilter
+    ranked = df.select(
+        "source", "doc_id", rank_hash("source", "doc_id").alias("rh")
+    ).collect()
+    want = {}
+    for src in ("big", "small"):
+        rs = sorted(
+            (r for r in ranked if r["source"] == src),
+            key=lambda r: (r["rh"], r["doc_id"]),
+        )[:50]
+        want[src] = {r["doc_id"] for r in rs}
+    for src in ("big", "small"):
+        assert {r["doc_id"] for r in by_stratum[src]} == want[src]
+
+    # strata smaller than the quota are kept whole
+    tiny = spark.createDataFrame([(i, "t") for i in range(7)], "doc_id long, source string")
+    assert len(sample_stratified(tiny, 50, strata="source").collect()) == 7
+
+
+def test_sample_fraction_deterministic(spark):
+    """Membership is a pure row function: same rows in, same rows out,
+    and subsetting the input never changes a surviving row's fate."""
+    from dqe_spark.operators.sampling import sample_fraction_deterministic
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    a = {r["doc_id"] for r in sample_fraction_deterministic(df, 10).collect()}
+    b = {r["doc_id"] for r in sample_fraction_deterministic(df, 10).collect()}
+    assert a == b and 300 < len(a) < 700  # ~10% of 5000
+    half = df.where(F.col("doc_id") < 2500)
+    c = {r["doc_id"] for r in sample_fraction_deterministic(half, 10).collect()}
+    assert c == {x for x in a if x < 2500}
+    assert sample_fraction_deterministic(df, 0).count() == 0
+    assert sample_fraction_deterministic(df, 100).count() == 5000
