@@ -32,6 +32,8 @@ def _configure(spark: SparkSession) -> SparkSession:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.PushDownLeftSemiAntiJoin",
     )
+    # bucketed-store scans: keep bucket pruning for filter-only queries
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark
 
 

@@ -43,6 +43,12 @@ def get_spark(app_name: str = "dqe-spark") -> SparkSession:
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.PushDownLeftSemiAntiJoin",
         )
+        # the auto-bucketed-scan planner only credits joins/aggs, so it
+        # drops the bucketed layout for filter-only queries and loses
+        # bucket PRUNING (metric = x → 1/N files). Scan parallelism of
+        # a bucketed table is then its bucket count — which is how the
+        # count is sized (≈ cores locally, ≈ total cores on a cluster).
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         # The driver's parquet carries TIMESTAMP(NANOS) which Spark has
         # no native type for — read as long (ns since epoch); the metric
         # store derives integer ms from it (exact, matches DuckDB).

@@ -102,6 +102,15 @@ def load_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = store.load(spark, sf_dir, layout=layout)
         if mat is not None:
             return mat
+    try:
+        # bucketed layout: zero-shuffle window aggs (see store.py);
+        # ranked below the partitioned layouts, whose directory-level
+        # pruning serves single-series scans better
+        b = store.load_bucketed(spark, sf_dir)
+        if b is not None:
+            return b
+    except Exception:
+        pass  # catalog-less or DDL-restricted session → view fallback
     return _derive_metrics_view(spark, sf_dir)
 
 

@@ -144,3 +144,107 @@ def load(
     if "dt" in df.columns:
         cols.append(F.col("dt").cast("string"))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout: zero-shuffle window aggregation
+# ---------------------------------------------------------------------------
+#
+# ``layout="bucketed"``: a parquet table CLUSTERED BY (metric) INTO N
+# BUCKETS, SORTED BY (metric, ts_ms). HashPartitioning(metric) satisfies
+# ClusteredDistribution(metric, wts) — the bucket columns are a subset
+# of any (metric, …) grouping — so EVERY per-series windowed
+# aggregation runs with NO Exchange at all: scan → partial agg → final
+# agg inside one stage. Metric equality predicates become bucket
+# pruning (1/N of the files opened) and the within-file sort gives
+# ts-range row-group skipping.
+#
+# Catalog handling: bucketing metadata lives in the session catalog,
+# not the files, and the default in-memory catalog dies with the
+# session. Persistence is the FILES plus a re-registration DDL
+# (CREATE TABLE … CLUSTERED BY … LOCATION) that any later session —
+# including a vanilla driver session — replays in milliseconds. No
+# Hive metastore, no Derby single-JVM lock.
+
+BUCKETED_DIRNAME = "metrics_bucketed"
+DEFAULT_BUCKETS = 32
+
+#: the store schema as DDL (``user`` is reserved-ish — always quoted)
+_BUCKETED_DDL_COLS = (
+    "`bucket` STRING, `metric` STRING, `metric_parts` ARRAY<STRING>, "
+    "`tags` MAP<STRING,STRING>, `host` STRING, `dc` STRING, "
+    "`user` STRING, `ts_ms` BIGINT, `value` DOUBLE, `confidence` DOUBLE"
+)
+
+
+def _bucketed_dir(sf_dir: str) -> Path:
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / BUCKETED_DIRNAME
+
+
+def _bucketed_table(sf_dir: str) -> str:
+    tag = Path(sf_dir.rstrip("/")).name.replace(".", "_").replace("-", "_")
+    return f"dqe_metrics_bucketed_{tag}"
+
+
+def _n_buckets(out: Path) -> int:
+    marker = out / "_BUCKETS"
+    return int(marker.read_text()) if marker.exists() else DEFAULT_BUCKETS
+
+
+def ingest_bucketed(
+    spark: SparkSession, sf_dir: str, buckets: int = DEFAULT_BUCKETS, force: bool = False
+) -> str:
+    """Build (or reuse) the bucketed store; returns the table name,
+    registered in THIS session's catalog.
+
+    The pre-write ``repartition(buckets, metric)`` uses the same
+    murmur3-pmod assignment as the bucket spec, so each task holds
+    exactly one bucket's rows and writes one file — no small-file
+    explosion (the naive write emits #tasks × #buckets files)."""
+    from dqe_spark.sources.metric_store import _derive_metrics_view
+
+    out = _bucketed_dir(sf_dir)
+    table = _bucketed_table(sf_dir)
+    if not force and (out / "_SUCCESS").exists():
+        _register_bucketed(spark, sf_dir)
+        return table
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    if out.exists():
+        shutil.rmtree(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    df = _derive_metrics_view(spark, sf_dir)
+    (
+        df.repartition(buckets, "metric")
+        .write.format("parquet")
+        .bucketBy(buckets, "metric")
+        .sortBy("metric", "ts_ms")
+        .option("path", str(out))
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    (out / "_BUCKETS").write_text(str(buckets))
+    return table
+
+
+def _register_bucketed(spark: SparkSession, sf_dir: str) -> None:
+    """Replay the registration DDL for existing bucketed files into
+    this session's catalog (no-op if already registered)."""
+    table = _bucketed_table(sf_dir)
+    if spark.catalog.tableExists(table):
+        return
+    out = _bucketed_dir(sf_dir)
+    spark.sql(
+        f"CREATE TABLE `{table}` ({_BUCKETED_DDL_COLS}) USING parquet "
+        f"CLUSTERED BY (metric) SORTED BY (metric, ts_ms) "
+        f"INTO {_n_buckets(out)} BUCKETS LOCATION '{out}'"
+    )
+
+
+def load_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The bucketed store as a DataFrame, re-registering the table if
+    this session's catalog hasn't seen it; None when never built."""
+    out = _bucketed_dir(sf_dir)
+    if not (out / "_SUCCESS").exists():
+        return None
+    _register_bucketed(spark, sf_dir)
+    return spark.table(_bucketed_table(sf_dir))

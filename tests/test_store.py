@@ -155,3 +155,48 @@ def test_salted_agg_equals_plain(spark):
     # plan shape: two aggregations, the first keyed by the salt
     plan = salted._jdf.queryExecution().toString()
     assert "__salt" in plan
+
+
+def test_bucketed_layout_parity_and_plans(spark):
+    """Bucketed store: (1) row parity with the view derivation,
+    (2) per-series windowed aggregation has NO Exchange (bucket
+    columns ⊆ grouping keys), (3) a dropped catalog entry re-registers
+    from the DDL + files alone (cross-session persistence), (4) metric
+    equality prunes to a subset of buckets."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.sources import store
+    from dqe_spark.sources.metric_store import _derive_metrics_view
+    from tests.conftest import SF_SMOKE
+
+    table = store.ingest_bucketed(spark, SF_SMOKE, buckets=8)
+    b = spark.table(table)
+    view = _derive_metrics_view(spark, SF_SMOKE)
+    cols = ["bucket", "metric", "host", "ts_ms", "value"]
+    assert sorted(map(tuple, b.select(cols).collect())) == sorted(
+        map(tuple, view.select(cols).collect())
+    )
+
+    def plan_of(df):
+        je = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+        return je.explainString(mode("formatted"))
+
+    agg = b.groupBy(
+        "metric", (F.col("ts_ms") - F.col("ts_ms") % 60000).alias("wts")
+    ).agg(F.avg("value").alias("v"))
+    p = plan_of(agg)
+    assert "Exchange" not in p, p
+    assert agg.count() > 0
+
+    # cross-session: drop the catalog entry, re-register from files
+    spark.sql(f"DROP TABLE `{table}`")
+    b2 = store.load_bucketed(spark, SF_SMOKE)
+    p2 = plan_of(
+        b2.groupBy("metric").agg(F.sum("value").alias("s"))
+    )
+    assert "Exchange" not in p2, p2
+
+    # bucket pruning on metric equality
+    p3 = plan_of(b2.where(F.col("metric") == "events.click").select("ts_ms"))
+    assert "SelectedBucketsCount" in p3, p3
