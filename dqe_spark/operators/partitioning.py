@@ -27,6 +27,10 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     Call this at the START of a compute-bound operator, on the raw
     source (before persist, so the cached blocks land spread out).
     """
+    if df.isStreaming:
+        # no static partition count to inspect; micro-batch sizing is
+        # the stream source's job (maxFilesPerTrigger etc.)
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:

@@ -218,3 +218,35 @@ def test_stream_dedup_drops_replays(spark):
         assert a == b
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stateless_corpus_ops_match_batch(spark, tmp_path):
+    """dedup_lines and the deterministic % sample are stateless narrow
+    ops, so they compose onto a file stream unchanged: a drained stream
+    equals the batch run over the same files."""
+    from dqe_spark.operators.sampling import sample_fraction_deterministic
+    from dqe_spark.operators.text import dedup_lines
+    from dqe_spark.sources.metric_store import load_table
+    from dqe_spark.streaming.ingest import DOCS_SCHEMA
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", landing / "b0.parquet")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(str(landing))
+    q = (
+        sample_fraction_deterministic(dedup_lines(stream), 10)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    batch = sample_fraction_deterministic(
+        dedup_lines(load_table(spark, SF_SMOKE, "documents")), 10
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and got
