@@ -222,3 +222,75 @@ def test_hdr_quantize_properties(spark, vs, sf):
             assert q == v, "identity below sub_bucket_count"
         else:
             assert (v - q) / v < 10**-sf, (v, q, sf)
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab \n")), min_size=0, max_size=40
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@_slow
+@given(docs=texts)
+def test_dedup_lines_idempotent_and_exact(spark, docs):
+    """dedup_lines == a Python first-occurrence dedup, and applying it
+    twice changes nothing (a cleaned doc has no duplicate lines)."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.text import dedup_lines
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    for i, t in rows:
+        lines = t.split("\n")
+        seen, keep = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                keep.append(ln)
+        assert got[i]["text_clean"] == "\n".join(keep), repr(t)
+        assert got[i]["n_lines"] == len(lines)
+        assert got[i]["n_distinct_lines"] == len(keep)
+        assert got[i]["dup_line_ratio_e4"] == (
+            (len(lines) - len(keep)) * 10000
+        ) // len(lines)
+    twice = {
+        r["doc_id"]: r["text_clean"]
+        for r in dedup_lines(
+            dedup_lines(df).select("doc_id", F.col("text_clean").alias("text"))
+        ).collect()
+    }
+    assert twice == {i: got[i]["text_clean"] for i, _ in rows}
+
+
+@_slow
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    quota=st.integers(1, 8),
+)
+def test_sample_stratified_matches_bruteforce(spark, ids, quota):
+    """Quota sample == sort-by-(rank-hash, id) prefix per stratum, for
+    any quota and stratum sizes (incl. strata smaller than quota)."""
+    from dqe_spark.operators.sampling import rank_hash, sample_stratified
+
+    rows = [(i, "s" + str(i % 3)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    ranked = df.select(
+        "source", "doc_id", rank_hash("source", "doc_id").alias("rh")
+    ).collect()
+    want: dict[str, list] = {}
+    for r in sorted(ranked, key=lambda r: (r["rh"], r["doc_id"])):
+        want.setdefault(r["source"], [])
+        if len(want[r["source"]]) < quota:
+            want[r["source"]].append(r["doc_id"])
+    got: dict[str, list] = {}
+    for r in sorted(
+        sample_stratified(df, quota, strata="source").collect(),
+        key=lambda r: (r["source"], r["rn"]),
+    ):
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    assert got == want
