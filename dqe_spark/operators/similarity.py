@@ -267,3 +267,114 @@ def neardup_srp_pairs(
         .select("id_i", "id_j", F.round(c, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned IVF: deterministic DataFrame-native k-means coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means, deterministic and engine-shaped: seeds are the
+    ``n_clusters`` rows with the smallest md5 rank hash of their id (a
+    pure function of the data — reruns give identical centroids), and
+    each iteration is ONE narrow assignment pass + ONE groupBy.
+
+    Plan shape per iteration: the assignment is an Arrow pandas-UDF
+    argmin over a (batch × dims)·(dims × C) numpy matvec (the same
+    documented built-ins exception as srp_signature — C·dims literal
+    expressions would blow up Janino); the mean update aggregates
+    per-dimension sums WITHOUT exploding (dims × sum() columns, partial
+    aggs map-side), so the per-iteration shuffle carries C rows × dims
+    columns. Only the C × dims centroid matrix ever reaches the driver.
+    """
+    import numpy as np
+
+    from dqe_spark.operators.partitioning import spread
+    from dqe_spark.operators.sampling import rank_hash
+
+    dims = len(df.select(vec).first()[0])
+    seeds = (
+        df.select(vec, rank_hash(id_col, id_col).alias("rh"))
+        .orderBy("rh")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = np.array([list(r[vec]) for r in seeds], dtype=np.float64)
+    pts = spread(df).select(vec).persist()
+    try:
+        for _ in range(iters):
+            assigned = pts.withColumn("__cid", _nearest_centroid(F.col(vec), cents))
+            sums = assigned.groupBy("__cid").agg(
+                F.count("*").alias("__n"),
+                *[F.sum(F.col(vec)[d]).alias(f"s{d}") for d in range(dims)],
+            )
+            new = cents.copy()
+            for r in sums.collect():
+                new[r["__cid"]] = [r[f"s{d}"] / r["__n"] for d in range(dims)]
+            cents = new
+    finally:
+        pts.unpersist()
+    return [[float(x) for x in row] for row in cents]
+
+
+def _nearest_centroid(vec: Column, cents) -> Column:
+    """Argmin-distance cluster id for each row, Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.asarray(cents, dtype=np.float64)  # C × dims
+    sq = (M * M).sum(axis=1)  # ‖c‖² per centroid
+
+    @pandas_udf("int")
+    def nearest(vs):
+        A = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if A.size == 0:
+            return pd.Series([], dtype="int32")
+        # ‖a−c‖² = ‖a‖² − 2a·c + ‖c‖²; ‖a‖² is constant per row
+        d = -2.0 * (A @ M.T) + sq
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return nearest(vec)
+
+
+def knn_ivf_kmeans(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    n_clusters: int = 8,
+    probes: int = 2,
+    iters: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer (vs knn_ivf's
+    pre-existing label column): cluster with kmeans_centroids, rank
+    cells by centroid cosine to the query, brute-force only the top
+    ``probes`` cells. probes == n_clusters degrades to exact search.
+
+    At deployment the assignment column is materialized once at ingest
+    (partition or bucket by cell id for file-level pruning); queries
+    then touch probes/C of the data. Output (vec_id, cos)."""
+    cents = kmeans_centroids(df, n_clusters, iters, vec, id_col)
+    assigned = df.withColumn("__cid", _nearest_centroid(F.col(vec), cents))
+    cdf = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "__cid int, centroid array<double>"
+    )
+    q = query.select(F.col(vec).alias("__q"))
+    probe_cells = (
+        cdf.crossJoin(F.broadcast(q))
+        .select("__cid", cosine(F.col("centroid"), F.col("__q")).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("__cid").asc())
+        .limit(probes)
+        .select("__cid")
+    )
+    pruned = assigned.join(F.broadcast(probe_cells), "__cid", "left_semi").drop("__cid")
+    return knn_bruteforce(pruned, query, k, vec, id_col)

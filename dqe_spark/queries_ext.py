@@ -1079,3 +1079,15 @@ def corpus_mix_report(spark, sf_dir):
         F.round(F.expr("percentile(tc, 0.5)"), 4).alias("p50_tokens"),
         F.round(F.expr("percentile(tc, 0.9)"), 4).alias("p90_tokens"),
     )
+
+
+@q("knn_ivf_kmeans")  # iterative (Lloyd's) — rows-only check by design
+def knn_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with a LEARNED k-means coarse quantizer; deterministic
+    (hash-seeded) but iterative, so no closed-form SQL oracle — the
+    exactness claims live in tests/test_similarity.py (probes=C equals
+    brute force bit-for-bit; blob recovery; determinism)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0)
+    corpus = e.where(F.col("vec_id") != 0)
+    return similarity.knn_ivf_kmeans(corpus, query, 10, n_clusters=8, probes=2)

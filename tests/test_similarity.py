@@ -1,0 +1,97 @@
+"""Learned-IVF (k-means) ANN: determinism, convergence, exactness at
+full probes — the claims the rows-only registry check can't make."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _blobs(spark, n_per=40, dims=8, centers=((0.0,) * 8, (10.0,) * 8, (-10.0, 10.0) * 4)):
+    rng = random.Random(7)
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(n_per):
+            rows.append(
+                (ci * n_per + j, [c[d] + rng.gauss(0, 0.5) for d in range(dims)])
+            )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), centers
+
+
+def test_kmeans_deterministic_and_recovers_blobs(spark):
+    from dqe_spark.operators.similarity import _nearest_centroid, kmeans_centroids
+
+    df, centers = _blobs(spark)
+    c1 = kmeans_centroids(df, n_clusters=3, iters=5)
+    c2 = kmeans_centroids(df, n_clusters=3, iters=5)
+    assert c1 == c2  # pure function of the data
+
+    # every learned centroid sits on one true blob center (±1)
+    def nearest_true(c):
+        return min(
+            range(len(centers)),
+            key=lambda i: sum((a - b) ** 2 for a, b in zip(c, centers[i])),
+        )
+
+    assert sorted(nearest_true(c) for c in c1) == [0, 1, 2]
+    for c in c1:
+        t = centers[nearest_true(c)]
+        assert math.dist(c, t) < 1.0, (c, t)
+
+    # assignments are pure: each blob maps to exactly one cell
+    a = df.withColumn("cid", _nearest_centroid(F.col("embedding"), c1))
+    cells = (
+        a.withColumn("blob", (F.col("vec_id") / 40).cast("int"))
+        .groupBy("blob")
+        .agg(F.countDistinct("cid").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in cells)
+
+
+def test_ivf_full_probes_equals_bruteforce(spark):
+    from dqe_spark.operators.similarity import knn_bruteforce, knn_ivf_kmeans
+    from dqe_spark.sources.metric_store import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    query = e.where(F.col("vec_id") == 0)
+    corpus = e.where(F.col("vec_id") != 0)
+    exact = knn_bruteforce(corpus, query, 10).collect()
+    full = knn_ivf_kmeans(
+        corpus, query, 10, n_clusters=4, probes=4, iters=3
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+
+
+def test_ivf_probe_subset_is_consistent(spark):
+    """probes < C returns the exact top-k OF THE PROBED CELLS: every
+    returned row must also appear in the probed cells' brute-force
+    ranking, in the same order."""
+    from dqe_spark.operators.similarity import (
+        _nearest_centroid,
+        kmeans_centroids,
+        knn_bruteforce,
+        knn_ivf_kmeans,
+    )
+    from dqe_spark.sources.metric_store import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    query = e.where(F.col("vec_id") == 0)
+    corpus = e.where(F.col("vec_id") != 0)
+    got = knn_ivf_kmeans(corpus, query, 5, n_clusters=4, probes=2, iters=3).collect()
+    assert len(got) == 5
+    # re-derive the probed subset the operator searched
+    cents = kmeans_centroids(corpus, 4, 3)
+    a = corpus.withColumn("cid", _nearest_centroid(F.col("embedding"), cents))
+    probed_ids = {r["cid"] for r in a.join(
+        spark.createDataFrame([(r["vec_id"],) for r in got], "vec_id long"),
+        "vec_id", "left_semi").collect()}
+    assert len(probed_ids) <= 2
+    sub = a.join(F.broadcast(a.sparkSession.createDataFrame(
+        [(c,) for c in probed_ids], "cid int")), "cid", "left_semi").drop("cid")
+    want = knn_bruteforce(sub, query, 5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
