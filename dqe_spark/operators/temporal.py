@@ -119,3 +119,67 @@ def sessionize(
         F.max(ts).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_ms: int,
+    user: str = "user_id",
+    etype: str = "event_type",
+    ts: str = "ts_ms",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step i when they have
+    a step-i event at-or-after their step-(i−1) time and within
+    ``within_ms`` of their FIRST step-1 event (the standard
+    fixed-window funnel). First-qualifying (min) times make the result
+    deterministic. Output: (step, event_type, n_users), one row per
+    step.
+
+    Plan shape: step i is one pushed-filter scan of that step's events
+    joined to the (one-row-per-user) survivor table of step i−1, then a
+    per-user min — K−1 equi-joins keyed on the user, each touching only
+    its own step's events; survivors shrink monotonically. No window
+    over a per-user ALL-events partition and no event-sequence
+    explosion — at 100 TB the per-step filter pushdown is what keeps
+    each join's probe side small."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    F_ = F
+    lvl = (
+        events.where(F_.col(etype) == steps[0])
+        .groupBy(user)
+        .agg(F_.min(ts).alias("t_prev"))
+        .withColumn("t0", F_.col("t_prev"))
+    )
+    out = [
+        lvl.agg(
+            F_.lit(1).alias("step"),
+            F_.lit(steps[0]).alias("event_type"),
+            F_.count("*").cast("long").alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ev = events.where(F_.col(etype) == s).select(
+            F_.col(user), F_.col(ts).alias("__ts")
+        )
+        lvl = (
+            ev.join(lvl, user)
+            .where(
+                (F_.col("__ts") >= F_.col("t_prev"))
+                & (F_.col("__ts") <= F_.col("t0") + within_ms)
+            )
+            .groupBy(user)
+            .agg(F_.min("__ts").alias("t_prev"), F_.min("t0").alias("t0"))
+        )
+        out.append(
+            lvl.agg(
+                F_.lit(i).alias("step"),
+                F_.lit(s).alias("event_type"),
+                F_.count("*").cast("long").alias("n_users"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

@@ -67,6 +67,43 @@ def quality_e4(col_name: str = "text") -> Column:
     )
 
 
+def quality_features(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The Gopher/C4-style per-document quality feature set, one narrow
+    map-only pass (zero shuffles — pipelines with the scan):
+
+      n_tokens, n_distinct_tokens   — length / lexical diversity
+      mean_token_len_e2             — avg word length, int 1e-2 units
+      symbol_ratio_e4               — non-alphanumeric-non-space chars
+                                      / chars, int 1e-4 units
+      stopword_ratio_e4             — stopword hits / tokens, 1e-4
+      max_line_frac_e4              — longest line / chars (detects
+                                      one-blob documents), 1e-4
+
+    All ratios are integer-domain (x · 10⁴ DIV y) so the DuckDB oracle
+    agrees bit-for-bit — these are the gates a pretraining corpus
+    filter thresholds on, and a half-boundary float flip would move
+    documents across the gate."""
+    t = F.col(col)
+    tk = tokens(t)
+    n = F.size(tk).cast("long")
+    nchars = F.length(t).cast("long")
+    # total token chars = chars minus whitespace runs collapsed by split
+    tok_chars = F.expr(
+        f"aggregate(split(trim({col}), '\\\\s+'), 0L, (a, x) -> a + length(x))"
+    )
+    symbols = nchars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 \n\t]", ""))
+    max_line = F.array_max(F.transform(F.split(t, "\n"), F.length)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_distinct_tokens"),
+        (tok_chars * 100 / n).cast("long").alias("mean_token_len_e2"),
+        (symbols * 10000 / nchars).cast("long").alias("symbol_ratio_e4"),
+        (stopword_hits(t) * 10000 / n).cast("long").alias("stopword_ratio_e4"),
+        (max_line * 10000 / nchars).cast("long").alias("max_line_frac_e4"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (Rolling-hash shingle fingerprints live in dedup.simhash.)"""

@@ -1091,3 +1091,67 @@ def knn_ivf_kmeans(spark, sf_dir):
     query = e.where(F.col("vec_id") == 0)
     corpus = e.where(F.col("vec_id") != 0)
     return similarity.knn_ivf_kmeans(corpus, query, 10, n_clusters=8, probes=2)
+
+
+@q(
+    "text_quality_features",
+    f"""
+SELECT doc_id,
+       len({_TOK}) AS n_tokens,
+       len(list_distinct({_TOK})) AS n_distinct_tokens,
+       list_sum([length(x) for x in {_TOK}]) * 100 // len({_TOK}) AS mean_token_len_e2,
+       (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\n\\t]', '', 'g')))
+           * 10000 // length(text) AS symbol_ratio_e4,
+       ({_STOP_HITS}) * 10000 // len({_TOK}) AS stopword_ratio_e4,
+       list_max([length(x) for x in string_split(text, chr(10))])
+           * 10000 // length(text) AS max_line_frac_e4
+FROM documents
+""",
+)
+def text_quality_features(spark, sf_dir):
+    """Gopher/C4-style quality gate features, one map-only pass
+    (operators/text.quality_features)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_features(d)
+
+
+_WEEK_MS = 7 * 86_400_000
+
+
+@q(
+    "funnel_view_click_purchase",
+    f"""
+WITH ev AS ({_EV_MS}),
+l1 AS (
+  SELECT user_id, min(ts_ms) AS t_prev, min(ts_ms) AS t0
+  FROM ev WHERE event_type = 'view' GROUP BY 1
+),
+l2 AS (
+  SELECT e.user_id, min(e.ts_ms) AS t_prev, min(l1.t0) AS t0
+  FROM ev e JOIN l1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts_ms >= l1.t_prev AND e.ts_ms <= l1.t0 + {_WEEK_MS}
+  GROUP BY 1
+),
+l3 AS (
+  SELECT e.user_id, min(e.ts_ms) AS t_prev, min(l2.t0) AS t0
+  FROM ev e JOIN l2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts_ms >= l2.t_prev AND e.ts_ms <= l2.t0 + {_WEEK_MS}
+  GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM l1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM l2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM l3)
+""",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase within 7 days
+    of the first view (operators/temporal.funnel)."""
+    from dqe_spark.operators.temporal import funnel
+    from dqe_spark.sources.metric_store import load_events
+
+    ev = load_events(spark, sf_dir)
+    return funnel(ev, ["view", "click", "purchase"], _WEEK_MS)

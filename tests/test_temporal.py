@@ -92,3 +92,40 @@ def test_dedup_clusters_components_and_singletons(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
+
+
+def test_funnel_ordering_and_window(spark):
+    """Order violations and window expiry: a step counts only at-or-
+    after the previous step's time and within the window of the FIRST
+    step; a user's earliest qualifying chain is what counts."""
+    from dqe_spark.operators.temporal import funnel
+
+    W = 1000
+    rows = [
+        # u1 converts fully in order
+        (1, "view", 100), (1, "click", 200), (1, "buy", 300),
+        # u2: click BEFORE view → click never qualifies
+        (2, "click", 50), (2, "view", 100), (2, "buy", 200),
+        # u3: click after view but outside view+W → drops at step 2
+        (3, "view", 100), (3, "click", 1200),
+        # u4: click at exactly t0+W qualifies (inclusive), buy after it
+        (4, "view", 0), (4, "click", 1000), (4, "buy", 1000),
+        # u5: two views; funnel anchors at the FIRST view (t0=0), so
+        # the click at 1500 is outside 0+W even though view@600 fits
+        (5, "view", 0), (5, "view", 600), (5, "click", 1500),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+    got = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel(ev, ["view", "click", "buy"], W).collect()
+    }
+    assert got[1] == ("view", 5)
+    assert got[2] == ("click", 2)  # u1 and u4
+    assert got[3] == ("buy", 2)    # u1 and u4 (buy == click time allowed)
+
+    # single-step funnel and empty-step validation
+    assert funnel(ev, ["buy"], W).collect()[0]["n_users"] == 3
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel(ev, [], W)
