@@ -1155,3 +1155,91 @@ def funnel_view_click_purchase(spark, sf_dir):
 
     ev = load_events(spark, sf_dir)
     return funnel(ev, ["view", "click", "purchase"], _WEEK_MS)
+
+
+# ---------------------------------------------------------------------------
+# Training-batch assembly (operators/batching.py)
+# ---------------------------------------------------------------------------
+
+_EH = (
+    "('0x' || substr(md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+_DUCK_TOK = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+@q(
+    "batch_epoch_shard",
+    f"""
+SELECT doc_id,
+       CAST({_EH} % 8 AS INT) AS shard,
+       {_EH} AS ord
+FROM documents
+""",
+)
+def batch_epoch_shard(spark, sf_dir):
+    """Deterministic epoch-1 shuffle: map-only shard + order key per
+    document (operators/batching.epoch_shard)."""
+    from dqe_spark.operators import batching
+
+    d = load_table(spark, sf_dir, "documents")
+    return batching.epoch_shard(d, epoch=1)
+
+
+@q(
+    "batch_pack_sequences",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({_EH} % 8 AS INT) AS shard,
+         {_EH} AS ord,
+         {_DUCK_TOK} AS n_tokens
+  FROM documents
+),
+pre AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS "offset"
+  FROM base
+)
+SELECT doc_id, shard, ord, n_tokens, "offset",
+       "offset" // 2048 AS chunk_first,
+       ("offset" + n_tokens - 1) // 2048 AS chunk_last
+FROM pre
+""",
+)
+def batch_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 2048-token contexts:
+    per-shard running token offsets in epoch-shuffle order
+    (operators/batching.pack_sequences)."""
+    from dqe_spark.operators import batching
+
+    d = load_table(spark, sf_dir, "documents")
+    return batching.pack_sequences(d, budget=2048, epoch=1)
+
+
+@q(
+    "batch_mixture_weights",
+    f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         SUM({_DUCK_TOK}) AS n_tokens,
+         CAST(floor(sqrt(CAST(SUM({_DUCK_TOK}) AS DOUBLE))) AS BIGINT) AS isq
+  FROM documents GROUP BY source
+),
+z AS (SELECT SUM(isq) AS z FROM per)
+SELECT source, n_docs, n_tokens,
+       (isq * 1000000000) // z.z AS weight_ppb
+FROM per, z
+""",
+)
+def batch_mixture_weights(spark, sf_dir):
+    """sqrt-temperature mixture weights per source (alpha=0.5) in the
+    integer domain — isqrt + fixed-point ppb, deterministic across
+    engines (operators/batching.mixture_weights)."""
+    from dqe_spark.operators import batching
+
+    d = load_table(spark, sf_dir, "documents")
+    return batching.mixture_weights(d, strata="source")
