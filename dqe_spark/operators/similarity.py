@@ -378,3 +378,151 @@ def knn_ivf_kmeans(
     )
     pruned = assigned.join(F.broadcast(probe_cells), "__cid", "left_semi").drop("__cid")
     return knn_bruteforce(pruned, query, k, vec, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    df: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split dims into ``m_sub``
+    contiguous subvectors and run the deterministic Lloyd's k-means
+    (kmeans_centroids) independently in each subspace.
+
+    Returns ``m_sub`` codebooks of ``n_codes`` sub-centroids each —
+    m_sub × n_codes × (dims/m_sub) floats, the whole "index" a few KB
+    that broadcasts to every executor. Training reuses the engine's
+    deterministic k-means (md5 rank-hash seeds), so codebooks are a
+    pure function of the data.
+
+    PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011) is the standard memory-bound ANN design: a
+    64-dim float vector (256 B) compresses to m_sub code bytes, so a
+    100 TB embedding table scans as ~3 TB of codes.
+    """
+    dims = len(df.select(vec).first()[0])
+    if dims % m_sub:
+        raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")
+    sub = dims // m_sub
+    books = []
+    for s in range(m_sub):
+        sliced = df.select(
+            F.col(id_col), F.slice(F.col(vec), s * sub + 1, sub).alias(vec)
+        )
+        books.append(kmeans_centroids(sliced, n_codes, iters, vec, id_col))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m_sub`` small-int codes (argmin
+    sub-centroid per subspace) → (id, codes array<int>).
+
+    One Arrow pandas-UDF pass computes ALL subspace argmins per batch
+    (the same matvec exception as _nearest_centroid — m_sub × n_codes
+    literal distance expressions would blow up codegen). At ingest
+    this runs once and the codes column is what gets stored/scanned.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)        # m × C × sub
+    m_sub, _, sub = B.shape
+    sq = (B * B).sum(axis=2)                       # m × C
+
+    @pandas_udf("array<int>")
+    def codes(vs):
+        A = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        if A.size == 0:
+            return pd.Series([], dtype="object")
+        out = np.empty((A.shape[0], m_sub), dtype="int32")
+        for s in range(m_sub):
+            Asub = A[:, s * sub : (s + 1) * sub]
+            d = -2.0 * (Asub @ B[s].T) + sq[s]
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), codes(F.col(vec)).alias("codes"))
+
+
+def knn_pq_adc(
+    df: DataFrame,
+    query: DataFrame,
+    k: int,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 4,
+    rerank: int = 0,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC): the query
+    stays uncompressed; each candidate's distance is the sum of
+    per-subspace query→sub-centroid distances looked up by code.
+
+    The distance TABLE (m_sub × n_codes doubles) is computed once on
+    the driver from the collected 1-row query, then inlined as literal
+    arrays — the scan-side expression is m_sub element_at() lookups
+    plus adds, pure JVM codegen with NO Python in the query path (the
+    pandas UDF runs only at encode time, i.e. ingest). Output
+    (vec_id, adc) ascending — approximate L2 distance², deterministic
+    id tie-break.
+
+    Scale shape: encode once at ingest; a query is a broadcast-free
+    linear scan over the codes column (m_sub ints/row instead of the
+    full vector), then a global top-k. Recall is tunable via n_codes/
+    m_sub; re-rank the top-R with exact distances when recall matters.
+    """
+    import numpy as np
+
+    books = pq_codebooks(df, m_sub, n_codes, iters, vec, id_col)
+    B = np.asarray(books, dtype=np.float64)        # m × C × sub
+    sub = B.shape[2]
+    qv = np.asarray(query.select(vec).first()[0], dtype=np.float64)
+    # per-subspace distance table: table[s][c] = ‖q_s − B[s,c]‖²
+    table = [
+        [float(((qv[s * sub : (s + 1) * sub] - B[s, c]) ** 2).sum()) for c in range(n_codes)]
+        for s in range(B.shape[0])
+    ]
+    enc = pq_encode(df, books, vec, id_col)
+    lut = [F.array(*[F.lit(v) for v in row]) for row in table]
+    adc = None
+    for s, arr in enumerate(lut):
+        term = F.element_at(arr, F.col("codes")[s] + 1)
+        adc = term if adc is None else adc + term
+    scored = enc.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+    if rerank <= 0:
+        return scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
+    # exact re-rank: top-`rerank` ADC candidates (a tiny id set, AQE
+    # broadcasts it) fetch their true vectors and score exact L2² —
+    # the standard PQ recall fix; the full table is still scanned
+    # codes-only, the vector column is read for `rerank` rows
+    cand = scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(rerank)
+    qc = query.select(F.col(vec).alias("__q"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col(vec), F.col("__q"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        df.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
+        .crossJoin(F.broadcast(qc))
+        .select(F.col(id_col), F.round(l2, 6).alias("adc"))
+    )
+    return exact.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)

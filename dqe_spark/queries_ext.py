@@ -1243,3 +1243,16 @@ def batch_mixture_weights(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return batching.mixture_weights(d, strata="source")
+
+
+@q("knn_pq")  # rows-only: learned codebooks (iterative k-means) are not
+# SQL-expressible; exactness of the ADC plumbing and recall are
+# pytest-verified against brute force (tests/test_similarity.py)
+def knn_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): per-
+    subspace k-means codebooks, codes-only scan with literal-array ADC
+    lookup (pure JVM in the query path), exact re-rank of the top-50
+    candidates (operators/similarity.knn_pq_adc)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 7).select("embedding")
+    return similarity.knn_pq_adc(emb, qv, 10, rerank=50)

@@ -95,3 +95,73 @@ def test_ivf_probe_subset_is_consistent(spark):
         [(c,) for c in probed_ids], "cid int")), "cid", "left_semi").drop("cid")
     want = knn_bruteforce(sub, query, 5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pq_full_rerank_equals_bruteforce_l2(spark):
+    """With rerank covering the whole corpus, PQ degrades to exact L2
+    top-k — the ADC stage only orders candidates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    q = emb.where(F.col("vec_id") == 3).select("embedding")
+    got = [r.vec_id for r in S.knn_pq_adc(emb, q, 5, rerank=n).collect()]
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    qv = data[3]
+    exact = sorted(data, key=lambda i: (round(((data[i] - qv) ** 2).sum(), 6), i))[:5]
+    assert got == exact
+
+
+def test_pq_adc_matches_numpy_reconstruction(spark):
+    """ADC scores are exactly the sum of per-subspace distance-table
+    entries for each row's codes (verifies encode + lookup plumbing)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    books = S.pq_codebooks(emb, m_sub=8, n_codes=16, iters=2)
+    B = np.asarray(books)
+    enc = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, books).collect()}
+    qv = np.array(
+        emb.where(F.col("vec_id") == 3).first().embedding, dtype=np.float64
+    )
+    sub = B.shape[2]
+    table = np.array(
+        [[((qv[s * sub:(s + 1) * sub] - B[s, c]) ** 2).sum() for c in range(16)]
+         for s in range(8)]
+    )
+    expect = {
+        i: round(sum(table[s, c] for s, c in enumerate(cs)), 6)
+        for i, cs in enc.items()
+    }
+    got = {
+        r.vec_id: r.adc
+        for r in S.knn_pq_adc(
+            emb,
+            emb.where(F.col("vec_id") == 3).select("embedding"),
+            emb.count(),
+            iters=2,  # must match the pq_codebooks() call above
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_pq_rerank_recall(spark):
+    """rerank=50 recovers ≥0.8 recall@10 vs exact L2 on the smoke set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 7).select("embedding")
+    got = {r.vec_id for r in S.knn_pq_adc(emb, q, 10, rerank=50).collect()}
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    qv = data[7]
+    exact = set(sorted(data, key=lambda i: (((data[i] - qv) ** 2).sum(), i))[:10])
+    assert len(got & exact) >= 8
