@@ -1256,3 +1256,19 @@ def knn_pq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 7).select("embedding")
     return similarity.knn_pq_adc(emb, qv, 10, rerank=50)
+
+
+@q("knn_ann_served")  # rows-only: index built by deterministic k-means
+# (iterative, not SQL-expressible); serving-path exactness vs the
+# operator path and partition pruning are asserted in
+# tests/test_ann_store.py
+def knn_ann_served(spark, sf_dir):
+    """kNN served from the materialized ANN index store: probed cells
+    are parquet partitions (PartitionFilters pruning), codes-only ADC
+    scan, exact re-rank from the stored vectors
+    (sources/ann_store.knn_pq_probed)."""
+    from dqe_spark.sources import ann_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 7).select("embedding")
+    return ann_store.knn_pq_probed(spark, sf_dir, qv, 10)
