@@ -1272,3 +1272,45 @@ def knn_ann_served(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 7).select("embedding")
     return ann_store.knn_pq_probed(spark, sf_dir, qv, 10)
+
+
+@q(
+    "events_distinct_users_1h",
+    """
+SELECT event_type,
+       (epoch_ns(ts) // 1000000) - ((epoch_ns(ts) // 1000000) % 3600000) AS wts,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def events_distinct_users_1h(spark, sf_dir):
+    """Exact distinct users per event_type per hour — the correctness
+    baseline for the HLL sketch rollup (sources/rollup.py
+    build_distinct_rollup), which replaces this full-scan
+    count_distinct at 100 TB."""
+    from dqe_spark.sources.metric_store import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            (F.col("ts_ms") - (F.col("ts_ms") % F.lit(3_600_000))).alias("wts"),
+            "user_id",
+        )
+        .groupBy("event_type", "wts")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@q("rollup_distinct_users_1d")  # rows-only: HLL estimates are
+# approximate by design (no SQL-exact oracle); relative error vs the
+# exact count is asserted in tests/test_rollup.py
+def rollup_distinct_users_1d(spark, sf_dir):
+    """Distinct users per event_type per DAY served from the hourly
+    HLL sketch partials: hll_union_agg over 24 KB-sized sketches per
+    cell — never re-reads the points (sources/rollup.py
+    distinct_rollup_agg)."""
+    from dqe_spark.sources.rollup import distinct_rollup_agg, load_distinct_rollup
+
+    sk = load_distinct_rollup(spark, sf_dir, 3_600_000)
+    return distinct_rollup_agg(sk, 86_400_000)

@@ -116,6 +116,60 @@ def ingest_ann(
     return out
 
 
+def merge_ann_increment(
+    spark: SparkSession, sf_dir: str, new_vectors: DataFrame
+) -> Path:
+    """Fold newly-landed vectors into the materialized index WITHOUT
+    retraining: the coarse centroids and PQ codebooks are frozen at
+    ingest (the standard IVF-PQ maintenance contract — retrain is a
+    scheduled re-ingest, not a per-batch cost), so an increment is
+    assign + encode + rewrite of only the touched cell partitions.
+
+    Upsert semantics by ``id_col`` (a re-landed id replaces its old
+    row). Dynamic partition overwrite replaces exactly the affected
+    ``cell=`` directories; the merged frame is localCheckpoint'ed
+    first so the write doesn't read from the path it overwrites. This
+    mirrors rollup.merge_rollup_increment — at 100 TB a nightly vector
+    backfill costs proportional to the new data, not the index."""
+    from dqe_spark.operators import similarity as S
+
+    ingest_ann(spark, sf_dir)
+    p = ann_path(sf_dir)
+    meta = json.loads((p / "meta.json").read_text())
+    id_col, vec = meta["id_col"], meta["vec"]
+    coded = S.pq_encode(new_vectors, meta["codebooks"], vec, id_col)
+    inc = (
+        new_vectors.select(id_col, vec)
+        .withColumn("cell", S._nearest_centroid(F.col(vec), meta["centroids"]))
+        .join(coded, id_col)
+    )
+    idx0 = spark.read.parquet(str(p / "index"))
+    # touched = cells the new vectors land in ∪ cells holding old rows
+    # of re-landed ids (an upsert may MOVE an id across cells — the old
+    # cell must be rewritten too or the stale row survives)
+    old_cells = idx0.join(
+        F.broadcast(inc.select(id_col)), id_col, "left_semi"
+    ).select("cell")
+    touched = inc.select("cell").union(old_cells).distinct()
+    existing = (
+        idx0.join(F.broadcast(touched), "cell", "left_semi")
+        .join(F.broadcast(inc.select(id_col)), id_col, "left_anti")
+    )
+    merged = (
+        existing.unionByName(inc.select(*existing.columns))
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.repartition("cell")
+        .sortWithinPartitions("cell", id_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(str(p / "index"))
+    )
+    return p
+
+
 def load_ann(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict] | None:
     """(index DataFrame, meta) if the index is built, else None."""
     p = ann_path(sf_dir)

@@ -37,6 +37,63 @@ def test_probe_prunes_partitions(spark):
     assert "cell" in pf
 
 
+def test_merge_increment_upserts_and_prunes_untouched_cells(spark):
+    """Incremental maintenance: new ids append, re-landed ids replace,
+    untouched cell partitions are NOT rewritten (dynamic overwrite)."""
+    from dqe_spark.operators import similarity as S
+    from dqe_spark.sources import ann_store
+
+    p = ann_store.ingest_ann(spark, SF_SMOKE, force=True)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base_n = emb.count()
+    _, meta = ann_store.load_ann(spark, SF_SMOKE)
+
+    # increment: one brand-new id (vec of id 3) + one upsert (id 7
+    # re-lands with id 8's embedding)
+    new_id = emb.agg(F.max("vec_id")).first()[0] + 1
+    inc = (
+        emb.where(F.col("vec_id") == 3)
+        .select(F.lit(new_id).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.where(F.col("vec_id") == 8)
+            .select(F.lit(7).alias("vec_id"), "embedding")
+        )
+    )
+    idx0, _ = ann_store.load_ann(spark, SF_SMOKE)
+    inc_cells = {
+        r[0]
+        for r in inc.select(
+            S._nearest_centroid(F.col("embedding"), meta["centroids"])
+        ).collect()
+    } | {idx0.where(F.col("vec_id") == 7).first()["cell"]}  # old cell of the upsert
+    untouched = [
+        d
+        for d in (p / "index").iterdir()
+        if d.name.startswith("cell=")
+        and int(d.name.split("=")[1]) not in inc_cells
+    ]
+    before = {d.name: max(f.stat().st_mtime_ns for f in d.iterdir()) for d in untouched}
+
+    ann_store.merge_ann_increment(spark, SF_SMOKE, inc)
+
+    idx, _ = ann_store.load_ann(spark, SF_SMOKE)
+    assert idx.count() == base_n + 1  # upsert replaced, new appended
+    got7 = idx.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    want = emb.where(F.col("vec_id") == 8).select("embedding").first()[0]
+    assert list(got7) == list(want)
+    # codes of the new row match a fresh frozen-codebook encode
+    want_codes = S.pq_encode(inc, meta["codebooks"]).where(
+        F.col("vec_id") == new_id
+    ).first()["codes"]
+    assert list(idx.where(F.col("vec_id") == new_id).first()["codes"]) == list(
+        want_codes
+    )
+    # untouched cell partitions were not rewritten
+    after = {d.name: max(f.stat().st_mtime_ns for f in d.iterdir()) for d in untouched}
+    assert before == after
+    ann_store.ingest_ann(spark, SF_SMOKE, force=True)  # restore for other tests
+
+
 def test_served_knn_matches_operator_path(spark):
     """The store-served query returns the same ids as the in-memory
     IVF+PQ operators given identical parameters (both deterministic)."""

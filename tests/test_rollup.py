@@ -130,3 +130,80 @@ def test_incremental_merge_new_metric_partition(spark):
     assert after.count() == n_before + 1
 
     R.build_rollup(spark, SF_SMOKE, res, force=True)
+
+
+def test_distinct_rollup_estimate_within_tolerance(spark):
+    """HLL sketch partials merged to 1d estimate within 2% of the
+    exact distinct count (lgConfigK=12 → ~1.6% rel std err; small
+    per-cell cardinalities at smoke scale are near-exact)."""
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.sources.metric_store import load_events
+
+    R.build_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+    sk = R.load_distinct_rollup(spark, SF_SMOKE, 3_600_000)
+    est = {
+        (r["event_type"], r["wts"]): r["approx_users"]
+        for r in R.distinct_rollup_agg(sk, 86_400_000).collect()
+    }
+    ev = load_events(spark, SF_SMOKE)
+    exact = {
+        (r["event_type"], r["wts"]): r["n"]
+        for r in ev.select(
+            "event_type",
+            (F.col("ts_ms") - (F.col("ts_ms") % F.lit(86_400_000))).alias("wts"),
+            "user_id",
+        )
+        .groupBy("event_type", "wts")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(1, 0.02 * n), (k, est[k], n)
+
+
+def test_distinct_increment_matches_full_rebuild(spark):
+    """Splitting the events in two and merging the second half as an
+    increment estimates identically to a one-shot build (HLL union is
+    exact over sketches)."""
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.sources.metric_store import load_events
+
+    ev = load_events(spark, SF_SMOKE)
+    cut = ev.agg(F.expr("percentile_approx(ts_ms, 0.5)")).first()[0]
+    full = R.build_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+    want = sorted(
+        (r["event_type"], r["wts"], r["approx_users"])
+        for r in R.distinct_rollup_agg(
+            spark.read.parquet(str(full)), 86_400_000
+        ).collect()
+    )
+
+    # rebuild from only the first half, then merge the second half
+    import shutil
+
+    first = ev.where(F.col("ts_ms") < cut)
+    second = ev.where(F.col("ts_ms") >= cut)
+    out = R._distinct_dir(SF_SMOKE, 3_600_000)
+    shutil.rmtree(out)
+    R._atomic_write(
+        first.select(
+            "event_type",
+            (F.col("ts_ms") - (F.col("ts_ms") % F.lit(3_600_000))).alias("wts"),
+            "user_id",
+        )
+        .groupBy("event_type", "wts")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")),
+        out,
+        "_tmp_rollup_distinct_halftest",
+        part_cols=("event_type",),
+    )
+    R.merge_distinct_increment(spark, second, SF_SMOKE, 3_600_000)
+    got = sorted(
+        (r["event_type"], r["wts"], r["approx_users"])
+        for r in R.distinct_rollup_agg(
+            R.load_distinct_rollup(spark, SF_SMOKE, 3_600_000), 86_400_000
+        ).collect()
+    )
+    assert got == want
+    R.build_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
