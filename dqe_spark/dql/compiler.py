@@ -59,6 +59,9 @@ class SeriesFrame:
     scan_bucket: str | None = None
     scan_pred: Column | None = None  # metric predicate (portable F.col expr)
     scan_range: tuple[int, int] | None = None
+    # tag WHERE over TAGGED_DIMS only (plain-column predicate portable
+    # to the tagged rollup's partials); None when absent or non-dim
+    scan_tag_pred: Column | None = None
     # True when the frame may hold >1 series (glob / ALL lookup):
     # ordered fold combinators reject such inputs at plan time
     maybe_multi: bool = False
@@ -313,6 +316,7 @@ class Compiler:
         registry=None,
         rollups: dict[int, DataFrame] | None = None,
         hist_rollups: dict[int, DataFrame] | None = None,
+        tagged_rollups: dict[int, DataFrame] | None = None,
         cache_shared_scans: bool = False,
         dense: bool = False,
     ):
@@ -327,6 +331,10 @@ class Compiler:
         # eligible windowed aggregates are rewritten to read partials
         self.rollups = rollups or {}
         self.hist_rollups = hist_rollups or {}
+        # res_ms -> TAGGED partials (sources/rollup.py TAGGED_DIMS in
+        # the key): lets scans whose WHERE touches only those dims stay
+        # rollup-rewritable — the dim predicate filters partials
+        self.tagged_rollups = tagged_rollups or {}
         # duplicate-scan CSE (the reference's dflow `optimize` merges
         # duplicate gets, src/dqe.erl:204-225). Identical terminals in
         # one compile always share the same DataFrame object (Catalyst
@@ -508,6 +516,7 @@ class Compiler:
             return self._group_by(node, start, end)
         pred: Column | None = None
         pred_only = True  # no tag predicates → rollup-rewritable
+        tag_pred: Column | None = None
         if isinstance(node, A.Get):
             pred = F.col("metric") == ".".join(node.parts)
             df = self._scan(node.bucket, start, end).where(pred)
@@ -526,8 +535,14 @@ class Compiler:
                 pred = F.col("metric") == ".".join(node.parts)
                 df = df.where(pred)
             if node.where is not None:
-                df = df.where(self._where_col(node.where))
-                pred_only = False  # tags aren't in the rollup store
+                wcol = self._where_col(node.where)
+                df = df.where(wcol)
+                pred_only = False  # tags aren't in the PLAIN rollup store
+                if self._where_dims_only(node.where):
+                    # …but they ARE in the tagged rollup: keep the
+                    # predicate (plain dim columns on both sides) so
+                    # _try_rollup can still rewrite from tagged partials
+                    tag_pred = wcol
             bucket = node.bucket
         else:  # pragma: no cover
             raise PlanError(f"bad terminal {node!r}")
@@ -550,6 +565,7 @@ class Compiler:
             scan_bucket=bucket,
             scan_pred=pred,
             scan_range=(start, end),
+            scan_tag_pred=tag_pred,
             maybe_multi=isinstance(node, A.SGet)
             or (isinstance(node, A.Lookup) and node.parts is None),
         )
@@ -581,6 +597,22 @@ class Compiler:
         if op == "exists":
             return ref.isNotNull()
         raise PlanError(f"bad where op {op!r}")
+
+    def _where_dims_only(self, w) -> bool:
+        """True when every tag the WHERE references is a TAGGED_DIMS
+        plain column — the predicate is then portable to the tagged
+        rollup's partials verbatim."""
+        from dqe_spark.sources.rollup import TAGGED_DIMS
+
+        op = w[0]
+        if op in ("and", "or"):
+            return self._where_dims_only(w[1]) and self._where_dims_only(w[2])
+        tag: A.TagRef = w[1]
+        return (
+            not tag.ns
+            and tag.key in TAGGED_DIMS
+            and tag.key in self.metrics.columns
+        )
 
     def _group_by(self, node: A.GroupBy, start: int, end: int) -> SeriesFrame:
         base = self._terminal(node.lookup, start, end)
@@ -827,12 +859,23 @@ class Compiler:
         quantile = (len(consts) == 1 and name == "median") or (
             len(consts) == 2 and name == "percentile"
         )
-        if not self.rollups or not sub.pristine or not (scalar or quantile):
+        if not (scalar or quantile):
             return None
+        tagged = not sub.pristine and sub.scan_tag_pred is not None
+        if tagged:
+            # dim-only WHERE: rewrite from TAGGED partials (scalar
+            # only — there is no tagged histogram store, so quantiles
+            # over filtered scans still read raw points)
+            if not self.tagged_rollups or quantile:
+                return None
+            levels = self.tagged_rollups
+        elif not self.rollups or not sub.pristine:
+            return None
+        else:
+            levels = self.hist_rollups if quantile else self.rollups
         if quantile and not self.hist_rollups:
             return None
         start, end = sub.scan_range
-        levels = self.hist_rollups if quantile else self.rollups
         for res in sorted(levels, reverse=True):
             if (
                 wms % res == 0
@@ -845,13 +888,15 @@ class Compiler:
                     return self._quantile_from_hist(sub, name, consts, node, wms, res)
                 from dqe_spark.sources.rollup import partial_value_expr, rewindow
 
-                r = self.rollups[res].where(
+                r = levels[res].where(
                     (F.col("bucket") == sub.scan_bucket)
                     & (F.col("wts") >= start)
                     & (F.col("wts") < end)
                 )
                 if sub.scan_pred is not None:
                     r = r.where(sub.scan_pred)
+                if tagged:
+                    r = r.where(sub.scan_tag_pred)
                 value = partial_value_expr(name)
                 df = (
                     r.withColumn("wts2", rewindow(wms))

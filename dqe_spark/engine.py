@@ -36,12 +36,13 @@ def plan(
     use_rollups=True materializes (once) and registers the 1m rollup
     store, letting the compiler rewrite eligible distributive window
     aggregates to read pre-aggregated partials instead of raw points."""
-    rollups = hist_rollups = None
+    rollups = hist_rollups = tagged_rollups = None
     if use_rollups:
         from dqe_spark.sources.rollup import (
             cascade_rollup,
             load_hist_rollup,
             load_rollup,
+            load_tagged_rollup,
         )
 
         cascade_rollup(spark, sf_dir, 60_000, 3_600_000)
@@ -50,6 +51,7 @@ def plan(
             3_600_000: load_rollup(spark, sf_dir, 3_600_000),
         }
         hist_rollups = {60_000: load_hist_rollup(spark, sf_dir, 60_000)}
+        tagged_rollups = {60_000: load_tagged_rollup(spark, sf_dir, 60_000)}
     ast = parse(dql)
     comp = Compiler(
         metrics=load_metrics(spark, sf_dir),
@@ -58,6 +60,7 @@ def plan(
         now_ms=now_ms,
         rollups=rollups,
         hist_rollups=hist_rollups,
+        tagged_rollups=tagged_rollups,
         dense=dense,
     )
     return comp.compile(ast)

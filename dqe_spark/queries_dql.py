@@ -667,3 +667,31 @@ def dql_lookup_all(spark, sf_dir):
         sf_dir,
     )
     return df.select("metric", F.col("ts_ms").alias("wts"), "value")
+
+
+@q(
+    "dql_rollup_where_dc_avg_1h",
+    """
+WITH m AS (
+  SELECT 'events.' || event_type AS metric,
+         epoch_ns(ts) // 1000000 AS ts_ms, value
+  FROM events
+  WHERE user_id % 2 = 0 AND event_type = 'click'
+)
+SELECT metric, (ts_ms // 3600000) * 3600000 AS ts_ms,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS value
+FROM m GROUP BY 1, 2
+""",
+)
+def dql_rollup_where_dc_avg_1h(spark, sf_dir):
+    """Tag-filtered window aggregate answered from the TAGGED rollup
+    (dim predicates on partials; plan-asserted in
+    tests/test_rollup_rewrite.py::test_tagged_rewrite_used_and_matches_raw)."""
+    (res,) = engine.run(
+        spark,
+        "SELECT avg('events'.'click' FROM 'events' WHERE 'dc' = 'east', 1h) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+        use_rollups=True,
+    )
+    return res.df.select("metric", "ts_ms", "value")

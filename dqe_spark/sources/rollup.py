@@ -45,10 +45,13 @@ def _rollup_dir(sf_dir: str, res_ms: int) -> Path:
     return STORE_ROOT / Path(sf_dir.rstrip("/")).name / f"rollup_{res_ms}ms"
 
 
-def point_partials(points: DataFrame, res_ms: int = 60_000) -> DataFrame:
+def point_partials(
+    points: DataFrame, res_ms: int = 60_000, dims: tuple[str, ...] = ()
+) -> DataFrame:
     """Mergeable partials for a batch of points — the SINGLE partials
     aggregation shared by the full build, the incremental merge, and
-    (shape-wise) the streaming maintenance path.
+    (shape-wise) the streaming maintenance path. ``dims`` adds tag
+    grouping columns to the partial key (the tagged rollup below).
 
     DECIMAL sums: source values are fixed-decimal, so partial sums stay
     EXACT — re-aggregated answers are then bit-identical to a raw scan
@@ -58,8 +61,8 @@ def point_partials(points: DataFrame, res_ms: int = 60_000) -> DataFrame:
     wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
     dec = F.col("value").cast("decimal(18,2)")
     return (
-        points.select("bucket", "metric", wts, "value", "confidence")
-        .groupBy("bucket", "metric", "wts")
+        points.select("bucket", "metric", *dims, wts, "value", "confidence")
+        .groupBy("bucket", "metric", *dims, "wts")
         .agg(
             F.count("value").alias("cnt"),
             F.sum(dec).alias("sum"),
@@ -553,3 +556,49 @@ def merge_distinct_increment(
         .parquet(str(out))
     )
     return out
+
+
+# ----------------------------------------------------------------- tagged
+
+#: tag dimensions carried by the tagged rollup — the view's plain tag
+#: columns. At 100 TB these are low-cardinality dims, so the tagged
+#: partial count is |metrics| × (observed dim combos) per window — a
+#: small constant factor over the plain rollup, bought once at ingest.
+TAGGED_DIMS = ("host", "dc", "user")
+
+
+def _tagged_dir(sf_dir: str, res_ms: int) -> Path:
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / f"rollup_tagged_{res_ms}ms"
+
+
+def build_tagged_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    res_ms: int = 60_000,
+    force: bool = False,
+    dims: tuple[str, ...] = TAGGED_DIMS,
+) -> Path:
+    """Tagged rollup: the plain partials PLUS the tag dimension
+    columns in the key, enabling exact rewrite of window aggregates
+    carrying tag WHERE predicates ("avg latency WHERE dc='east' over a
+    year") from partials instead of points. Dim predicates stay plain
+    column filters → parquet PushedFilters on the partial scan."""
+    from dqe_spark.sources.metric_store import load_metrics
+
+    out = _tagged_dir(sf_dir, res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    return _atomic_write(
+        point_partials(load_metrics(spark, sf_dir), res_ms, dims=dims),
+        out,
+        f"_tmp_rollup_tagged_{res_ms}ms",
+    )
+
+
+def load_tagged_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 60_000
+) -> DataFrame:
+    p = _tagged_dir(sf_dir, res_ms)
+    if not (p / "_SUCCESS").exists():
+        build_tagged_rollup(spark, sf_dir, res_ms)
+    return spark.read.parquet(str(p))

@@ -71,10 +71,10 @@ def test_no_rewrite_when_ineligible(spark):
     )
     assert "rollup_" not in _plan_of(ru2)
 
-    # tag lookups aren't in the rollup store
+    # tags OUTSIDE the tagged-rollup dims aren't in any partials store
     ru3 = _runs(
         spark,
-        "SELECT avg('events'.'click' FROM 'events' WHERE 'host' = 'h1', 1h) "
+        "SELECT avg('events'.'click' FROM 'events' WHERE 'region' = 'r1', 1h) "
         f"BETWEEN {JAN1} AND {FEB1}",
         use_rollups=True,
     )
@@ -140,3 +140,39 @@ def test_cascade_equals_direct(spark):
     a = {(r["metric"], r["wts"], r["value"]) for r in fine.collect()}
     b = {(r["metric"], r["wts"], r["value"]) for r in coarse.collect()}
     assert a == b and a
+
+
+def test_tagged_rewrite_used_and_matches_raw(spark):
+    """A dim-only tag WHERE stays rollup-rewritable via the TAGGED
+    partials store; answers are identical to the raw-scan path."""
+    dql = (
+        "SELECT avg('events'.'click' FROM 'events' "
+        f"WHERE 'dc' = 'east' AND 'host' != 'h9', 1h) BETWEEN {JAN1} AND {FEB1}"
+    )
+    raw = _runs(spark, dql)
+    ru = _runs(spark, dql, use_rollups=True)
+    assert "rollup_tagged_60000ms" in _plan_of(ru)
+    assert "rollup_" not in _plan_of(raw)
+    j = (
+        raw.select("ts_ms", F.col("value").alias("v_raw"))
+        .join(ru.select("ts_ms", F.col("value").alias("v_ru")), "ts_ms", "full")
+    )
+    rows = j.collect()
+    assert rows and all(
+        r["v_raw"] is not None
+        and r["v_ru"] is not None
+        and abs(r["v_raw"] - r["v_ru"]) <= 1e-4
+        for r in rows
+    )
+
+
+def test_tagged_rewrite_skips_quantiles(spark):
+    """No tagged histogram store: percentile over a filtered scan must
+    fall back to raw points (correctness over cleverness)."""
+    ru = _runs(
+        spark,
+        "SELECT percentile('events'.'click' FROM 'events' WHERE 'dc' = 'east', "
+        f"0.9, 1h) BETWEEN {JAN1} AND {FEB1}",
+        use_rollups=True,
+    )
+    assert "rollup_" not in _plan_of(ru)
