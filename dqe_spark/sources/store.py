@@ -248,3 +248,79 @@ def load_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         return None
     _register_bucketed(spark, sf_dir)
     return spark.table(_bucketed_table(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Lifecycle maintenance: retention + compaction (date layout)
+# ---------------------------------------------------------------------------
+
+
+def _date_partitions(out: Path):
+    for b in sorted(out.glob("bucket=*")):
+        for d in sorted(b.glob("dt=*")):
+            yield b.name.split("=", 1)[1], d.name.split("=", 1)[1], d
+
+
+def expire_before(sf_dir: str, cutoff_ms: int) -> list[str]:
+    """Retention: drop date-layout partitions strictly OLDER than the
+    cutoff's calendar day. Pure directory unlink — no scan, no Spark
+    job — so at 100 TB the nightly retention pass costs O(dropped
+    partitions), the same contract as DalmatinerDB's per-bucket TTL
+    grace deletes (reference keeps data per-bucket `ttl`). The day
+    CONTAINING the cutoff is always kept (conservative: never drops
+    rows at/after the cutoff). Returns the dropped partition paths."""
+    from datetime import datetime, timezone
+
+    out = _store_dir(sf_dir, "date")
+    if not (out / "_SUCCESS").exists():
+        return []
+    cutoff_day = datetime.fromtimestamp(
+        cutoff_ms / 1000, tz=timezone.utc
+    ).strftime("%Y-%m-%d")
+    dropped = []
+    for _bucket, dt, d in _date_partitions(out):
+        if dt < cutoff_day:
+            shutil.rmtree(d)
+            dropped.append(str(d))
+    return dropped
+
+
+def compact(
+    spark: SparkSession, sf_dir: str, max_files: int = 8, batch: int | None = None
+) -> list[str]:
+    """Small-file compaction for the date layout: partitions holding
+    more than ``max_files`` parquet files are rewritten into one
+    (metric, ts)-sorted file each via dynamic partition overwrite —
+    healthy partitions are never touched. Incremental/streaming
+    ingests accrete small files that erode row-group skipping and
+    bloat file listings; a scheduled compaction restores the layout at
+    a cost proportional to the offending partitions only. Returns the
+    rewritten partition dirs."""
+    out = _store_dir(sf_dir, "date")
+    if not (out / "_SUCCESS").exists():
+        return []
+    offenders = [
+        (b, dt, d)
+        for b, dt, d in _date_partitions(out)
+        if len(list(d.glob("*.parquet"))) > max_files
+    ]
+    if batch is not None:
+        offenders = offenders[:batch]
+    if not offenders:
+        return []
+    keys = {(b, dt) for b, dt, _ in offenders}
+    df = spark.read.parquet(str(out))
+    cond = None
+    for b, dt in sorted(keys):
+        c = (F.col("bucket") == b) & (F.col("dt") == dt)
+        cond = c if cond is None else (cond | c)
+    sub = df.where(cond).localCheckpoint(eager=True)
+    (
+        sub.repartition(len(keys), "bucket", "dt")
+        .sortWithinPartitions("bucket", "dt", "metric", "ts_ms")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "dt")
+        .parquet(str(out))
+    )
+    return [str(d) for _, _, d in offenders]

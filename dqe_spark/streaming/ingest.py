@@ -209,3 +209,36 @@ def stream_dedup(
     return metrics.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_distinct_partials(
+    spark: SparkSession,
+    source_dir: str,
+    res: str = "1 hour",
+    watermark: str = "6 hours",
+    schema: str = STREAM_SCHEMA,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Continuous distinct-count maintenance: HLL sketch partials per
+    (event_type, event-time window) — the streaming twin of
+    sources/rollup.build_distinct_rollup. Drained-stream sketches
+    hll_union_agg-merge with batch-built cells (same algorithm, same
+    lgConfigK), so the serving layer never cares which path produced a
+    cell; late events beyond the watermark belong to the batch
+    merge_distinct_increment backfill."""
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(ev.dtypes)["ts"].startswith("timestamp"):
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    return (
+        ev.select("event_type", ts.alias("ts"), "user_id")
+        .withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", res).alias("w"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"))
+        .select(
+            "event_type",
+            F.unix_millis(F.col("w.start")).alias("wts"),
+            "sketch",
+        )
+    )

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMOKE
 
 
@@ -200,3 +202,76 @@ def test_bucketed_layout_parity_and_plans(spark):
     # bucket pruning on metric equality
     p3 = plan_of(b2.where(F.col("metric") == "events.click").select("ts_ms"))
     assert "SelectedBucketsCount" in p3, p3
+
+
+def test_expire_before_drops_only_old_partitions(spark):
+    from dqe_spark.sources import store
+
+    out = store.ingest(spark, SF_SMOKE, layout="date", force=True)
+    parts_before = sorted(dt for _, dt, _ in store._date_partitions(out))
+    assert len(parts_before) > 3
+    # cutoff mid-range, mid-day: the cutoff's own day must survive
+    cut_day = parts_before[len(parts_before) // 2]
+    from datetime import datetime, timezone
+
+    cutoff_ms = int(
+        datetime.strptime(cut_day, "%Y-%m-%d")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1000
+    ) + 12 * 3_600_000
+    dropped = store.expire_before(SF_SMOKE, cutoff_ms)
+    remaining = sorted(dt for _, dt, _ in store._date_partitions(out))
+    assert remaining == [dt for dt in parts_before if dt >= cut_day]
+    assert len(dropped) == len(parts_before) - len(remaining) > 0
+    # store still loads; no row at/after the cutoff was lost
+    df = store.load(spark, SF_SMOKE, layout="date")
+    assert df.where(F.col("ts_ms") >= cutoff_ms).count() > 0
+    assert df.agg(F.min("dt")).first()[0] == cut_day
+    store.ingest(spark, SF_SMOKE, layout="date", force=True)  # restore
+
+
+def test_compact_rewrites_fragmented_partitions_only(spark):
+    from dqe_spark.sources import store
+
+    out = store.ingest(spark, SF_SMOKE, layout="date", force=True)
+    df_before = store.load(spark, SF_SMOKE, layout="date").select(
+        "bucket", "metric", "ts_ms", "value", "dt"
+    )
+    chk = df_before.agg(
+        F.count("*"), F.sum("ts_ms"), F.round(F.sum("value"), 2)
+    ).first()
+
+    # fragment ONE partition: rewrite it as many tiny files
+    tgt = next(d for _, _, d in store._date_partitions(out))
+    frag = spark.read.parquet(str(tgt))
+    n = frag.count()
+    tmp = out.parent / "_frag_tmp"
+    frag.repartition(16).write.mode("overwrite").parquet(str(tmp))
+    import shutil
+
+    shutil.rmtree(tgt)
+    shutil.copytree(tmp, tgt)
+    shutil.rmtree(tmp)
+    assert len(list(tgt.glob("*.parquet"))) > 8
+
+    healthy = [
+        d for _, _, d in store._date_partitions(out) if d != tgt
+    ]
+    mtimes = {str(d): max(f.stat().st_mtime_ns for f in d.iterdir()) for d in healthy}
+
+    rewritten = store.compact(spark, SF_SMOKE, max_files=8)
+    assert rewritten == [str(tgt)]
+    assert len(list(tgt.glob("*.parquet"))) == 1
+    assert spark.read.parquet(str(tgt)).count() == n
+    # healthy partitions untouched; content identical
+    after = {str(d): max(f.stat().st_mtime_ns for f in d.iterdir()) for d in healthy}
+    assert mtimes == after
+    df_after = store.load(spark, SF_SMOKE, layout="date").select(
+        "bucket", "metric", "ts_ms", "value", "dt"
+    )
+    assert df_after.agg(
+        F.count("*"), F.sum("ts_ms"), F.round(F.sum("value"), 2)
+    ).first() == chk
+    assert store.compact(spark, SF_SMOKE, max_files=8) == []  # idempotent
+    store.ingest(spark, SF_SMOKE, layout="date", force=True)  # restore

@@ -250,3 +250,54 @@ def test_stream_stateless_corpus_ops_match_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, batch.collect()))
     assert got == want and got
+
+
+def test_stream_distinct_matches_batch_sketches(spark):
+    """Drained streaming HLL partials estimate identically to the
+    batch-built distinct rollup on the same cells (same sketch
+    algorithm and lgConfigK); windows the watermark never closed
+    belong to the batch backfill (same contract as the rollup)."""
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.streaming.ingest import stream_distinct_partials
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamdx_"))
+    landing, out, ckpt = tmp / "landing", tmp / "out", tmp / "ckpt"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "batch0.parquet")
+    try:
+        agg = stream_distinct_partials(spark, str(landing))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["event_type"], r["wts"]): r["est"]
+            for r in spark.read.parquet(str(out))
+            .select(
+                "event_type", "wts",
+                F.hll_sketch_estimate("sketch").alias("est"),
+            )
+            .collect()
+        }
+        R.build_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+        want = {
+            (r["event_type"], r["wts"]): r["est"]
+            for r in R.load_distinct_rollup(spark, SF_SMOKE, 3_600_000)
+            .select(
+                "event_type", "wts",
+                F.hll_sketch_estimate("sketch").alias("est"),
+            )
+            .collect()
+        }
+        assert got and all(got[k] == want[k] for k in got)
+        horizon = max(w for _, w in want) - 7 * 3_600_000
+        missing = set(want) - set(got)
+        assert all(w >= horizon for _, w in missing)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
