@@ -1314,3 +1314,20 @@ def rollup_distinct_users_1d(spark, sf_dir):
 
     sk = load_distinct_rollup(spark, sf_dir, 3_600_000)
     return distinct_rollup_agg(sk, 86_400_000)
+
+
+@q(
+    "text_keyword_search",
+    """
+SELECT doc_id FROM documents
+WHERE list_contains(list_distinct(string_split_regex(lower(text), '[^a-z0-9]+')), 'dup')
+  AND list_contains(list_distinct(string_split_regex(lower(text), '[^a-z0-9]+')), 'vector')
+""",
+)
+def text_keyword_search(spark, sf_dir):
+    """Corpus keyword filter served from the inverted token index —
+    bucket-pruned posting-list scans, never a full-text scan
+    (sources/text_index.py; plan asserted in tests/test_text_index.py)."""
+    from dqe_spark.sources import text_index as TI
+
+    return TI.keyword_search(spark, sf_dir, ["dup", "vector"], "all")

@@ -1,0 +1,54 @@
+"""Inverted token index (sources/text_index.py): pruned search plans,
+exactness vs a full-text scan, idempotent build."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _full_scan_ids(spark, terms, mode="all"):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+    conds = [F.array_contains(toks, t) for t in terms]
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = (cond & c) if mode == "all" else (cond | c)
+    return {r["doc_id"] for r in docs.where(cond).select("doc_id").collect()}
+
+
+def test_search_matches_full_scan(spark):
+    from dqe_spark.sources import text_index as TI
+
+    TI.build_text_index(spark, SF_SMOKE, force=True)
+    for terms, mode in (
+        (["dup", "vector"], "all"),
+        (["dup"], "all"),
+        (["dup", "vector"], "any"),
+    ):
+        got = {
+            r["doc_id"]
+            for r in TI.keyword_search(spark, SF_SMOKE, terms, mode).collect()
+        }
+        assert got == _full_scan_ids(spark, terms, mode), (terms, mode)
+    assert 0 < len(_full_scan_ids(spark, ["dup"])) < 100  # selective term
+
+
+def test_search_plan_prunes_buckets(spark):
+    from dqe_spark.sources import text_index as TI
+
+    TI.build_text_index(spark, SF_SMOKE)
+    df = TI.keyword_search(spark, SF_SMOKE, ["dup", "vector"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "tb" in pf
+
+
+def test_build_is_idempotent(spark):
+    from dqe_spark.sources import text_index as TI
+
+    p1 = TI.build_text_index(spark, SF_SMOKE)
+    p2 = TI.build_text_index(spark, SF_SMOKE)
+    assert p1 == p2 and TI.index_path(SF_SMOKE) is not None
