@@ -183,3 +183,30 @@ def funnel(
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+def window_gaps(points: DataFrame, res_ms: int) -> DataFrame:
+    """Missing-window (ingest gap) detection per metric: contiguous
+    runs of empty ``res_ms`` windows between each metric's first and
+    last point, reported as (metric, gap_start, n_missing).
+
+    Scale note: formulated with lag() over OCCUPIED windows — cost is
+    O(windows with data), never O(time range / resolution). The naive
+    sequence-explode formulation materializes every slot (a year at 1 s
+    resolution is 31M rows per metric before the anti-join) and is
+    exactly what this avoids. One keyed shuffle (the window distinct)
+    + one metric-partitioned sort for the lag."""
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    w = points.select("metric", wts).groupBy("metric", "wts").agg(F.lit(1))
+    prev = F.lag("wts").over(Window.partitionBy("metric").orderBy("wts"))
+    return (
+        w.select("metric", "wts", prev.alias("prev"))
+        .where(F.col("wts") - F.col("prev") > res_ms)
+        .select(
+            "metric",
+            (F.col("prev") + res_ms).alias("gap_start"),
+            ((F.col("wts") - F.col("prev")) / res_ms - 1)
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )

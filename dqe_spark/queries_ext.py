@@ -1331,3 +1331,29 @@ def text_keyword_search(spark, sf_dir):
     from dqe_spark.sources import text_index as TI
 
     return TI.keyword_search(spark, sf_dir, ["dup", "vector"], "all")
+
+
+@q(
+    "store_gaps_1m",
+    """
+WITH w AS (
+  SELECT 'events.' || event_type AS metric,
+         (epoch_ns(ts) // 1000000 // 60000) * 60000 AS wts
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT metric, wts,
+         lag(wts) OVER (PARTITION BY metric ORDER BY wts) AS prev
+  FROM w
+)
+SELECT metric, prev + 60000 AS gap_start, (wts - prev) // 60000 - 1 AS n_missing
+FROM l WHERE wts - prev > 60000
+""",
+)
+def store_gaps_1m(spark, sf_dir):
+    """Ingest-gap detection: runs of empty 1m windows per metric
+    (operators/temporal.window_gaps — lag over occupied windows, cost
+    independent of the time range)."""
+    from dqe_spark.operators.temporal import window_gaps
+    from dqe_spark.sources.metric_store import load_metrics
+
+    return window_gaps(load_metrics(spark, sf_dir), 60_000)

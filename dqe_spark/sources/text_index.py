@@ -62,18 +62,8 @@ def _n_buckets(p: Path) -> int:
     return int(marker.read_text()) if marker.exists() else N_BUCKETS_DEFAULT
 
 
-def build_text_index(
-    spark: SparkSession,
-    sf_dir: str,
-    n_buckets: int = N_BUCKETS_DEFAULT,
-    force: bool = False,
-) -> Path:
-    """Materialize the inverted index (idempotent, atomic tmp+rename)."""
-    out = _index_dir(sf_dir)
-    if not force and index_path(sf_dir) is not None:
-        return out
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    postings = (
+def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
+    return (
         docs.select(
             "doc_id",
             F.explode(
@@ -85,6 +75,24 @@ def build_text_index(
             "tb", F.pmod(F.crc32(F.col("token")), F.lit(n_buckets)).cast("int")
         )
     )
+
+
+def build_text_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    force: bool = False,
+    docs: DataFrame | None = None,
+) -> Path:
+    """Materialize the inverted index (idempotent, atomic tmp+rename).
+    ``docs`` overrides the corpus source (used by tests and bootstrap
+    ingests); default is the sf_dir's documents table."""
+    out = _index_dir(sf_dir)
+    if not force and index_path(sf_dir) is not None:
+        return out
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = _postings(docs, n_buckets)
     tmp = out.parent / "_tmp_text_index"
     if tmp.exists():
         shutil.rmtree(tmp)
@@ -106,6 +114,45 @@ def build_text_index(
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def merge_index_increment(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> Path:
+    """Fold newly-landed documents' postings into the index: touched
+    buckets (the new postings' tb values) are rewritten as
+    existing ∪ new, (token, doc_id)-distinct, via dynamic partition
+    overwrite — cost proportional to the new docs' vocabulary, same
+    pattern as the rollup/ANN increments.
+
+    Contract: APPEND of new doc_ids (and idempotent re-landing of an
+    unchanged doc — the distinct absorbs it). A doc whose TEXT changed
+    leaves stale postings in buckets its new text no longer touches;
+    changed-doc reindexing is a rebuild (or a doc-tombstone sweep), not
+    this fast path."""
+    build_text_index(spark, sf_dir, docs=new_docs)
+    p = _index_dir(sf_dir)
+    n = _n_buckets(p)
+    inc = _postings(new_docs, n)
+    touched = inc.select("tb").distinct()
+    existing = spark.read.parquet(str(p)).join(
+        F.broadcast(touched), "tb", "left_semi"
+    )
+    merged = (
+        existing.select("doc_id", "token", "tb")
+        .unionByName(inc)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    (
+        merged.repartition("tb")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb")
+        .parquet(str(p))
+    )
+    return p
 
 
 def _bucket_of(term: str, n_buckets: int) -> int:

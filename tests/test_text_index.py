@@ -52,3 +52,36 @@ def test_build_is_idempotent(spark):
     p1 = TI.build_text_index(spark, SF_SMOKE)
     p2 = TI.build_text_index(spark, SF_SMOKE)
     assert p1 == p2 and TI.index_path(SF_SMOKE) is not None
+
+
+def test_merge_increment_equals_full_build(spark):
+    """Index built on half the corpus + increment of the other half
+    must equal the one-shot full build, posting for posting."""
+    from dqe_spark.sources import text_index as TI
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    TI.build_text_index(spark, SF_SMOKE, force=True)
+    p = TI._index_dir(SF_SMOKE)
+    want = sorted(
+        (r["doc_id"], r["token"])
+        for r in spark.read.parquet(str(p)).select("doc_id", "token").collect()
+    )
+
+    TI.build_text_index(
+        spark, SF_SMOKE, force=True, docs=docs.where(F.col("doc_id") < cut)
+    )
+    TI.merge_index_increment(spark, SF_SMOKE, docs.where(F.col("doc_id") >= cut))
+    got = sorted(
+        (r["doc_id"], r["token"])
+        for r in spark.read.parquet(str(p)).select("doc_id", "token").collect()
+    )
+    assert got == want
+    # idempotent re-land: merging the same docs again changes nothing
+    TI.merge_index_increment(spark, SF_SMOKE, docs.where(F.col("doc_id") >= cut))
+    again = sorted(
+        (r["doc_id"], r["token"])
+        for r in spark.read.parquet(str(p)).select("doc_id", "token").collect()
+    )
+    assert again == want
+    TI.build_text_index(spark, SF_SMOKE, force=True)  # restore
