@@ -53,6 +53,12 @@ EXT_HEADLINE = [
     "rollup_p90_1h",
     "asof_error_click",
     "sessionize_clicks",
+    "events_distinct_users_1h",
+    "rollup_distinct_users_1d",
+    "dql_rollup_where_dc_avg_1h",
+    "text_keyword_search",
+    "store_gaps_1m",
+    "knn_ann_served",
 ]
 
 
@@ -71,6 +77,12 @@ def main() -> None:
     store.ingest(spark, SF_DIR)
     rollup.build_rollup(spark, SF_DIR, 60_000)
     rollup.build_hist_rollup(spark, SF_DIR, 60_000)
+    rollup.build_tagged_rollup(spark, SF_DIR, 60_000)
+    rollup.build_distinct_rollup(spark, SF_DIR, 3_600_000)
+    from dqe_spark.sources import ann_store, text_index
+
+    text_index.build_text_index(spark, SF_DIR)
+    ann_store.ingest_ann(spark, SF_DIR)
 
     # warmup: JVM + whole-stage codegen + parquet footer reads, plus
     # the Arrow python-worker pool (first pandas UDF pays its startup)
@@ -84,12 +96,20 @@ def main() -> None:
 
     spark.range(32).select(_warm("id")).collect()
 
+    # median of 3 reps per query: single-shot timings on a shared box
+    # swing ±30% (GC, page cache, compile); the median reflects the
+    # plan's actual cost. Each rep is full end-to-end (plan + execute
+    # + collect) — nothing is cached between reps beyond the JVM.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
-        t0 = time.perf_counter()
-        out = qs[name](spark, SF_DIR).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = qs[name](spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
         rows[name] = len(out)
 
     total = round(sum(times.values()), 3)

@@ -23,6 +23,51 @@ from dqe_spark.sources.metric_store import (
 )
 
 
+#: registered-store DataFrame memo for plan(): parquet DataFrame
+#: creation pays a file listing + schema read per store, which
+#: dominates plan latency for short queries once four stores are
+#: registered. Keyed by each store's _SUCCESS mtime so any rebuild
+#: (tests force-rebuild constantly) invalidates the entry.
+_STORE_MEMO: dict = {}
+
+
+def _rollup_stores(spark: SparkSession, sf_dir: str):
+    from dqe_spark.sources.rollup import (
+        _hist_dir,
+        _rollup_dir,
+        _tagged_dir,
+        cascade_rollup,
+        load_hist_rollup,
+        load_rollup,
+        load_tagged_rollup,
+    )
+
+    cascade_rollup(spark, sf_dir, 60_000, 3_600_000)
+    paths = (
+        _rollup_dir(sf_dir, 60_000),
+        _rollup_dir(sf_dir, 3_600_000),
+        _hist_dir(sf_dir, 60_000),
+        _tagged_dir(sf_dir, 60_000),
+    )
+    stamp = tuple(
+        (p / "_SUCCESS").stat().st_mtime_ns if (p / "_SUCCESS").exists() else -1
+        for p in paths
+    )
+    key = (spark.sparkContext.applicationId, sf_dir, stamp)
+    if key not in _STORE_MEMO:
+        if len(_STORE_MEMO) > 16:
+            _STORE_MEMO.clear()
+        _STORE_MEMO[key] = (
+            {
+                60_000: load_rollup(spark, sf_dir, 60_000),
+                3_600_000: load_rollup(spark, sf_dir, 3_600_000),
+            },
+            {60_000: load_hist_rollup(spark, sf_dir, 60_000)},
+            {60_000: load_tagged_rollup(spark, sf_dir, 60_000)},
+        )
+    return _STORE_MEMO[key]
+
+
 def plan(
     spark: SparkSession,
     dql: str,
@@ -38,20 +83,7 @@ def plan(
     aggregates to read pre-aggregated partials instead of raw points."""
     rollups = hist_rollups = tagged_rollups = None
     if use_rollups:
-        from dqe_spark.sources.rollup import (
-            cascade_rollup,
-            load_hist_rollup,
-            load_rollup,
-            load_tagged_rollup,
-        )
-
-        cascade_rollup(spark, sf_dir, 60_000, 3_600_000)
-        rollups = {
-            60_000: load_rollup(spark, sf_dir, 60_000),
-            3_600_000: load_rollup(spark, sf_dir, 3_600_000),
-        }
-        hist_rollups = {60_000: load_hist_rollup(spark, sf_dir, 60_000)}
-        tagged_rollups = {60_000: load_tagged_rollup(spark, sf_dir, 60_000)}
+        rollups, hist_rollups, tagged_rollups = _rollup_stores(spark, sf_dir)
     ast = parse(dql)
     comp = Compiler(
         metrics=load_metrics(spark, sf_dir),
