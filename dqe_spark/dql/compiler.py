@@ -62,6 +62,11 @@ class SeriesFrame:
     # tag WHERE over TAGGED_DIMS only (plain-column predicate portable
     # to the tagged rollup's partials); None when absent or non-dim
     scan_tag_pred: Column | None = None
+    # SHIFT BY offset: scan_range is the SHIFTED storage range; ts_ms
+    # in df is restamped forward by this. A rollup rewrite scans
+    # partials over scan_range and restamps — valid when the shift is
+    # a multiple of the rollup resolution.
+    shift_ms: int = 0
     # True when the frame may hold >1 series (glob / ALL lookup):
     # ordered fold combinators reject such inputs at plan time
     maybe_multi: bool = False
@@ -475,7 +480,10 @@ class Compiler:
                 inner,
                 df=TS.restamp(inner.df, shift),
                 label=f"{inner.label} SHIFT BY {_unparse_t(node.t)}",
-                pristine=False,  # restamped ts no longer matches scan_range
+                # pristine survives: scan_range already IS the shifted
+                # storage range; shift_ms tells the rollup rewrite how
+                # to restamp partials onto the presentation axis
+                shift_ms=inner.shift_ms + shift,
             )
         if isinstance(node, (A.Get, A.SGet, A.Lookup, A.GroupBy)):
             return self._terminal(node, start, end)
@@ -875,6 +883,8 @@ class Compiler:
             levels = self.hist_rollups if quantile else self.rollups
         if quantile and not self.hist_rollups:
             return None
+        if quantile and sub.shift_ms:
+            return None  # hist path doesn't restamp; raw scan is correct
         start, end = sub.scan_range
         for res in sorted(levels, reverse=True):
             if (
@@ -882,6 +892,7 @@ class Compiler:
                 and res % sub.res_ms == 0
                 and start % res == 0
                 and end % res == 0
+                and sub.shift_ms % res == 0  # restamped windows align
                 and (not quantile or res in self.rollups)  # confidence source
             ):
                 if quantile:
@@ -909,6 +920,8 @@ class Compiler:
                     )
                     .withColumnRenamed("wts2", "ts_ms")
                 )
+                if sub.shift_ms:
+                    df = TS.restamp(df, sub.shift_ms)
                 return SeriesFrame(
                     df, ("metric",), wms, unparse(node), has_dims=False,
                     maybe_multi=sub.maybe_multi,

@@ -176,3 +176,38 @@ def test_tagged_rewrite_skips_quantiles(spark):
         use_rollups=True,
     )
     assert "rollup_" not in _plan_of(ru)
+
+
+def test_shift_rewrite_used_and_matches_raw(spark):
+    """SHIFT BY over a pristine scan keeps rollup eligibility: partials
+    are read over the shifted storage range and restamped. Exact match
+    with the raw path."""
+    dql = (
+        "SELECT avg('events'.'click' BUCKET 'events' SHIFT BY 1d, 1h) "
+        f"BETWEEN {JAN1 + 86400000} AND {FEB1}"
+    )
+    raw = _runs(spark, dql)
+    ru = _runs(spark, dql, use_rollups=True)
+    assert "rollup_" in _plan_of(ru)
+    assert "rollup_" not in _plan_of(raw)
+    a = {(r["ts_ms"], r["value"]) for r in raw.collect()}
+    b = {(r["ts_ms"], r["value"]) for r in ru.collect()}
+    assert a == b and a
+
+    # a shift that misaligns every rollup level must fall back
+    ru2 = _runs(
+        spark,
+        "SELECT avg('events'.'click' BUCKET 'events' SHIFT BY 90s, 1h) "
+        f"BETWEEN {JAN1 + 86400000} AND {FEB1}",
+        use_rollups=True,
+    )
+    assert "rollup_" not in _plan_of(ru2)
+
+    # shifted percentile: hist path doesn't restamp — raw fallback
+    ru3 = _runs(
+        spark,
+        "SELECT percentile('events'.'click' BUCKET 'events' SHIFT BY 1d, 0.9, 1h) "
+        f"BETWEEN {JAN1 + 86400000} AND {FEB1}",
+        use_rollups=True,
+    )
+    assert "rollup_" not in _plan_of(ru3)
