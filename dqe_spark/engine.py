@@ -48,6 +48,7 @@ def _rollup_stores(spark: SparkSession, sf_dir: str):
         _rollup_dir(sf_dir, 3_600_000),
         _hist_dir(sf_dir, 60_000),
         _tagged_dir(sf_dir, 60_000),
+        _tagged_dir(sf_dir, 3_600_000),
     )
     stamp = tuple(
         (p / "_SUCCESS").stat().st_mtime_ns if (p / "_SUCCESS").exists() else -1
@@ -63,7 +64,10 @@ def _rollup_stores(spark: SparkSession, sf_dir: str):
                 3_600_000: load_rollup(spark, sf_dir, 3_600_000),
             },
             {60_000: load_hist_rollup(spark, sf_dir, 60_000)},
-            {60_000: load_tagged_rollup(spark, sf_dir, 60_000)},
+            {
+                60_000: load_tagged_rollup(spark, sf_dir, 60_000),
+                3_600_000: load_tagged_rollup(spark, sf_dir, 3_600_000),
+            },
         )
     return _STORE_MEMO[key]
 

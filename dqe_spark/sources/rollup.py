@@ -595,10 +595,50 @@ def build_tagged_rollup(
     )
 
 
+def cascade_tagged_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    from_res_ms: int = 60_000,
+    to_res_ms: int = 3_600_000,
+    force: bool = False,
+    dims: tuple[str, ...] = TAGGED_DIMS,
+) -> Path:
+    """Coarser tagged level cascaded from a finer one — same exact
+    re-aggregation as cascade_rollup, with the dims in the key. Each
+    ladder level reads only the level below, never raw points."""
+    if to_res_ms % from_res_ms != 0:
+        raise ValueError("coarse resolution must be a multiple of the fine one")
+    out = _tagged_dir(sf_dir, to_res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    fine = load_tagged_rollup(spark, sf_dir, from_res_ms)
+    wts = (F.col("wts") - (F.col("wts") % F.lit(to_res_ms))).alias("w2")
+    partials = (
+        fine.select(
+            "bucket", "metric", *dims, wts,
+            "cnt", "sum", "sum_sq", "min", "max", "sum_conf",
+        )
+        .groupBy("bucket", "metric", *dims, "w2")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum_conf").alias("sum_conf"),
+        )
+        .withColumnRenamed("w2", "wts")
+    )
+    return _atomic_write(partials, out, f"_tmp_rollup_tagged_{to_res_ms}ms")
+
+
 def load_tagged_rollup(
     spark: SparkSession, sf_dir: str, res_ms: int = 60_000
 ) -> DataFrame:
     p = _tagged_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():
-        build_tagged_rollup(spark, sf_dir, res_ms)
+        if res_ms % 60_000 == 0 and res_ms > 60_000:
+            cascade_tagged_rollup(spark, sf_dir, 60_000, res_ms)
+        else:
+            build_tagged_rollup(spark, sf_dir, res_ms)
     return spark.read.parquet(str(p))

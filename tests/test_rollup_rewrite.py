@@ -151,8 +151,17 @@ def test_tagged_rewrite_used_and_matches_raw(spark):
     )
     raw = _runs(spark, dql)
     ru = _runs(spark, dql, use_rollups=True)
-    assert "rollup_tagged_60000ms" in _plan_of(ru)
+    # coarsest eligible tagged level wins (1h cascade of the 1m tagged)
+    assert "rollup_tagged_3600000ms" in _plan_of(ru)
     assert "rollup_" not in _plan_of(raw)
+    # a 90m window misaligns the 1h level → the 1m tagged level serves
+    ru90 = _runs(
+        spark,
+        "SELECT avg('events'.'click' FROM 'events' WHERE 'dc' = 'east', 90m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        use_rollups=True,
+    )
+    assert "rollup_tagged_60000ms" in _plan_of(ru90)
     j = (
         raw.select("ts_ms", F.col("value").alias("v_raw"))
         .join(ru.select("ts_ms", F.col("value").alias("v_ru")), "ts_ms", "full")
