@@ -1357,3 +1357,14 @@ def store_gaps_1m(spark, sf_dir):
     from dqe_spark.sources.metric_store import load_metrics
 
     return window_gaps(load_metrics(spark, sf_dir), 60_000)
+
+
+@q("neardup_ivf")  # rows-only: the k-means quantizer is iterative
+# (not SQL-expressible); candidate-recall vs the exact all-pairs
+# baseline is asserted in tests/test_similarity.py
+def neardup_ivf(spark, sf_dir):
+    """Embedding near-duplicates bucketed by learned IVF cells —
+    data-adaptive candidate generation (operators/similarity.py
+    neardup_ivf_pairs); exact cosine verify on candidates only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_ivf_pairs(emb, 0.2)

@@ -165,3 +165,28 @@ def test_pq_rerank_recall(spark):
     qv = data[7]
     exact = set(sorted(data, key=lambda i: (((data[i] - qv) ** 2).sum(), i))[:10])
     assert len(got & exact) >= 8
+
+
+def test_neardup_ivf_subset_of_exact_with_recall(spark):
+    """Every IVF-bucketed pair must appear in the exact all-pairs
+    answer with the same cosine (no false positives by construction —
+    candidates are verified); recall is bounded below: cells only miss
+    cross-cell boundary pairs."""
+    from dqe_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r["id_i"], r["id_j"]): r["cos"]
+        for r in S.neardup_cosine_pairs(emb, 0.2, exact=True).collect()
+    }
+    got = {
+        (r["id_i"], r["id_j"]): r["cos"]
+        for r in S.neardup_ivf_pairs(emb, 0.2).collect()
+    }
+    assert got and set(got) <= set(exact)
+    assert all(exact[k] == v for k, v in got.items())
+    # near-random vectors are the hardest case for a learned quantizer
+    # (real corpora cluster far better); the bound that must ALWAYS
+    # hold is that learned cells beat random bucketing (recall 1/C)
+    # by at least 2x
+    assert len(got) >= 2 * len(exact) / 8
