@@ -75,6 +75,7 @@ def main() -> None:
     from dqe_spark.sources import rollup, store
 
     store.ingest(spark, SF_DIR)
+    store.ingest_events(spark, SF_DIR)
     rollup.build_rollup(spark, SF_DIR, 60_000)
     rollup.build_hist_rollup(spark, SF_DIR, 60_000)
     rollup.build_tagged_rollup(spark, SF_DIR, 60_000)

@@ -294,6 +294,14 @@ def arg_types(inputs, sub_type: str = "metric") -> tuple[str, ...]:
     return tuple(out)
 
 
+def _dt_str(ms: int) -> str:
+    """Epoch-ms → the UTC yyyy-MM-dd string of the date-partitioned
+    stores' dt column (ISO strings compare correctly)."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime("%Y-%m-%d")
+
+
 def glob_to_regex(parts: tuple[str, ...]) -> str:
     segs = [("[^.]+" if p == "*" else re.escape(p)) for p in parts]
     return "^" + r"\.".join(segs) + "$"
@@ -506,14 +514,7 @@ class Compiler:
             # restate the ts range on the dt partition column so the
             # time bound becomes partition PRUNING, not just a row
             # filter. ISO yyyy-MM-dd compares correctly as a string.
-            from datetime import datetime, timezone
-
-            def _d(ms: int) -> str:
-                return datetime.fromtimestamp(ms / 1000, tz=timezone.utc).strftime(
-                    "%Y-%m-%d"
-                )
-
-            cond &= F.col("dt").between(_d(start), _d(max(start, end - 1)))
+            cond &= F.col("dt").between(_dt_str(start), _dt_str(max(start, end - 1)))
         return self.metrics.where(cond)
 
     def _res(self, bucket: str) -> int:
@@ -657,11 +658,16 @@ class Compiler:
     def _events(self, node: A.EventsFrom, start: int, end: int) -> EventsFrame:
         if self.events is None:
             raise PlanError("no event store configured")
-        df = self.events.where(
+        cond = (
             (F.col("bucket") == node.bucket)
             & (F.col("ts_ms") >= start)
             & (F.col("ts_ms") < end)
         )
+        if "dt" in self.events.columns:
+            # materialized event store: time bound → dt partition
+            # pruning (store.ingest_events), mirroring _scan
+            cond &= F.col("dt").between(_dt_str(start), _dt_str(max(start, end - 1)))
+        df = self.events.where(cond)
         if node.filter is not None:
             df = df.where(self._event_col(node.filter))
         return EventsFrame(df=df, label=unparse(node))

@@ -148,10 +148,25 @@ def _derive_metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The F2 event store: (bucket, ts_ms, payload JSON) + typed cols.
 
+    Prefers the MATERIALIZED date-partitioned event store (time ranges
+    become dt partition pruning; see store.ingest_events) when built,
+    else derives the view below. Identical rows either way — the
+    materialized path adds a ``dt`` column the compiler uses for
+    pruning.
+
     Mirrors the reference's event reply shape (src/dqe_events.erl:14-44);
     ``props`` is the semi-structured payload the path predicates
     (src/dql_parser.yrl:89-113) run against.
     """
+    from dqe_spark.sources import store
+
+    mat = store.load_events_store(spark, sf_dir)
+    if mat is not None:
+        return mat
+    return _derive_events_view(spark, sf_dir)
+
+
+def _derive_events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.lit("events").alias("bucket"),

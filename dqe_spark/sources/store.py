@@ -324,3 +324,74 @@ def compact(
         .parquet(str(out))
     )
     return [str(d) for _, _, d in offenders]
+
+
+# ---------------------------------------------------------------------------
+# Materialized event store (date layout)
+# ---------------------------------------------------------------------------
+
+EVENTS_DIRNAME = "events_by_date"
+
+
+def _events_dir(sf_dir: str) -> Path:
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / EVENTS_DIRNAME
+
+
+def ingest_events(spark: SparkSession, sf_dir: str, force: bool = False) -> Path:
+    """Materialize the event store in the date layout:
+
+        _store/<sf>/events_by_date/bucket=<b>/dt=<yyyy-MM-dd>/part-*
+
+    Event queries are always time-ranged (src/dql_parser.yrl BETWEEN/
+    LAST is mandatory), so dt partitioning turns every events scan
+    into partition pruning — the raw view can only row-filter. Files
+    sort by (event_type, ts_ms): type predicates get row-group min/max
+    skipping, and the JSON payload stays an isolated column that
+    column pruning skips unless a path predicate reads it."""
+    from dqe_spark.sources.metric_store import _derive_events_view
+
+    out = _events_dir(sf_dir)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    ev = _derive_events_view(spark, sf_dir).withColumn(
+        "dt", F.date_format(F.timestamp_millis(F.col("ts_ms")), "yyyy-MM-dd")
+    )
+    tmp = out.parent / f"_tmp_{EVENTS_DIRNAME}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    (
+        ev.repartitionByRange("bucket", "dt", "event_type", "ts_ms")
+        .sortWithinPartitions("bucket", "dt", "event_type", "ts_ms")
+        .write.mode("overwrite")
+        .partitionBy("bucket", "dt")
+        .parquet(str(tmp))
+    )
+    if out.exists():
+        shutil.rmtree(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not (out / "_SUCCESS").exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def load_events_store(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The materialized event store if built (None → view fallback).
+    Canonical column order + the dt partition column for pruning."""
+    p = _events_dir(sf_dir)
+    if not (p / "_SUCCESS").exists():
+        return None
+    df = spark.read.parquet(str(p))
+    return df.select(
+        F.col("bucket").cast("string"),
+        "ts_ms",
+        "event_id",
+        "event_type",
+        "user_id",
+        "value",
+        "payload",
+        F.col("dt").cast("string"),
+    )

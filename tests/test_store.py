@@ -275,3 +275,37 @@ def test_compact_rewrites_fragmented_partitions_only(spark):
     ).first() == chk
     assert store.compact(spark, SF_SMOKE, max_files=8) == []  # idempotent
     store.ingest(spark, SF_SMOKE, layout="date", force=True)  # restore
+
+
+def test_events_store_parity_and_pruning(spark):
+    """Materialized event store: row-identical to the view derivation;
+    a DQL events query's time bound becomes dt PartitionFilters."""
+    import shutil
+
+    from dqe_spark import engine
+    from dqe_spark.sources import store
+    from dqe_spark.sources.metric_store import _derive_events_view, load_events
+
+    out = store.ingest_events(spark, SF_SMOKE, force=True)
+    try:
+        mat = load_events(spark, SF_SMOKE)
+        assert "dt" in mat.columns  # store path active
+        view = _derive_events_view(spark, SF_SMOKE)
+        cols = view.columns
+        a = sorted(map(tuple, mat.select(*cols).collect()))
+        b = sorted(map(tuple, view.collect()))
+        assert a == b
+
+        (res,) = engine.run(
+            spark,
+            "SELECT EVENTS FROM 'events' WHERE 'event_type' == 'error' "
+            "BETWEEN 1704067200000 AND 1704153600000",
+            SF_SMOKE,
+        )
+        plan = res.df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+        assert "dt" in pf
+        assert res.df.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)  # other tests expect view path
