@@ -261,7 +261,16 @@ def _date_partitions(out: Path):
             yield b.name.split("=", 1)[1], d.name.split("=", 1)[1], d
 
 
-def expire_before(sf_dir: str, cutoff_ms: int) -> list[str]:
+def _dated_dir(sf_dir: str, dirname: str) -> Path:
+    """Resolve a date-partitioned store dir by its directory name —
+    the metrics date layout or the events store (both share the
+    bucket=/dt= shape, so retention and compaction apply to either)."""
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / dirname
+
+
+def expire_before(
+    sf_dir: str, cutoff_ms: int, dirname: str = "metrics_by_date"
+) -> list[str]:
     """Retention: drop date-layout partitions strictly OLDER than the
     cutoff's calendar day. Pure directory unlink — no scan, no Spark
     job — so at 100 TB the nightly retention pass costs O(dropped
@@ -271,7 +280,7 @@ def expire_before(sf_dir: str, cutoff_ms: int) -> list[str]:
     rows at/after the cutoff). Returns the dropped partition paths."""
     from datetime import datetime, timezone
 
-    out = _store_dir(sf_dir, "date")
+    out = _dated_dir(sf_dir, dirname)
     if not (out / "_SUCCESS").exists():
         return []
     cutoff_day = datetime.fromtimestamp(
@@ -286,7 +295,11 @@ def expire_before(sf_dir: str, cutoff_ms: int) -> list[str]:
 
 
 def compact(
-    spark: SparkSession, sf_dir: str, max_files: int = 8, batch: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files: int = 8,
+    batch: int | None = None,
+    dirname: str = "metrics_by_date",
 ) -> list[str]:
     """Small-file compaction for the date layout: partitions holding
     more than ``max_files`` parquet files are rewritten into one
@@ -296,7 +309,7 @@ def compact(
     bloat file listings; a scheduled compaction restores the layout at
     a cost proportional to the offending partitions only. Returns the
     rewritten partition dirs."""
-    out = _store_dir(sf_dir, "date")
+    out = _dated_dir(sf_dir, dirname)
     if not (out / "_SUCCESS").exists():
         return []
     offenders = [
@@ -315,9 +328,12 @@ def compact(
         c = (F.col("bucket") == b) & (F.col("dt") == dt)
         cond = c if cond is None else (cond | c)
     sub = df.where(cond).localCheckpoint(eager=True)
+    sort_cols = ["bucket", "dt"] + [
+        c for c in ("metric", "event_type") if c in sub.columns
+    ] + ["ts_ms"]
     (
         sub.repartition(len(keys), "bucket", "dt")
-        .sortWithinPartitions("bucket", "dt", "metric", "ts_ms")
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket", "dt")

@@ -309,3 +309,45 @@ def test_events_store_parity_and_pruning(spark):
         assert res.df.count() > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)  # other tests expect view path
+
+
+def test_lifecycle_applies_to_events_store(spark):
+    from dqe_spark.sources import store
+
+    out = store.ingest_events(spark, SF_SMOKE, force=True)
+    try:
+        parts = sorted(dt for _, dt, _ in store._date_partitions(out))
+        cut_day = parts[len(parts) // 2]
+        from datetime import datetime, timezone
+
+        cutoff_ms = int(
+            datetime.strptime(cut_day, "%Y-%m-%d")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1000
+        )
+        dropped = store.expire_before(SF_SMOKE, cutoff_ms, dirname=store.EVENTS_DIRNAME)
+        assert dropped and sorted(
+            dt for _, dt, _ in store._date_partitions(out)
+        ) == [d for d in parts if d >= cut_day]
+        # fragment + compact the events store
+        tgt = next(d for _, _, d in store._date_partitions(out))
+        frag = spark.read.parquet(str(tgt))
+        n = frag.count()
+        import shutil
+
+        tmp = out.parent / "_frag_ev_tmp"
+        frag.repartition(12).write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(tgt)
+        shutil.copytree(tmp, tgt)
+        shutil.rmtree(tmp)
+        rewritten = store.compact(
+            spark, SF_SMOKE, max_files=8, dirname=store.EVENTS_DIRNAME
+        )
+        assert rewritten == [str(tgt)]
+        assert len(list(tgt.glob("*.parquet"))) == 1
+        assert spark.read.parquet(str(tgt)).count() == n
+    finally:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)  # other tests expect view path
