@@ -636,8 +636,14 @@ class Compiler:
             gcols.append(gname)
         # point-wise combinator across the series in each tag-group:
         # same shape as the N-series combinators, keyed by group + ts.
+        dsum = F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
         agg = {
-            "sum": W.rounded(F.sum("value")), "avg": W.rounded(F.avg("value")),
+            # sum accumulates in exact decimal; avg rounds in integer
+            # arithmetic (windows.avg4_exact — inputs are 4dp-exact,
+            # so neither float association nor half-boundary rounding
+            # can diverge cross-engine)
+            "sum": W.rounded(dsum),
+            "avg": W.avg4_exact("value"),
             "min": W.rounded(F.min("value")), "max": W.rounded(F.max("value")),
             "product": W.rounded(F.product("value")),
         }.get(node.fun)

@@ -38,14 +38,24 @@ def _union(dfs: Sequence[DataFrame], ts: str, v: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), slim)
 
 
+def _dsum(v: str):
+    # inputs are 4dp-rounded by the upstream aggregate/transform, so
+    # decimal(18,4) accumulation is exact and order-independent (same
+    # rationale as windows._dsum — kills cross-engine last-ulp flips)
+    return F.sum(F.col(v).cast("decimal(18,4)")).cast("double")
+
+
 def comb_sum(dfs: Sequence[DataFrame], ts: str = "ts_ms", v: str = "value") -> DataFrame:
     # src/dqe_sum_comb.erl:22-26
-    return _union(dfs, ts, v).groupBy(ts).agg(rounded(F.sum(v)).alias(v))
+    return _union(dfs, ts, v).groupBy(ts).agg(rounded(_dsum(v)).alias(v))
 
 
 def comb_avg(dfs: Sequence[DataFrame], ts: str = "ts_ms", v: str = "value") -> DataFrame:
-    # src/dqe_avg_comb.erl:22-26
-    return _union(dfs, ts, v).groupBy(ts).agg(rounded(F.avg(v)).alias(v))
+    # src/dqe_avg_comb.erl:22-26; integer-domain 4dp rounding — see
+    # windows.avg4_exact for why float rounding diverges cross-engine
+    from dqe_spark.operators.windows import avg4_exact
+
+    return _union(dfs, ts, v).groupBy(ts).agg(avg4_exact(v).alias(v))
 
 
 def comb_min(dfs: Sequence[DataFrame], ts: str = "ts_ms", v: str = "value") -> DataFrame:
@@ -60,8 +70,16 @@ def comb_max(dfs: Sequence[DataFrame], ts: str = "ts_ms", v: str = "value") -> D
 
 def comb_product(dfs: Sequence[DataFrame], ts: str = "ts_ms", v: str = "value") -> DataFrame:
     """Point-wise product (src/dqe_product_comb.erl:22-26) — Spark 3.2+
-    has a native ``product`` aggregate, keeping the union+groupBy shape."""
-    return _union(dfs, ts, v).groupBy(ts).agg(rounded(F.product(v)).alias(v))
+    has a native ``product`` aggregate, keeping the union+groupBy shape.
+
+    Rounding: ``floor(p·10⁴ + 0.5) / 10⁴`` instead of round(p, 4) —
+    the product double is bit-identical cross-engine (one IEEE multiply
+    for the dominant 2-series case), but the engines' round() functions
+    disagree at exact .xxxx5 halves (scale-8 products hit them often:
+    33 windows at sf0.1). floor of the identical float expression is
+    identical everywhere. The oracle uses the same formula."""
+    prod4 = (F.floor(F.product(v) * 10000 + F.lit(0.5)).cast("double")) / 10000.0
+    return _union(dfs, ts, v).groupBy(ts).agg(prod4.alias(v))
 
 
 def _fold_join(

@@ -42,11 +42,17 @@ def t_abs(v: Column) -> Column:  # src/dqe_abs_trans.erl:23-27
 
 
 def t_sqrt_scale(v: Column) -> Column:  # src/dqe_sqrt_scale_trans.erl:23-27
-    return rounded(F.sqrt(v))
+    # reference semantics: sqrt_scale(0) = 0, sqrt_scale(-N) =
+    # -sqrt_scale(N) (src/dqe_sqrt_scale_trans.erl help text)
+    return rounded(F.signum(v) * F.sqrt(F.abs(v)))
 
 
 def t_log10_scale(v: Column) -> Column:  # src/dqe_log10_scale_trans.erl:23-27
-    return rounded(F.log10(v))
+    # reference semantics: log10_scale(0) = 0, log10_scale(-N) =
+    # -log10_scale(N) (the module's help text)
+    return rounded(
+        F.when(v == 0, F.lit(0.0)).otherwise(F.signum(v) * F.log10(F.abs(v)))
+    )
 
 
 def t_min(v: Column, c: float) -> Column:

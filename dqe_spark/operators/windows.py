@@ -47,12 +47,44 @@ def rounded(c: Column, dp: int = ROUND_DP) -> Column:
 # vectorization of the reference is subsumed by Tungsten.
 # ---------------------------------------------------------------------------
 
+#: Every value feeding an aggregate is 4dp-exact by construction (raw
+#: store values are 2-decimal, confidence 1-decimal, and every
+#: transform/aggregate output passes through rounded()), so DECIMAL
+#: (18,4) accumulation is EXACT and order-independent — float-
+#: association half-boundary flips between engines (observed at sf0.1:
+#: ~20 last-digit mismatches per 80k rows with plain double sums)
+#: cannot occur. One identical double division at the end for avg.
+def _dsum(v: str) -> Column:
+    return F.sum(F.col(v).cast("decimal(18,4)")).cast("double")
+
+
 def agg_sum(v: str) -> Column:  # src/dqe_sum_aggr.erl:26-30
-    return rounded(F.sum(v))
+    return rounded(_dsum(v))
+
+
+def avg4_exact(v: str) -> Column:
+    """Engine-exact 4dp average. The average of 4dp-exact inputs is
+    the rational Σ(v·10⁴) / (n·10⁴); rounding IT to 4dp is done in
+    integer arithmetic — (2·Σv4 + n) div (2·n) — because rounding the
+    double instead diverges between engines at exact .xxxx5 halves
+    (Spark rounds the double's shortest decimal repr, DuckDB its
+    binary value; ~20 per 80k windows flipped at sf0.1). `div`
+    truncates identically in Spark and DuckDB (`//`). The result is
+    an exact 4dp double on both engines, bit-identical."""
+    s4 = f"sum(CAST(round({v} * 10000) AS DECIMAL(27,0)))"
+    n = f"count({v})"
+    # sign-aware: div truncates toward zero, so the +n/2 half-offset
+    # only rounds half-up for nonnegative sums; negatives mirror it
+    # (round-half-away-from-zero, matching both engines' round())
+    q = (
+        f"CASE WHEN {s4} >= 0 THEN (2 * {s4} + {n}) div (2 * {n}) "
+        f"ELSE -((2 * -({s4}) + {n}) div (2 * {n})) END"
+    )
+    return F.expr(f"CAST(({q}) AS DOUBLE) / 10000.0")
 
 
 def agg_avg(v: str) -> Column:  # src/dqe_avg_aggr.erl:27-31
-    return rounded(F.avg(v))
+    return avg4_exact(v)
 
 
 def agg_min(v: str) -> Column:  # src/dqe_min_aggr.erl:25-29
@@ -72,23 +104,31 @@ def agg_stddev(v: str) -> Column:  # src/dqe_stddev_aggr.erl:27-31
 
 
 def _var_exact(v: str) -> Column:
-    """Population variance for FIXED 2-DECIMAL inputs, computed as
-    `(n·Σx² − (Σx)²) / n²` with the numerator in exact DECIMAL and a
-    single float division at the end. The naive `Σx²/n − (Σx/n)²` in
-    double cancels catastrophically (one large value among zeros flips
-    the 3rd decimal vs the true value); this form is exact up to one
-    correctly-rounded IEEE division, so the raw scan and the rollup-
-    partials path (sources/rollup.py partial_value_expr) produce
-    BIT-IDENTICAL answers. Decimal widths keep every intermediate at
-    precision ≤ 38 (no Spark precision-loss rounding): (17,2)² → (35,4),
-    (12,0)·(22,4) → (35,4), difference → (36,4)."""
-    d = F.col(v).cast("decimal(18,2)")
-    n = F.count(v)
-    sx = F.sum(d).cast("decimal(17,2)")
-    sxx = F.sum(d * d).cast("decimal(22,4)")
-    numer = n.cast("decimal(12,0)") * sxx - sx * sx
+    """Population variance for FIXED 2-DECIMAL inputs, FULLY exact:
+    `(n·Σx² − (Σx)²) / n²` with the numerator in exact integer
+    (v·100 units — numerator is then var·10⁴·n² exactly) and the 4dp
+    rounding done by integer division, (2·numer + n²) div (2·n²) —
+    the avg4_exact rationale: float rounding of the quotient diverges
+    between engines at exact half-boundaries (14 windows at sf0.1).
+    The naive `Σx²/n − (Σx/n)²` in double additionally cancels
+    catastrophically. Raw scans, rollup partials
+    (sources/rollup.py partial_value_expr) and the DuckDB oracle all
+    reproduce this bit-for-bit. Widths: d² sums cast (22,0),
+    (12,0)·(22,0) → (35,0), minus (17,0)² → (36,0); ×2 + n² ≤ (38,0).
+    Numerator ≥ 0 by Cauchy-Schwarz (exact integers — no clamp
+    needed; kept for belt and braces)."""
+    d = f"CAST(round({v} * 100) AS DECIMAL(16,0))"
+    n = f"count({v})"
+    numer = (
+        f"(CAST({n} AS DECIMAL(12,0)) * CAST(sum({d} * {d}) AS DECIMAL(22,0)) "
+        f"- CAST(sum({d}) AS DECIMAL(17,0)) * CAST(sum({d}) AS DECIMAL(17,0)))"
+    )
+    nsq = f"(CAST({n} AS DECIMAL(12,0)) * CAST({n} AS DECIMAL(12,0)))"
     return F.greatest(
-        numer.cast("double") / (n.cast("double") * n.cast("double")), F.lit(0.0)
+        F.expr(
+            f"CAST(((2 * {numer} + {nsq}) div (2 * {nsq})) AS DOUBLE) / 10000.0"
+        ),
+        F.lit(0.0),
     )
 
 
@@ -210,7 +250,12 @@ def window_agg(
 # ---------------------------------------------------------------------------
 
 _SALTABLE = {
-    "sum": (F.sum, F.sum),
+    # sum partials accumulate in exact decimal like agg_sum, so the
+    # salted and plain paths stay bit-identical
+    "sum": (
+        lambda v: F.sum(F.col(v).cast("decimal(18,4)")),
+        lambda c: F.sum(c).cast("double"),
+    ),
     "count": (F.count, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),

@@ -208,7 +208,7 @@ def dql_events_regex(spark, sf_dir):
 @q(
     "dql_after_for",
     f"""
-SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM (
   SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
   FROM events WHERE event_type = 'click'
@@ -228,7 +228,7 @@ def dql_after_for(spark, sf_dir):
 @q(
     "dql_before_for",
     f"""
-SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM (
   SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
   FROM events WHERE event_type = 'click'
@@ -267,10 +267,10 @@ from dqe_spark.queries_parity import P as _P  # noqa: E402
     _P
     + """
 , a AS (
-  SELECT (ts_ms // 60000) * 60000 AS wts, round(sum(value), 4) AS value
+  SELECT (ts_ms // 60000) * 60000 AS wts, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value
   FROM metrics WHERE metric = 'events.click' GROUP BY 1
 ), b AS (
-  SELECT (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS value
+  SELECT (ts_ms // 60000) * 60000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
   FROM metrics WHERE metric = 'events.click' GROUP BY 1
 )
 SELECT a.wts AS wts, round(a.value - b.value, 4) AS value
@@ -310,7 +310,7 @@ WITH m AS (
   FROM events
 )
 SELECT metric, (ts_ms // 3600000) * 3600000 AS ts_ms,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS value
+       CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM m GROUP BY 1, 2
 """,
 )
@@ -364,7 +364,7 @@ def dql_sqrt_scale(spark, sf_dir):
     "dql_group_by_2tags",
     _P
     + """
-SELECT host, dc, (ts_ms // 3600000) * 3600000 AS wts, round(avg(value), 4) AS avg_value
+SELECT host, dc, (ts_ms // 3600000) * 3600000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
 FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2, 3
 """,
 )
@@ -388,7 +388,7 @@ def dql_group_by_2tags(spark, sf_dir):
 @q(
     "dql_last_pinned_now",
     f"""
-SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM (
   SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
   FROM events WHERE event_type = 'click'
@@ -409,7 +409,7 @@ def dql_last_pinned_now(spark, sf_dir):
 @q(
     "dql_between_ago",
     f"""
-SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM (
   SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
   FROM events WHERE event_type = 'click'
@@ -432,7 +432,7 @@ def dql_between_ago(spark, sf_dir):
 @q(
     "dql_iso_dates",
     """
-SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, round(avg(value), 4) AS value
+SELECT (ts_ms // 3600000) * 3600000 AS ts_ms, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM (
   SELECT (epoch_ns(ts) // 1000000) AS ts_ms, value
   FROM events WHERE event_type = 'click'
@@ -473,7 +473,7 @@ def dql_confidence(spark, sf_dir):
     _P
     + """
 , w AS (
-  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, round(avg(value), 4) AS value
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
   FROM metrics GROUP BY 1, 2
 ), winner AS (
   SELECT metric FROM w GROUP BY metric
@@ -503,7 +503,7 @@ def dql_top1_median(spark, sf_dir):
     + """
 SELECT 'm.' || split_part(metric, '.', 2) AS name,
        metric, (ts_ms // 3600000) * 3600000 AS wts,
-       round(avg(value), 4) AS value
+       CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM metrics WHERE metric LIKE 'events.%' GROUP BY 2, 3
 """,
 )
@@ -524,7 +524,7 @@ def dql_as_naming(spark, sf_dir):
     PARITY_P
     + """
 SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
-       round(avg(value), 4) AS value,
+       CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value,
        '{"source":"bench","kind":"' || split_part(metric, '.', 2) || '"}' AS md
 FROM metrics WHERE metric LIKE 'events.%' GROUP BY 1, 2
 """,
@@ -601,7 +601,7 @@ WITH m AS (
 )
 SELECT metric, ts_ms,
        round(sqrt(greatest(0.0,
-         CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         CAST(((2 * (n * sxx - sx * sx) + (n * n)) // (2 * (n * n))) AS DOUBLE) / 10000.0
        )), 4) AS value
 FROM p
 """,
@@ -626,7 +626,7 @@ def dql_rollup_stddev_1h(spark, sf_dir):
     + """
 , w AS (
   SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
-         round(avg(value), 4) AS a, round(sum(value), 4) AS s
+         CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS a, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS s
   FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2
 )
 SELECT 'mean' AS name, wts, a AS value FROM w
@@ -655,7 +655,7 @@ def dql_multi_stmt(spark, sf_dir):
     PARITY_P
     + """
 SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
-       round(avg(value), 4) AS value
+       CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM metrics WHERE dc = 'east' GROUP BY 1, 2
 """,
 )
@@ -679,7 +679,7 @@ WITH m AS (
   WHERE user_id % 2 = 0 AND event_type = 'click'
 )
 SELECT metric, (ts_ms // 3600000) * 3600000 AS ts_ms,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS value
+       CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM m GROUP BY 1, 2
 """,
 )

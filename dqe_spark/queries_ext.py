@@ -597,7 +597,7 @@ from dqe_spark.sources.metric_store import METRICS_ORACLE_CTE as _P  # noqa: E40
     _P
     + """
 SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
-       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS value
+       CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
 FROM metrics GROUP BY 1, 2
 """,
 )
@@ -711,7 +711,7 @@ def sessionize_clicks(spark, sf_dir):
     + """
 SELECT metric, wts,
        round(sqrt(greatest(0.0,
-         CAST(n * sxx - sx * sx AS DOUBLE) / 10000.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         CAST(((2 * (n * sxx - sx * sx) + (n * n)) // (2 * (n * n))) AS DOUBLE) / 10000.0
        )), 4) AS value
 FROM (
   SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,

@@ -124,7 +124,7 @@ def get_points(spark, sf_dir):
     "glob_avg_1m",
     P
     + """
-SELECT metric, (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS avg_value
+SELECT metric, (ts_ms // 60000) * 60000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
 FROM metrics WHERE metric LIKE 'events.%' GROUP BY 1, 2
 """,
 )
@@ -205,12 +205,12 @@ FROM metrics WHERE metric = '{metric}' {extra} GROUP BY 1, 2
     )
 
 
-@q("aggr_sum_1m", _agg_oracle("round(sum(value), 4)", "sum_value"))
+@q("aggr_sum_1m", _agg_oracle("round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)", "sum_value"))
 def aggr_sum_1m(spark, sf_dir):
     return _one_series_window(spark, sf_dir, agg_sum("value"), "sum_value")
 
 
-@q("aggr_avg_1m", _agg_oracle("round(avg(value), 4)", "avg_value"))
+@q("aggr_avg_1m", _agg_oracle("CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0", "avg_value"))
 def aggr_avg_1m(spark, sf_dir):
     return _one_series_window(spark, sf_dir, agg_avg("value"), "avg_value")
 
@@ -225,13 +225,17 @@ def aggr_max_5m(spark, sf_dir):
     return _one_series_window(spark, sf_dir, agg_max("value"), "max_value", 5 * MIN_MS)
 
 
-# DuckDB replay of windows._var_exact: exact HUGEINT numerator over
-# v·100 ints, then the same two correctly-rounded float divisions
-# (/10⁴ then /n²) the Spark side performs — bit-identical doubles.
-_VAR_EXACT = """greatest(0.0,
-  CAST(count(value) * sum(CAST(round(value*100) AS HUGEINT) * CAST(round(value*100) AS HUGEINT))
-       - sum(CAST(round(value*100) AS HUGEINT)) * sum(CAST(round(value*100) AS HUGEINT)) AS DOUBLE)
-  / 10000.0 / (CAST(count(value) AS DOUBLE) * CAST(count(value) AS DOUBLE)))"""
+# DuckDB replay of windows._var_exact: exact HUGEINT numerator in
+# v·100 units, 4dp rounding by integer division — (2·numer + n²) //
+# (2·n²) — so both engines produce the IDENTICAL exact-4dp double.
+# (Float-rounding the quotient instead diverges at .xxxx5 halves:
+# Spark rounds the double's shortest decimal repr, DuckDB its binary
+# value — 14 windows flipped at sf0.1.)
+_VAR_EXACT = """greatest(0.0, CAST(((
+    2 * (count(value) * sum(CAST(round(value*100) AS HUGEINT) * CAST(round(value*100) AS HUGEINT))
+         - sum(CAST(round(value*100) AS HUGEINT)) * sum(CAST(round(value*100) AS HUGEINT)))
+    + (count(value) * count(value))
+  ) // (2 * (count(value) * count(value)))) AS DOUBLE) / 10000.0)"""
 
 
 @q("aggr_variance_5m", _agg_oracle(f"round({_VAR_EXACT}, 4)", "var_value", 5 * MIN_MS))
@@ -485,13 +489,13 @@ q(
 # DQL: SELECT sqrt_scale('events'.'click' BUCKET 'events') ...
 q(
     "trans_sqrt_scale",
-    P + f"SELECT metric, ts_ms, round(sqrt(value), 4) AS value FROM metrics WHERE {_CLICK}",
+    P + f"SELECT metric, ts_ms, round(sign(value) * sqrt(abs(value)), 4) AS value FROM metrics WHERE {_CLICK}",
 )(_trans_query(transforms.t_sqrt_scale))
 
 # DQL: SELECT log10_scale('events'.'click' BUCKET 'events') ...
 q(
     "trans_log10_scale",
-    P + f"SELECT metric, ts_ms, round(log10(value), 4) AS value FROM metrics WHERE {_CLICK}",
+    P + f"SELECT metric, ts_ms, round(CASE WHEN value = 0 THEN 0.0 ELSE sign(value) * log10(abs(value)) END, 4) AS value FROM metrics WHERE {_CLICK}",
 )(_trans_query(transforms.t_log10_scale))
 
 # DQL: SELECT min('events'.'click' BUCKET 'events', 100) ... (clamp)
@@ -541,10 +545,10 @@ _COMB_INNER = (
     P
     + """
 , a AS (
-  SELECT (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS value
+  SELECT (ts_ms // 60000) * 60000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
   FROM metrics WHERE metric = 'events.click' GROUP BY 1
 ), b AS (
-  SELECT (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS value
+  SELECT (ts_ms // 60000) * 60000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
   FROM metrics WHERE metric = 'events.view' GROUP BY 1
 )
 """
@@ -572,12 +576,12 @@ _COMB_UNION = (
 
 q(
     "comb_sum",
-    _COMB_UNION + "SELECT wts, round(sum(value), 4) AS value FROM u GROUP BY 1",
+    _COMB_UNION + "SELECT wts, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS value FROM u GROUP BY 1",
 )(_comb_query(C.comb_sum))
 
 q(
     "comb_avg",
-    _COMB_UNION + "SELECT wts, round(avg(value), 4) AS value FROM u GROUP BY 1",
+    _COMB_UNION + "SELECT wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value FROM u GROUP BY 1",
 )(_comb_query(C.comb_avg))
 
 q(
@@ -592,7 +596,7 @@ q(
 
 q(
     "comb_product",
-    _COMB_UNION + "SELECT wts, round(product(value), 4) AS value FROM u GROUP BY 1",
+    _COMB_UNION + "SELECT wts, floor(product(value) * 10000 + 0.5) / 10000.0 AS value FROM u GROUP BY 1",
 )(_comb_query(C.comb_product))
 
 q(
@@ -692,7 +696,7 @@ q(
     "group_by_host_avg_1m",
     P
     + """
-SELECT host, (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS avg_value
+SELECT host, (ts_ms // 60000) * 60000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
 FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2
 """,
 )
@@ -707,7 +711,7 @@ def group_by_host_avg_1m(spark, sf_dir):
     P
     + """
 , w AS (
-  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, round(avg(value), 4) AS avg_value
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
   FROM metrics GROUP BY 1, 2
 ), winners AS (
   SELECT metric FROM w GROUP BY metric
@@ -729,7 +733,7 @@ def top2_by_avg(spark, sf_dir):
     P
     + """
 , w AS (
-  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, round(avg(value), 4) AS avg_value
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
   FROM metrics GROUP BY 1, 2
 ), winners AS (
   SELECT metric FROM w GROUP BY metric
@@ -752,7 +756,7 @@ def bottom2_by_avg(spark, sf_dir):
     P
     + f"""
 SELECT metric, ((ts_ms + 86400000) // 3600000) * 3600000 AS wts,
-       round(avg(value), 4) AS avg_value
+       CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
 FROM metrics
 WHERE metric = 'events.click'
   AND ts_ms >= {JAN10 - D_MS} AND ts_ms < {JAN15 - D_MS}
@@ -774,7 +778,7 @@ def shift_1d_avg_1h(spark, sf_dir):
     "between_avg_1m",
     P
     + f"""
-SELECT metric, (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS avg_value
+SELECT metric, (ts_ms // 60000) * 60000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
 FROM metrics
 WHERE metric = 'events.click' AND ts_ms >= {JAN5} AND ts_ms < {JAN8}
 GROUP BY 1, 2
@@ -796,7 +800,7 @@ def between_avg_1m(spark, sf_dir):
     P
     + """
 SELECT metric, wts, round(sum_value / 2.0, 4) AS value FROM (
-  SELECT metric, (ts_ms // 60000) * 60000 AS wts, round(sum(value), 4) AS sum_value
+  SELECT metric, (ts_ms // 60000) * 60000 AS wts, round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
   FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2
 )
 """,
@@ -879,7 +883,7 @@ def ord_daily_count(spark, sf_dir):
     P
     + f"""
 , agg AS (
-  SELECT metric, (ts_ms // 60000) * 60000 AS wts, round(avg(value), 4) AS avg_value
+  SELECT metric, (ts_ms // 60000) * 60000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
   FROM metrics
   WHERE metric = 'events.click' AND ts_ms >= {JAN5} AND ts_ms < {JAN5 + D_MS}
   GROUP BY 1, 2

@@ -267,17 +267,32 @@ def partial_value_expr(agg: str) -> Column:
         raise ValueError(f"aggregate {agg!r} is not distributive over rollups")
     n = F.sum("cnt")
     sx = F.sum("sum").cast("double")
-    numer = (
-        n.cast("decimal(12,0)") * F.sum("sum_sq").cast("decimal(22,4)")
-        - F.sum("sum").cast("decimal(17,2)") * F.sum("sum").cast("decimal(17,2)")
+    # integer-domain 4dp rounding, bit-identical to the raw-scan path
+    # (windows.avg4_exact / windows._var_exact): Σv4 = Σv·10⁴ and the
+    # v100-unit numerator derive EXACTLY from the decimal partials
+    ns = "sum(cnt)"
+    s4 = "CAST(CAST(sum(sum) AS DECIMAL(20,2)) * 10000 AS DECIMAL(27,0))"
+    q = (
+        f"CASE WHEN {s4} >= 0 THEN (2 * {s4} + {ns}) div (2 * {ns}) "
+        f"ELSE -((2 * -({s4}) + {ns}) div (2 * {ns})) END"
     )
+    avg = F.expr(f"CAST(({q}) AS DOUBLE) / 10000.0")
+    sxx100 = "CAST(CAST(sum(sum_sq) AS DECIMAL(18,4)) * 10000 AS DECIMAL(22,0))"
+    sx100 = "CAST(CAST(sum(sum) AS DECIMAL(15,2)) * 100 AS DECIMAL(17,0))"
+    numer = (
+        f"(CAST({ns} AS DECIMAL(12,0)) * {sxx100} - {sx100} * {sx100})"
+    )
+    nsq = f"(CAST({ns} AS DECIMAL(12,0)) * CAST({ns} AS DECIMAL(12,0)))"
     var = F.greatest(
-        numer.cast("double") / (n.cast("double") * n.cast("double")), F.lit(0.0)
+        F.expr(
+            f"CAST(((2 * {numer} + {nsq}) div (2 * {nsq})) AS DOUBLE) / 10000.0"
+        ),
+        F.lit(0.0),
     )
     return {
         "sum": sx,
         "count": n.cast("double"),
-        "avg": sx / n,
+        "avg": avg,
         "min": F.min("min"),
         "max": F.max("max"),
         "variance": var,
