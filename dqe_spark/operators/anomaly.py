@@ -1,0 +1,92 @@
+"""Anomaly primitives over windowed series: rolling z-score and
+seasonal (hour-of-day) baseline deviation.
+
+The reference stops at aggregates/transforms; alerting pipelines built
+on it recompute anomaly scores client-side. These operators run them
+engine-side, over the same windowed frames the §2.4 aggregates emit:
+
+  * rolling_zscore — each point scored against the mean/stddev of its
+    k PRECEDING points per series: one keyed sort (Window ROWS frame),
+    state O(1) per row, cost O(points). At 100 TB the partition key is
+    the series — the same shuffle the windowed aggregate upstream
+    already performed, so Catalyst reuses the exchange.
+  * seasonal_deviation — per-series hour-of-day baseline (the classic
+    daily-seasonality profile) joined back; baseline table is
+    |series|×24 rows, broadcast by AQE.
+
+Numeric parity: inputs are 4dp-exact, so rolling sums accumulate v·10⁴
+integers (exact, order-independent) and every float op derives from
+identical integers on both engines — z-scores are bit-identical to the
+DuckDB oracle (same rationale as windows.avg4_exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MS_PER_HOUR = 3_600_000
+MS_PER_DAY = 86_400_000
+
+
+def rolling_zscore(
+    df: DataFrame,
+    k: int = 12,
+    keys: tuple[str, ...] = ("metric",),
+    ts: str = "wts",
+    v: str = "value",
+    min_points: int = 4,
+) -> DataFrame:
+    """(keys..., ts, value, zscore): each point vs its k predecessors.
+
+    Rows with fewer than ``min_points`` predecessors or zero variance
+    get NULL zscore (insufficient history, not "not anomalous" —
+    callers decide)."""
+    w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, -1)
+    v4 = F.round(F.col(v) * 10000).cast("decimal(27,0)")
+    n = F.count(v).over(w)
+    s = F.sum(v4).over(w).cast("double")
+    ss = F.sum(v4 * v4).over(w).cast("double")
+    nd = n.cast("double")
+    mu = s / nd / 10000.0
+    var = F.greatest(
+        (nd * ss - s * s) / (nd * nd) / 100000000.0, F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    z = F.when(
+        (n >= min_points) & (sd > 0), F.round((F.col(v) - mu) / sd, 4)
+    )
+    return df.select(*keys, ts, v, z.alias("zscore"))
+
+
+def seasonal_deviation(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("metric",),
+    ts: str = "wts",
+    v: str = "value",
+) -> DataFrame:
+    """(keys..., ts, value, baseline, deviation): value minus the
+    series' average for that hour of day (exact avg4 arithmetic)."""
+    hod = ((F.col(ts) % MS_PER_DAY) / MS_PER_HOUR).cast("int").alias("hod")
+    s4 = f"sum(CAST(round({v} * 10000) AS DECIMAL(27,0)))"
+    n = f"count({v})"
+    q = (
+        f"CASE WHEN {s4} >= 0 THEN (2 * {s4} + {n}) div (2 * {n}) "
+        f"ELSE -((2 * -({s4}) + {n}) div (2 * {n})) END"
+    )
+    base = (
+        df.select(*keys, hod, v)
+        .groupBy(*keys, "hod")
+        .agg(F.expr(f"CAST(({q}) AS DOUBLE) / 10000.0").alias("baseline"))
+    )
+    withh = df.select(*keys, ts, v, hod)
+    return (
+        withh.join(base, [*keys, "hod"])
+        .select(
+            *keys,
+            ts,
+            v,
+            "baseline",
+            F.round(F.col(v) - F.col("baseline"), 4).alias("deviation"),
+        )
+    )

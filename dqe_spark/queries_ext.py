@@ -1368,3 +1368,81 @@ def neardup_ivf(spark, sf_dir):
     neardup_ivf_pairs); exact cosine verify on candidates only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.neardup_ivf_pairs(emb, 0.2)
+
+
+_AVG4_W = """
+, w AS (
+  SELECT 'events.' || event_type AS metric,
+         ((epoch_ns(ts) // 1000000) // 60000) * 60000 AS wts,
+         CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0
+           THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value))
+           ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+@q(
+    "anomaly_zscore_1m",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W
+    + """
+, sc AS (
+  SELECT metric, wts, value,
+         CAST(count(value) OVER win AS DOUBLE) AS n,
+         CAST(sum(CAST(round(value * 10000) AS HUGEINT)) OVER win AS DOUBLE) AS s,
+         CAST(sum(CAST(round(value * 10000) AS HUGEINT) * CAST(round(value * 10000) AS HUGEINT)) OVER win AS DOUBLE) AS ss
+  FROM w
+  WINDOW win AS (PARTITION BY metric ORDER BY wts ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT metric, wts, value,
+       round((value - s / n / 10000.0)
+             / sqrt(greatest((n * ss - s * s) / (n * n) / 100000000.0, 0.0)), 4) AS zscore
+FROM sc
+WHERE n >= 4
+  AND sqrt(greatest((n * ss - s * s) / (n * n) / 100000000.0, 0.0)) > 0
+  AND abs(round((value - s / n / 10000.0)
+                / sqrt(greatest((n * ss - s * s) / (n * n) / 100000000.0, 0.0)), 4)) >= 3
+""",
+)
+def anomaly_zscore_1m(spark, sf_dir):
+    """Rolling z-score anomalies over per-minute series: |z| ≥ 3 vs
+    the 12 preceding windows (operators/anomaly.rolling_zscore —
+    integer-exact rolling sums, bit-identical to the oracle)."""
+    from dqe_spark.operators.anomaly import rolling_zscore
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(load_metrics(spark, sf_dir), 60_000, agg_avg("value"), "value")
+    z = rolling_zscore(w, k=12, min_points=4)
+    return z.where(F.abs(F.col("zscore")) >= 3)
+
+
+@q(
+    "seasonal_deviation_1h",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W.replace("// 60000) * 60000", "// 3600000) * 3600000")
+    + """
+, base AS (
+  SELECT metric, CAST((wts % 86400000) / 3600000 AS INT) AS hod,
+         CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0
+           THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value))
+           ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS baseline
+  FROM w GROUP BY 1, 2
+)
+SELECT w.metric AS metric, w.wts AS wts, w.value AS value, base.baseline AS baseline,
+       round(w.value - base.baseline, 4) AS deviation
+FROM w JOIN base ON w.metric = base.metric
+  AND CAST((w.wts % 86400000) / 3600000 AS INT) = base.hod
+""",
+)
+def seasonal_deviation_1h(spark, sf_dir):
+    """Hour-of-day seasonal baseline per series + per-window deviation
+    (operators/anomaly.seasonal_deviation; |series|x24 baseline table,
+    AQE-broadcast join)."""
+    from dqe_spark.operators.anomaly import seasonal_deviation
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(load_metrics(spark, sf_dir), 3_600_000, agg_avg("value"), "value")
+    return seasonal_deviation(w)

@@ -129,3 +129,34 @@ def test_funnel_ordering_and_window(spark):
 
     with pytest.raises(ValueError, match="at least one step"):
         funnel(ev, [], W)
+
+
+def test_rolling_zscore_null_semantics_and_values(spark):
+    """Short history and zero-variance windows yield NULL zscore;
+    values match a hand computation."""
+    import math
+
+    from dqe_spark.operators.anomaly import rolling_zscore
+
+    rows = [("m", i * 1000, v) for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 20.0, 10.0])]
+    df = spark.createDataFrame(rows, "metric string, wts long, value double")
+    got = {r["wts"]: r["zscore"] for r in rolling_zscore(df, k=4, min_points=4).collect()}
+    assert got[0] is None and got[1000] is None and got[3000] is None  # short history
+    assert got[4000] is None  # 4 predecessors but zero variance
+    # wts=5000: predecessors [10,10,10,20] -> mu=12.5, var=18.75
+    want = (10.0 - 12.5) / math.sqrt(18.75)
+    assert abs(got[5000] - round(want, 4)) < 1e-9
+
+
+def test_seasonal_deviation_baseline(spark):
+    from dqe_spark.operators.anomaly import seasonal_deviation
+
+    rows = [
+        ("m", 0, 10.0),            # day 1, hod 0
+        ("m", 86_400_000, 20.0),   # day 2, hod 0
+        ("m", 3_600_000, 7.0),     # day 1, hod 1
+    ]
+    df = spark.createDataFrame(rows, "metric string, wts long, value double")
+    got = {r["wts"]: (r["baseline"], r["deviation"]) for r in seasonal_deviation(df).collect()}
+    assert got[0] == (15.0, -5.0) and got[86_400_000] == (15.0, 5.0)
+    assert got[3_600_000] == (7.0, 0.0)
