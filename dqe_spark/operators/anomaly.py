@@ -90,3 +90,33 @@ def seasonal_deviation(
             F.round(F.col(v) - F.col("baseline"), 4).alias("deviation"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.3,
+    k: int = 30,
+    keys: tuple[str, ...] = ("metric",),
+    ts: str = "wts",
+    v: str = "value",
+) -> DataFrame:
+    """Exponentially weighted moving average over each point's
+    k-window tail: the standard smoother alerting rules compare
+    against. The recurrence s ← s·(1−α) + x·α folds over the ORDERED
+    frame list (collect_list over a bounded ROWS window preserves
+    frame order) seeded with the oldest element — the same sequential
+    float ops the DuckDB oracle's list_reduce performs, so results are
+    bit-identical. Bounded lookback keeps the per-row cost O(k) and
+    the weight floor at (1−α)^k — the infinite-history tail below that
+    is noise, not signal."""
+    w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, 0)
+    xs = F.collect_list(F.col(v).cast("double")).over(w)
+    folded = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: acc * (1.0 - alpha) + x * alpha,
+    )
+    # floor(x·10⁴ + 0.5) instead of round(x, 4): identical float
+    # expression on both engines (comb_product rationale)
+    ew4 = F.floor(folded * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    return df.select(*keys, ts, v, ew4.alias("ewma"))

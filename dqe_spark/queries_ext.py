@@ -1446,3 +1446,28 @@ def seasonal_deviation_1h(spark, sf_dir):
 
     w = window_agg(load_metrics(spark, sf_dir), 3_600_000, agg_avg("value"), "value")
     return seasonal_deviation(w)
+
+
+@q(
+    "trans_ewma_1h",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W.replace("// 60000) * 60000", "// 3600000) * 3600000")
+    + """
+SELECT metric, wts, value,
+       floor(list_reduce(list(CAST(value AS DOUBLE))
+               OVER (PARTITION BY metric ORDER BY wts
+                     ROWS BETWEEN 30 PRECEDING AND CURRENT ROW),
+             (acc, x) -> acc * 0.7 + x * 0.3) * 10000 + 0.5) / 10000.0 AS ewma
+FROM w
+""",
+)
+def trans_ewma_1h(spark, sf_dir):
+    """EWMA(α=0.3) smoothing of hourly series
+    (operators/anomaly.ewma — ordered-frame fold, bit-identical to the
+    oracle's list_reduce)."""
+    from dqe_spark.operators.anomaly import ewma
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(load_metrics(spark, sf_dir), 3_600_000, agg_avg("value"), "value")
+    return ewma(w, alpha=0.3, k=30)

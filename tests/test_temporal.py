@@ -160,3 +160,14 @@ def test_seasonal_deviation_baseline(spark):
     got = {r["wts"]: (r["baseline"], r["deviation"]) for r in seasonal_deviation(df).collect()}
     assert got[0] == (15.0, -5.0) and got[86_400_000] == (15.0, 5.0)
     assert got[3_600_000] == (7.0, 0.0)
+
+
+def test_ewma_recurrence(spark):
+    from dqe_spark.operators.anomaly import ewma
+
+    rows = [("m", i * 1000, v) for i, v in enumerate([10.0, 20.0, 40.0])]
+    df = spark.createDataFrame(rows, "metric string, wts long, value double")
+    got = {r["wts"]: r["ewma"] for r in ewma(df, alpha=0.3, k=30).collect()}
+    assert got[0] == 10.0
+    assert got[1000] == 13.0              # 10*0.7 + 20*0.3
+    assert abs(got[2000] - 21.1) < 1e-9   # 13*0.7 + 40*0.3
