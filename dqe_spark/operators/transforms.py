@@ -103,3 +103,40 @@ TRANSFORMS = {
     "mul": t_mul,
     "divide": t_divide,
 }
+
+
+def counter_rate(
+    df: DataFrame,
+    window_ms: int,
+    keys: tuple[str, ...] = ("metric",),
+    ts: str = "ts_ms",
+    v: str = "value",
+    out: str = "rate",
+) -> DataFrame:
+    """Counter-reset-aware rate: Σ max(Δ, 0) per (series, window) —
+    the PromQL `increase` semantics. A monotone counter that restarts
+    (process restart → value drops to ~0) must not contribute a huge
+    negative delta; clamping each per-point delta at zero counts only
+    genuine increments. Deltas of 2-decimal inputs are 2-decimal —
+    summed in exact DECIMAL, so the result is engine-exact.
+
+    Plan: one keyed sort for lag() (the same (series) partitioning the
+    window aggregate shuffles on) + one window groupBy; cost O(points),
+    no self-join."""
+    from pyspark.sql import Window as _W
+
+    # total order (ts, value): same-timestamp points otherwise make
+    # the lag sequence nondeterministic on BOTH engines
+    w = _W.partitionBy(*keys).orderBy(ts, v)
+    delta = F.col(v) - F.lag(v).over(w)
+    pos = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    wts = (F.col(ts) - (F.col(ts) % F.lit(window_ms))).alias("wts")
+    return (
+        df.select(*keys, wts, pos.alias("__d"))
+        .groupBy(*keys, "wts")
+        .agg(
+            rounded(
+                F.sum(F.col("__d").cast("decimal(18,2)")).cast("double")
+            ).alias(out)
+        )
+    )

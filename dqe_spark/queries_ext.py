@@ -1471,3 +1471,30 @@ def trans_ewma_1h(spark, sf_dir):
 
     w = window_agg(load_metrics(spark, sf_dir), 3_600_000, agg_avg("value"), "value")
     return ewma(w, alpha=0.3, k=30)
+
+
+@q(
+    "counter_rate_1h",
+    """
+WITH m AS (
+  SELECT 'events.' || event_type AS metric,
+         epoch_ns(ts) // 1000000 AS ts_ms, value
+  FROM events
+), d AS (
+  SELECT metric, ts_ms,
+         value - lag(value) OVER (PARTITION BY metric ORDER BY ts_ms, value) AS delta
+  FROM m
+)
+SELECT metric, (ts_ms // 3600000) * 3600000 AS wts,
+       round(CAST(sum(CAST(CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE), 4) AS rate
+FROM d GROUP BY 1, 2
+""",
+)
+def counter_rate_1h(spark, sf_dir):
+    """Counter-reset-aware hourly rate (PromQL `increase` semantics):
+    Σ max(Δ, 0) per series per hour
+    (operators/transforms.counter_rate)."""
+    from dqe_spark.operators.transforms import counter_rate
+    from dqe_spark.sources.metric_store import load_metrics
+
+    return counter_rate(load_metrics(spark, sf_dir), 3_600_000)

@@ -171,3 +171,18 @@ def test_ewma_recurrence(spark):
     assert got[0] == 10.0
     assert got[1000] == 13.0              # 10*0.7 + 20*0.3
     assert abs(got[2000] - 21.1) < 1e-9   # 13*0.7 + 40*0.3
+
+
+def test_counter_rate_ignores_resets(spark):
+    from dqe_spark.operators.transforms import counter_rate
+
+    rows = [("m", t, v) for t, v in [
+        (0, 10.0), (1000, 15.0), (2000, 2.0),   # reset: 15 -> 2
+        (3000, 8.0), (3_600_000, 9.0),
+    ]]
+    df = spark.createDataFrame(rows, "metric string, ts_ms long, value double")
+    got = {r["wts"]: r["rate"] for r in counter_rate(df, 3_600_000).collect()}
+    # window 0: +5 (10->15), reset clamped, +6 (2->8) = 11
+    assert got[0] == 11.0
+    # window 1: 8 -> 9 = +1
+    assert got[3_600_000] == 1.0
