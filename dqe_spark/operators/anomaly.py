@@ -120,3 +120,55 @@ def ewma(
     # expression on both engines (comb_product rationale)
     ew4 = F.floor(folded * 10000 + F.lit(0.5)).cast("double") / 10000.0
     return df.select(*keys, ts, v, ew4.alias("ewma"))
+
+
+def holt_smooth(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    k: int = 48,
+    keys: tuple[str, ...] = ("metric",),
+    ts: str = "wts",
+    v: str = "value",
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over
+    each point's k-window tail, plus the one-step-ahead forecast —
+    what a trend-aware alert compares the next observation against.
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Same ordered-frame fold machinery as ewma(), with a struct
+    accumulator (level, trend) seeded (x_0, 0). The float-op ORDER in
+    the step is mirrored token-for-token by the DuckDB oracle's
+    list_reduce lambda, so outputs are bit-identical; final 4dp via
+    the floor(x·10⁴+0.5) shared-rounding trick."""
+    a1, b1 = 1.0 - alpha, 1.0 - beta
+    w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, 0)
+    xs = F.collect_list(F.col(v).cast("double")).over(w)
+    # accumulator is a 2-array [level, trend], NOT a struct: DuckDB
+    # 1.0's list_reduce mis-evaluates multi-field struct accumulators
+    # whose fields share subexpressions (verified empirically — the
+    # 3-element fold disagrees with composing its own single steps);
+    # the list form folds correctly and Spark mirrors it exactly.
+    init = F.array(F.element_at(xs, 1), F.lit(0.0))
+
+    def step(acc, x):
+        l2 = x * alpha + (acc[0] + acc[1]) * a1
+        b2 = (l2 - acc[0]) * beta + acc[1] * b1
+        return F.array(l2, b2)
+
+    st = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)).cast("double") / 10000.0
+
+    return df.select(
+        *keys,
+        ts,
+        v,
+        r4(st[0]).alias("level"),
+        r4(st[0] + st[1]).alias("forecast"),
+    )

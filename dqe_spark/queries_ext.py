@@ -1498,3 +1498,39 @@ def counter_rate_1h(spark, sf_dir):
     from dqe_spark.sources.metric_store import load_metrics
 
     return counter_rate(load_metrics(spark, sf_dir), 3_600_000)
+
+
+@q(
+    "trans_holt_1h",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W.replace("// 60000) * 60000", "// 3600000) * 3600000")
+    + """
+, st AS (
+  SELECT metric, wts, value,
+         list_reduce(
+           list_transform(list(CAST(value AS DOUBLE))
+             OVER (PARTITION BY metric ORDER BY wts
+                   ROWS BETWEEN 48 PRECEDING AND CURRENT ROW),
+             x -> [x, CAST(0.0 AS DOUBLE)]),
+           (acc, e) -> [
+             e[1] * 0.3 + (acc[1] + acc[2]) * 0.7,
+             (e[1] * 0.3 + (acc[1] + acc[2]) * 0.7 - acc[1]) * 0.2 + acc[2] * 0.8
+           ]) AS s
+  FROM w
+)
+SELECT metric, wts, value,
+       floor(s[1] * 10000 + 0.5) / 10000.0 AS level,
+       floor((s[1] + s[2]) * 10000 + 0.5) / 10000.0 AS forecast
+FROM st
+""",
+)
+def trans_holt_1h(spark, sf_dir):
+    """Holt level+trend smoothing of hourly series with the one-step
+    forecast (operators/anomaly.holt_smooth — struct-accumulator
+    ordered fold, bit-identical to the oracle)."""
+    from dqe_spark.operators.anomaly import holt_smooth
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(load_metrics(spark, sf_dir), 3_600_000, agg_avg("value"), "value")
+    return holt_smooth(w, alpha=0.3, beta=0.2, k=48)

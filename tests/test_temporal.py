@@ -186,3 +186,17 @@ def test_counter_rate_ignores_resets(spark):
     assert got[0] == 11.0
     # window 1: 8 -> 9 = +1
     assert got[3_600_000] == 1.0
+
+
+def test_holt_smooth_recurrence(spark):
+    from dqe_spark.operators.anomaly import holt_smooth
+
+    rows = [("m", i * 1000, v) for i, v in enumerate([10.0, 12.0, 15.0])]
+    df = spark.createDataFrame(rows, "metric string, wts long, value double")
+    got = {r["wts"]: (r["level"], r["forecast"]) for r in holt_smooth(
+        df, alpha=0.3, beta=0.2, k=48).collect()}
+    # hand recurrence: l0=10,b0=0; l1=12*.3+10*.7=10.6, b1=.12;
+    # l2=15*.3+(10.6+.12)*.7=12.004, b2=(12.004-10.6)*.2+.12*.8=.3768
+    assert got[0] == (10.0, 10.0)
+    assert got[1000] == (10.6, 10.72)
+    assert got[2000] == (12.004, 12.3808)
