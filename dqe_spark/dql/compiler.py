@@ -1020,7 +1020,9 @@ class Compiler:
                 f"function not found: {name}", "not_found_fun", name,
                 arg_types(node.inputs),
             )
-        return replace(sub, df=df, label=unparse(node), pristine=False)
+        return replace(
+            sub, df=df, label=unparse(node), pristine=False, scan_tag_pred=None
+        )
 
     def _histogram(self, sub: SeriesFrame, consts, node) -> SeriesFrame:
         # histogram(m, highest_trackable, sig_figs, t): the reference
@@ -1044,7 +1046,7 @@ class Compiler:
         df = sub.df.withColumn("value", hdr_quantize(v, htv, sf).cast("double"))
         return replace(
             sub, df=df, label=unparse(node), hist_window_ms=wms, has_dims=False,
-            pristine=False,
+            pristine=False, scan_tag_pred=None,
         )
 
     def _hist_reduce(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:

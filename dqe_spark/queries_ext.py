@@ -532,7 +532,7 @@ SELECT doc_id,
             ELSE NULL END AS sample_rate,
        CASE WHEN doc_id % 2 = 0 THEN NULL
             ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_luma,
-       CASE WHEN doc_id % 2 = 0 THEN 0.5 ELSE NULL END AS rms
+       CASE WHEN doc_id % 2 = 0 THEN CAST(0.5 AS DOUBLE) ELSE NULL END AS rms
 FROM documents
 """,
 )
@@ -685,8 +685,8 @@ WITH ev AS (
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
 ), s AS (
   SELECT user_id, ts_ms,
-         sum(b) OVER (PARTITION BY user_id ORDER BY ts_ms
-                      ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts_ms
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM x
 )
 SELECT user_id, session_id, min(ts_ms) AS session_start,
@@ -1060,7 +1060,7 @@ def text_dedup_lines(spark, sf_dir):
     "corpus_mix_report",
     f"""
 SELECT source, lang, count(*) AS n_docs,
-       sum(len({_TOK})) AS n_tokens,
+       CAST(sum(len({_TOK})) AS BIGINT) AS n_tokens,
        round(quantile_cont(len({_TOK}), 0.5), 4) AS p50_tokens,
        round(quantile_cont(len({_TOK}), 0.9), 4) AS p90_tokens
 FROM documents GROUP BY 1, 2
@@ -1099,7 +1099,8 @@ def knn_ivf_kmeans(spark, sf_dir):
 SELECT doc_id,
        len({_TOK}) AS n_tokens,
        len(list_distinct({_TOK})) AS n_distinct_tokens,
-       list_sum([length(x) for x in {_TOK}]) * 100 // len({_TOK}) AS mean_token_len_e2,
+       CAST(list_sum([length(x) for x in {_TOK}]) * 100 // len({_TOK}) AS BIGINT)
+           AS mean_token_len_e2,
        (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \\n\\t]', '', 'g')))
            * 10000 // length(text) AS symbol_ratio_e4,
        ({_STOP_HITS}) * 10000 // len({_TOK}) AS stopword_ratio_e4,
@@ -1198,10 +1199,10 @@ WITH base AS (
 ),
 pre AS (
   SELECT *,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY shard ORDER BY ord ASC, doc_id ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS "offset"
+         ), 0) AS BIGINT) AS "offset"
   FROM base
 )
 SELECT doc_id, shard, ord, n_tokens, "offset",
@@ -1225,13 +1226,13 @@ def batch_pack_sequences(spark, sf_dir):
     f"""
 WITH per AS (
   SELECT source, count(*) AS n_docs,
-         SUM({_DUCK_TOK}) AS n_tokens,
+         CAST(SUM({_DUCK_TOK}) AS BIGINT) AS n_tokens,
          CAST(floor(sqrt(CAST(SUM({_DUCK_TOK}) AS DOUBLE))) AS BIGINT) AS isq
   FROM documents GROUP BY source
 ),
-z AS (SELECT SUM(isq) AS z FROM per)
+z AS (SELECT CAST(SUM(isq) AS BIGINT) AS z FROM per)
 SELECT source, n_docs, n_tokens,
-       (isq * 1000000000) // z.z AS weight_ppb
+       CAST((isq * 1000000000) // z.z AS BIGINT) AS weight_ppb
 FROM per, z
 """,
 )

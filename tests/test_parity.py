@@ -23,7 +23,7 @@ def _inventory():
 
 @pytest.mark.parametrize("name,fn,sql", _inventory(), ids=[n for n, _, _ in _inventory()])
 def test_query_matches_oracle(spark, duck, name, fn, sql):
-    compare(fn(spark, SF_SMOKE), duck, sql)
+    compare(fn(spark, SF_SMOKE), duck, sql, name)
 
 
 def test_all_queries_have_oracle_or_reason():

@@ -175,6 +175,31 @@ def test_tagged_rewrite_used_and_matches_raw(spark):
     )
 
 
+def test_tagged_rewrite_skips_transformed_frames(spark):
+    """A transform between a dims-WHERE scan and the window aggregate
+    must clear tagged-rollup eligibility — the partials hold RAW values,
+    so rewriting would silently drop the transform (advisor r3, high)."""
+    dql = (
+        "SELECT avg(mul('events'.'click' FROM 'events' WHERE 'dc' = 'east', 3), 1h) "
+        f"BETWEEN {JAN1} AND {FEB1}"
+    )
+    raw = _runs(spark, dql)
+    ru = _runs(spark, dql, use_rollups=True)
+    assert "rollup_" not in _plan_of(ru)
+    a = {(r["ts_ms"], r["value"]) for r in raw.collect()}
+    b = {(r["ts_ms"], r["value"]) for r in ru.collect()}
+    assert a == b and a
+
+    # histogram() over a dims-WHERE scan likewise clears eligibility
+    ru2 = _runs(
+        spark,
+        "SELECT median(histogram('events'.'click' FROM 'events' "
+        f"WHERE 'dc' = 'east', 1000, 2, 1h)) BETWEEN {JAN1} AND {FEB1}",
+        use_rollups=True,
+    )
+    assert "rollup_" not in _plan_of(ru2)
+
+
 def test_tagged_rewrite_skips_quantiles(spark):
     """No tagged histogram store: percentile over a filtered scan must
     fall back to raw points (correctness over cleverness)."""
