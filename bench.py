@@ -56,9 +56,15 @@ EXT_HEADLINE = [
     "events_distinct_users_1h",
     "rollup_distinct_users_1d",
     "dql_rollup_where_dc_avg_1h",
+    "dql_rollup_where_dc_p90_1h",
     "text_keyword_search",
     "store_gaps_1m",
     "knn_ann_served",
+    # round-3 additions (anomaly / smoothing / counter semantics)
+    "anomaly_zscore_1m",
+    "trans_ewma_1h",
+    "trans_holt_1h",
+    "counter_rate_1h",
 ]
 
 
@@ -79,6 +85,7 @@ def main() -> None:
     rollup.build_rollup(spark, SF_DIR, 60_000)
     rollup.build_hist_rollup(spark, SF_DIR, 60_000)
     rollup.build_tagged_rollup(spark, SF_DIR, 60_000)
+    rollup.build_tagged_hist_rollup(spark, SF_DIR, 60_000)
     rollup.build_distinct_rollup(spark, SF_DIR, 3_600_000)
     from dqe_spark.sources import ann_store, text_index
 

@@ -330,6 +330,7 @@ class Compiler:
         rollups: dict[int, DataFrame] | None = None,
         hist_rollups: dict[int, DataFrame] | None = None,
         tagged_rollups: dict[int, DataFrame] | None = None,
+        tagged_hist_rollups: dict[int, DataFrame] | None = None,
         cache_shared_scans: bool = False,
         dense: bool = False,
     ):
@@ -348,6 +349,10 @@ class Compiler:
         # the key): lets scans whose WHERE touches only those dims stay
         # rollup-rewritable — the dim predicate filters partials
         self.tagged_rollups = tagged_rollups or {}
+        # tagged HISTOGRAM partials: tag-filtered percentile/median
+        # from per-(dims, window) value counts (sources/rollup.py
+        # build_tagged_hist_rollup)
+        self.tagged_hist_rollups = tagged_hist_rollups or {}
         # duplicate-scan CSE (the reference's dflow `optimize` merges
         # duplicate gets, src/dqe.erl:204-225). Identical terminals in
         # one compile always share the same DataFrame object (Catalyst
@@ -645,7 +650,12 @@ class Compiler:
             "sum": W.rounded(dsum),
             "avg": W.avg4_exact("value"),
             "min": W.rounded(F.min("value")), "max": W.rounded(F.max("value")),
-            "product": W.rounded(F.product("value")),
+            # same floor(p·10⁴+0.5) trick as combinators.comb_product:
+            # round() diverges cross-engine at exact .xxxx5 halves
+            "product": (
+                F.floor(F.product("value") * 10000 + F.lit(0.5)).cast("double")
+                / 10000.0
+            ),
         }.get(node.fun)
         if agg is None:
             raise PlanError(f"GROUP BY USING {node.fun} is order-sensitive; unsupported")
@@ -883,20 +893,28 @@ class Compiler:
             return None
         tagged = not sub.pristine and sub.scan_tag_pred is not None
         if tagged:
-            # dim-only WHERE: rewrite from TAGGED partials (scalar
-            # only — there is no tagged histogram store, so quantiles
-            # over filtered scans still read raw points)
-            if not self.tagged_rollups or quantile:
+            # dim-only WHERE: rewrite from TAGGED partials — scalar
+            # from the tagged scalar store, quantile from the tagged
+            # HISTOGRAM store (dim predicate filters partials, counts
+            # re-merge into the window's exact value multiset)
+            if quantile:
+                if not self.tagged_hist_rollups:
+                    return None
+                levels = self.tagged_hist_rollups
+            elif self.tagged_rollups:
+                levels = self.tagged_rollups
+            else:
                 return None
-            levels = self.tagged_rollups
         elif not self.rollups or not sub.pristine:
             return None
         else:
             levels = self.hist_rollups if quantile else self.rollups
-        if quantile and not self.hist_rollups:
-            return None
+            if quantile and not self.hist_rollups:
+                return None
         if quantile and sub.shift_ms:
             return None  # hist path doesn't restamp; raw scan is correct
+        # per-window confidence joins in from the matching scalar store
+        conf_src = self.tagged_rollups if tagged else self.rollups
         start, end = sub.scan_range
         for res in sorted(levels, reverse=True):
             if (
@@ -905,10 +923,12 @@ class Compiler:
                 and start % res == 0
                 and end % res == 0
                 and sub.shift_ms % res == 0  # restamped windows align
-                and (not quantile or res in self.rollups)  # confidence source
+                and (not quantile or res in conf_src)  # confidence source
             ):
                 if quantile:
-                    return self._quantile_from_hist(sub, name, consts, node, wms, res)
+                    return self._quantile_from_hist(
+                        sub, name, consts, node, wms, res, tagged=tagged
+                    )
                 from dqe_spark.sources.rollup import partial_value_expr, rewindow
 
                 r = levels[res].where(
@@ -941,11 +961,14 @@ class Compiler:
         return None
 
     def _quantile_from_hist(
-        self, sub: SeriesFrame, name: str, consts, node, wms: int, res: int
+        self, sub: SeriesFrame, name: str, consts, node, wms: int, res: int,
+        tagged: bool = False,
     ) -> SeriesFrame:
         """median/percentile answered from the histogram rollup (exact
         for fixed-decimal values, sources/rollup.py); the per-window
-        confidence average joins in from the scalar rollup."""
+        confidence average joins in from the scalar rollup. With
+        ``tagged`` both sides read the TAGGED stores and apply the dim
+        predicate to the partials before counts merge."""
         from dqe_spark.sources.rollup import hist_rollup_percentile
 
         if name == "percentile":
@@ -967,15 +990,21 @@ class Compiler:
                 & (F.col("wts") >= start)
                 & (F.col("wts") < end)
             )
-            return out.where(sub.scan_pred) if sub.scan_pred is not None else out
+            if sub.scan_pred is not None:
+                out = out.where(sub.scan_pred)
+            if tagged:
+                out = out.where(sub.scan_tag_pred)
+            return out
 
+        hist_src = self.tagged_hist_rollups if tagged else self.hist_rollups
+        conf_src = self.tagged_rollups if tagged else self.rollups
         val = hist_rollup_percentile(
-            scoped(self.hist_rollups[res]), wms, float(p), rollup_res_ms=res
+            scoped(hist_src[res]), wms, float(p), rollup_res_ms=res
         ).select("metric", "wts", "value")
         from dqe_spark.sources.rollup import rewindow as _rw
 
         conf = (
-            scoped(self.rollups[res])
+            scoped(conf_src[res])
             .withColumn("wts2", _rw(wms))
             .groupBy("metric", "wts2")
             .agg(

@@ -36,9 +36,11 @@ def _rollup_stores(spark: SparkSession, sf_dir: str):
         _hist_dir,
         _rollup_dir,
         _tagged_dir,
+        _tagged_hist_dir,
         cascade_rollup,
         load_hist_rollup,
         load_rollup,
+        load_tagged_hist_rollup,
         load_tagged_rollup,
     )
 
@@ -49,6 +51,7 @@ def _rollup_stores(spark: SparkSession, sf_dir: str):
         _hist_dir(sf_dir, 60_000),
         _tagged_dir(sf_dir, 60_000),
         _tagged_dir(sf_dir, 3_600_000),
+        _tagged_hist_dir(sf_dir, 60_000),
     )
     stamp = tuple(
         (p / "_SUCCESS").stat().st_mtime_ns if (p / "_SUCCESS").exists() else -1
@@ -68,6 +71,7 @@ def _rollup_stores(spark: SparkSession, sf_dir: str):
                 60_000: load_tagged_rollup(spark, sf_dir, 60_000),
                 3_600_000: load_tagged_rollup(spark, sf_dir, 3_600_000),
             },
+            {60_000: load_tagged_hist_rollup(spark, sf_dir, 60_000)},
         )
     return _STORE_MEMO[key]
 
@@ -85,9 +89,11 @@ def plan(
     use_rollups=True materializes (once) and registers the 1m rollup
     store, letting the compiler rewrite eligible distributive window
     aggregates to read pre-aggregated partials instead of raw points."""
-    rollups = hist_rollups = tagged_rollups = None
+    rollups = hist_rollups = tagged_rollups = tagged_hist_rollups = None
     if use_rollups:
-        rollups, hist_rollups, tagged_rollups = _rollup_stores(spark, sf_dir)
+        rollups, hist_rollups, tagged_rollups, tagged_hist_rollups = (
+            _rollup_stores(spark, sf_dir)
+        )
     ast = parse(dql)
     comp = Compiler(
         metrics=load_metrics(spark, sf_dir),
@@ -97,6 +103,7 @@ def plan(
         rollups=rollups,
         hist_rollups=hist_rollups,
         tagged_rollups=tagged_rollups,
+        tagged_hist_rollups=tagged_hist_rollups,
         dense=dense,
     )
     return comp.compile(ast)

@@ -87,8 +87,12 @@ def ngram_jaccard_pairs(
     if df_cap is not None:
         # skew guard: drop shingles shared by more than df_cap docs —
         # they contribute O(df²) candidate pairs and almost no signal.
+        # No broadcast hint: the shingle-frequency table grows with the
+        # corpus vocabulary and does NOT broadcast at 100 TB; the
+        # semi-join shares the upstream `sh` partitioning on `sh`, and
+        # AQE still picks a broadcast when the filtered side is small.
         freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-        sh = sh.join(F.broadcast(freq.where(F.col("df") <= df_cap)), "sh", "left_semi")
+        sh = sh.join(freq.where(F.col("df") <= df_cap), "sh", "left_semi")
     sizes = shingle_sizes(sh, id_col)
     a = sh.select(F.col(id_col).alias("id_i"), "sh")
     b = sh.select(F.col(id_col).alias("id_j"), "sh")
@@ -101,9 +105,11 @@ def ngram_jaccard_pairs(
     na = sizes.select(F.col(id_col).alias("id_i"), F.col("n_sh").alias("n_i"))
     nb = sizes.select(F.col(id_col).alias("id_j"), F.col("n_sh").alias("n_j"))
     jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    # per-doc size table is O(corpus): no broadcast hint — AQE
+    # broadcasts it at test scale and shuffles it at corpus scale
     return (
-        inter.join(F.broadcast(na), "id_i")
-        .join(F.broadcast(nb), "id_j")
+        inter.join(na, "id_i")
+        .join(nb, "id_j")
         .where(jac >= threshold)
         .select("id_i", "id_j", F.round(jac, 4).alias("jaccard"))
     )

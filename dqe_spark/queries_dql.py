@@ -383,6 +383,37 @@ def dql_group_by_2tags(spark, sf_dir):
     )
 
 
+# GROUP BY ... USING product: point-wise product per tag-group at raw
+# resolution (degenerate single-value groups in this dataset — the
+# multi-value fold is exercised by tests/test_dql_e2e.py's synthetic
+# .xxxx5-half case), then the 1h window avg. Product rounds via
+# floor(p·10⁴+0.5)/10⁴ on BOTH engines (combinators.comb_product).
+@q(
+    "dql_group_by_product",
+    _P
+    + """
+, g AS (
+  SELECT dc, ts_ms, floor(product(value) * 10000 + 0.5) / 10000.0 AS value
+  FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2
+)
+SELECT dc, (ts_ms // 3600000) * 3600000 AS wts, CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0 THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value)) ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS avg_value
+FROM g GROUP BY 1, 2
+""",
+)
+def dql_group_by_product(spark, sf_dir):
+    df = _one(
+        spark,
+        "SELECT avg('events'.'click' FROM 'events' GROUP BY $'dc' USING product, 1h) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        F.col("g_dc").alias("dc"),
+        F.col("ts_ms").alias("wts"),
+        F.col("value").alias("avg_value"),
+    )
+
+
 # LAST + AGO timeframes end-to-end with a pinned clock (engine.run's
 # now_ms; wall-clock `now` evaluation src/dql_resolution.erl:242-244)
 @q(
@@ -691,6 +722,36 @@ def dql_rollup_where_dc_avg_1h(spark, sf_dir):
         spark,
         "SELECT avg('events'.'click' FROM 'events' WHERE 'dc' = 'east', 1h) "
         f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+        use_rollups=True,
+    )
+    return res.df.select("metric", "ts_ms", "value")
+
+
+@q(
+    "dql_rollup_where_dc_p90_1h",
+    """
+WITH m AS (
+  SELECT 'events.' || event_type AS metric,
+         epoch_ns(ts) // 1000000 AS ts_ms, value
+  FROM events
+  WHERE user_id % 2 = 0 AND event_type = 'click'
+)
+SELECT metric, (ts_ms // 3600000) * 3600000 AS ts_ms,
+       round(quantile_cont(value, 0.9), 4) AS value
+FROM m GROUP BY 1, 2
+""",
+)
+def dql_rollup_where_dc_p90_1h(spark, sf_dir):
+    """Tag-filtered PERCENTILE answered from the TAGGED HISTOGRAM
+    rollup (sources/rollup.build_tagged_hist_rollup): the dc predicate
+    filters partials, per-window value counts re-merge into the exact
+    multiset, quantile interpolates — no raw-point scan. Plan-asserted
+    in tests/test_rollup_rewrite.py::test_tagged_hist_quantile_rewrite."""
+    (res,) = engine.run(
+        spark,
+        "SELECT percentile('events'.'click' FROM 'events' WHERE 'dc' = 'east', "
+        f"0.9, 1h) BETWEEN {JAN1} AND {FEB1}",
         sf_dir,
         use_rollups=True,
     )

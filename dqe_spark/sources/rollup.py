@@ -261,8 +261,12 @@ def partial_value_expr(agg: str) -> Column:
     numerator is an exact scale-4 decimal — one float division at the
     end, clamped at zero for the all-equal-values case. Decimal widths
     are chosen so every intermediate stays ≤ precision 38 (exact, no
-    Spark precision-loss rounding): decimal(17,2)² → (35,4),
-    decimal(12,0)·decimal(22,4) → (35,4), difference → (36,4)."""
+    Spark precision-loss rounding) while maximizing the domain:
+    |Σv| < 10^16 (sx100 decimal(18,0), squared → (37,0)),
+    Σv² < 10^20 (sxx100 decimal(24,0)), n < 10^11 (decimal(11,0));
+    n·sxx100 → (36,0), numerator difference → (38,0). With ANSI off a
+    width overflow is a SILENT NULL, so these bounds are asserted by
+    tests/test_rollup.py::test_partial_variance_wide_domain."""
     if not supports(agg):
         raise ValueError(f"aggregate {agg!r} is not distributive over rollups")
     n = F.sum("cnt")
@@ -277,12 +281,12 @@ def partial_value_expr(agg: str) -> Column:
         f"ELSE -((2 * -({s4}) + {ns}) div (2 * {ns})) END"
     )
     avg = F.expr(f"CAST(({q}) AS DOUBLE) / 10000.0")
-    sxx100 = "CAST(CAST(sum(sum_sq) AS DECIMAL(18,4)) * 10000 AS DECIMAL(22,0))"
-    sx100 = "CAST(CAST(sum(sum) AS DECIMAL(15,2)) * 100 AS DECIMAL(17,0))"
+    sxx100 = "CAST(CAST(sum(sum_sq) AS DECIMAL(24,4)) * 10000 AS DECIMAL(24,0))"
+    sx100 = "CAST(CAST(sum(sum) AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))"
     numer = (
-        f"(CAST({ns} AS DECIMAL(12,0)) * {sxx100} - {sx100} * {sx100})"
+        f"(CAST({ns} AS DECIMAL(11,0)) * {sxx100} - {sx100} * {sx100})"
     )
-    nsq = f"(CAST({ns} AS DECIMAL(12,0)) * CAST({ns} AS DECIMAL(12,0)))"
+    nsq = f"(CAST({ns} AS DECIMAL(11,0)) * CAST({ns} AS DECIMAL(11,0)))"
     var = F.greatest(
         F.expr(
             f"CAST(((2 * {numer} + {nsq}) div (2 * {nsq})) AS DOUBLE) / 10000.0"
@@ -657,3 +661,188 @@ def load_tagged_rollup(
         else:
             build_tagged_rollup(spark, sf_dir, res_ms)
     return spark.read.parquet(str(p))
+
+
+# ------------------------------------------------------------ tagged hist
+
+def _tagged_hist_dir(sf_dir: str, res_ms: int) -> Path:
+    return (
+        STORE_ROOT
+        / Path(sf_dir.rstrip("/")).name
+        / f"rollup_tagged_hist_{res_ms}ms"
+    )
+
+
+def build_tagged_hist_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    res_ms: int = 60_000,
+    force: bool = False,
+    dims: tuple[str, ...] = TAGGED_DIMS,
+) -> Path:
+    """Tagged HISTOGRAM rollup: per-window exact value counts (v100 =
+    round(value·100), same algebra as build_hist_rollup) with the tag
+    dims in the key — closes the one shape the tagged scalar rollup
+    cannot serve: tag-filtered percentile/median. A dim WHERE filters
+    partials (plain-column PushedFilters), counts then merge across the
+    surviving dim combos into the window's exact value multiset.
+
+    Size: |metrics| × observed dim combos × windows × distinct values —
+    the most granular ladder level, still bounded by the VALUE DOMAIN
+    per window rather than the point count. At 100 TB keep it at the
+    base resolution only and answer coarser windows by re-merging
+    counts (rewindow), exactly like the plain hist ladder."""
+    from dqe_spark.sources.metric_store import load_metrics
+
+    out = _tagged_hist_dir(sf_dir, res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    m = load_metrics(spark, sf_dir)
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    v100 = F.round(F.col("value") * 100).cast("long").alias("v100")
+    partials = (
+        m.select("bucket", "metric", *dims, wts, v100)
+        .groupBy("bucket", "metric", *dims, "wts", "v100")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _atomic_write(
+        partials,
+        out,
+        f"_tmp_rollup_tagged_hist_{res_ms}ms",
+        sort_cols=("wts", "v100"),
+    )
+
+
+def load_tagged_hist_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 60_000
+) -> DataFrame:
+    p = _tagged_hist_dir(sf_dir, res_ms)
+    if not (p / "_SUCCESS").exists():
+        build_tagged_hist_rollup(spark, sf_dir, res_ms)
+    return spark.read.parquet(str(p))
+
+
+# ---------------------------------------------------- incremental merges
+#
+# Every ladder level is incrementally maintainable — partials are
+# mergeable by construction (cnt/sum/sum_sq/sum_conf add, min/max fold,
+# histogram counts add), so an hourly backfill rewrites only the
+# (bucket, metric) partitions the increment touches: cost proportional
+# to the NEW data, never the store. Same dynamic-partition-overwrite +
+# localCheckpoint shape as merge_rollup_increment.
+
+
+def _merge_touched_partitions(
+    spark: SparkSession,
+    out: Path,
+    inc: DataFrame,
+    group_cols: list[str],
+    agg_exprs: list,
+    cast_types: dict[str, str] | None = None,
+    sort_cols: tuple[str, ...] = ("wts",),
+) -> Path:
+    """Shared increment fold: read only the (bucket, metric) partitions
+    the increment touches, re-aggregate existing ∪ inc, dynamically
+    overwrite exactly those directories."""
+    affected = inc.select("bucket", "metric").distinct()
+    existing = spark.read.parquet(str(out)).join(
+        F.broadcast(affected), ["bucket", "metric"], "left_semi"
+    )
+    merged = existing.unionByName(inc).groupBy(*group_cols).agg(*agg_exprs)
+    if cast_types:
+        merged = merged.select(
+            *group_cols,
+            *[F.col(c).cast(t).alias(c) for c, t in cast_types.items()],
+        )
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.repartition("bucket", "metric")
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "metric")
+        .parquet(str(out))
+    )
+    return out
+
+
+def merge_hist_increment(
+    spark: SparkSession,
+    new_points: DataFrame,
+    sf_dir: str,
+    res_ms: int = 60_000,
+) -> Path:
+    """Fold new points into the HISTOGRAM rollup: per-(window, v100)
+    counts simply add."""
+    out = _hist_dir(sf_dir, res_ms)
+    if not (out / "_SUCCESS").exists():
+        return build_hist_rollup(spark, sf_dir, res_ms)
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    v100 = F.round(F.col("value") * 100).cast("long").alias("v100")
+    inc = (
+        new_points.select("bucket", "metric", wts, v100)
+        .groupBy("bucket", "metric", "wts", "v100")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _merge_touched_partitions(
+        spark, out, inc,
+        ["bucket", "metric", "wts", "v100"],
+        [F.sum("cnt").alias("cnt")],
+        cast_types={"cnt": "long"},
+        sort_cols=("wts", "v100"),
+    )
+
+
+def merge_tagged_increment(
+    spark: SparkSession,
+    new_points: DataFrame,
+    sf_dir: str,
+    res_ms: int = 60_000,
+    dims: tuple[str, ...] = TAGGED_DIMS,
+) -> Path:
+    """Fold new points into the TAGGED scalar rollup — the plain
+    partial algebra with the dim columns in the key."""
+    out = _tagged_dir(sf_dir, res_ms)
+    if not (out / "_SUCCESS").exists():
+        return build_tagged_rollup(spark, sf_dir, res_ms, dims=dims)
+    inc = point_partials(new_points, res_ms, dims=dims)
+    return _merge_touched_partitions(
+        spark, out, inc,
+        ["bucket", "metric", *dims, "wts"],
+        [
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum_conf").alias("sum_conf"),
+        ],
+        cast_types=_PARTIAL_TYPES,
+    )
+
+
+def merge_tagged_hist_increment(
+    spark: SparkSession,
+    new_points: DataFrame,
+    sf_dir: str,
+    res_ms: int = 60_000,
+    dims: tuple[str, ...] = TAGGED_DIMS,
+) -> Path:
+    """Fold new points into the TAGGED histogram rollup."""
+    out = _tagged_hist_dir(sf_dir, res_ms)
+    if not (out / "_SUCCESS").exists():
+        return build_tagged_hist_rollup(spark, sf_dir, res_ms, dims=dims)
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    v100 = F.round(F.col("value") * 100).cast("long").alias("v100")
+    inc = (
+        new_points.select("bucket", "metric", *dims, wts, v100)
+        .groupBy("bucket", "metric", *dims, "wts", "v100")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _merge_touched_partitions(
+        spark, out, inc,
+        ["bucket", "metric", *dims, "wts", "v100"],
+        [F.sum("cnt").alias("cnt")],
+        cast_types={"cnt": "long"},
+        sort_cols=("wts", "v100"),
+    )

@@ -33,6 +33,7 @@ increments.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import zlib
 from pathlib import Path
@@ -173,20 +174,45 @@ def keyword_search(
         raise ValueError("keyword_search needs at least one term")
     if mode not in ("all", "any"):
         raise ValueError(f"bad mode {mode!r}")
+    # normalize query terms to the INDEX token rule (lowercase,
+    # [a-z0-9]+): an un-normalized term ('Vector', 'foo-bar') hashes to
+    # a bucket but can never equal a stored token — silent zero hits.
+    # A multi-token term ('foo-bar' → foo, bar) means: the document
+    # contains every one of its tokens.
+    norm: list[str] = []
+    for t in terms:
+        toks = [x for x in re.split(TOKEN_DELIM, t.lower()) if x]
+        if not toks:
+            raise ValueError(
+                f"term {t!r} has no indexable tokens (token rule: "
+                f"lowercase [a-z0-9]+)"
+            )
+        norm.append(toks)
+    flat = sorted({x for toks in norm for x in toks})
     build_text_index(spark, sf_dir)
     p = _index_dir(sf_dir)
     n = _n_buckets(p)
     idx = spark.read.parquet(str(p))
     pred = None
-    for t in terms:
+    for t in flat:
         c = (F.col("tb") == _bucket_of(t, n)) & (F.col("token") == t)
         pred = c if pred is None else (pred | c)
     hits = idx.where(pred)
     if mode == "any":
-        return hits.select("doc_id").distinct()
+        # any term matches when ALL of that term's tokens are present
+        per_doc = hits.groupBy("doc_id").agg(
+            F.collect_set("token").alias("toks")
+        )
+        cond = None
+        for toks in norm:
+            c = F.lit(True)
+            for x in toks:
+                c = c & F.array_contains("toks", x)
+            cond = c if cond is None else (cond | c)
+        return per_doc.where(cond).select("doc_id")
     return (
         hits.groupBy("doc_id")
         .agg(F.count_distinct("token").alias("k"))
-        .where(F.col("k") == len(terms))
+        .where(F.col("k") == len(flat))
         .select("doc_id")
     )

@@ -37,14 +37,19 @@ STREAM_SCHEMA_NANOS = (
 
 
 def stream_metrics(
-    spark: SparkSession, source_dir: str, schema: str = STREAM_SCHEMA
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = STREAM_SCHEMA,
+    with_dims: bool = False,
 ) -> DataFrame:
     """readStream over a landing directory of parquet event files,
     mapped to the metric-store shape (same derivation as batch).
 
     ``ts`` may be declared timestamp (used as event time directly) or
     long nanoseconds (rebuilt via timestamp_micros) — pass the schema
-    matching the landing files' encoding.
+    matching the landing files' encoding. ``with_dims`` adds the tag
+    dimension columns (host/dc/user, same derivation as
+    sources/metric_store) for tagged-partial maintenance.
     """
     ev = spark.readStream.schema(schema).parquet(source_dir)
     if dict(ev.dtypes)["ts"].startswith("timestamp"):
@@ -52,13 +57,21 @@ def stream_metrics(
     else:
         ts = F.expr("timestamp_micros(ts div 1000)")
     metric = F.concat(F.lit("events."), F.col("event_type"))
-    return ev.select(
+    cols = [
         F.lit("events").alias("bucket"),
         metric.alias("metric"),
         ts.alias("ts"),
         F.col("value").cast("double").alias("value"),
         ((F.col("event_id") % 11) / F.lit(10.0)).alias("confidence"),
-    )
+    ]
+    if with_dims:
+        cols[2:2] = [
+            F.concat(F.lit("h"), (F.col("user_id") % 3).cast("string")).alias("host"),
+            F.when(F.col("user_id") % 2 == 0, F.lit("east"))
+            .otherwise(F.lit("west")).alias("dc"),
+            F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")).alias("user"),
+        ]
+    return ev.select(*cols)
 
 
 def windowed_stream_agg(
@@ -141,6 +154,62 @@ def stream_rollup_partials(
             "min",
             "max",
             "sum_conf",
+        )
+    )
+
+
+def stream_tagged_rollup_partials(
+    metrics: DataFrame,
+    res: str = "1 minute",
+    watermark: str = "5 minutes",
+    dims: tuple[str, ...] = ("host", "dc", "user"),
+) -> DataFrame:
+    """Streaming twin of sources/rollup.build_tagged_rollup: the same
+    mergeable partials keyed by (metric, dims, window). Input must come
+    from stream_metrics(with_dims=True). State per (metric, dim-combo,
+    open window) — dims are low-cardinality, so state stays a small
+    constant factor over the plain streaming rollup."""
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        metrics.withWatermark("ts", watermark)
+        .groupBy("bucket", "metric", *dims, F.window("ts", res).alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum(dec).alias("sum"),
+            F.sum(dec * dec).alias("sum_sq"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.sum(F.col("confidence").cast("decimal(18,2)")).alias("sum_conf"),
+        )
+        .select(
+            "bucket", "metric", *dims,
+            F.unix_millis(F.col("w.start")).alias("wts"),
+            "cnt", "sum", "sum_sq", "min", "max", "sum_conf",
+        )
+    )
+
+
+def stream_hist_partials(
+    metrics: DataFrame,
+    res: str = "1 minute",
+    watermark: str = "5 minutes",
+    dims: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming twin of sources/rollup.build_hist_rollup (and, with
+    ``dims``, build_tagged_hist_rollup): per-(window, v100) exact value
+    counts. State per open window is bounded by the value DOMAIN seen
+    in that window, not its point count — the same compression argument
+    as the batch histogram ladder."""
+    v100 = F.round(F.col("value") * 100).cast("long").alias("v100")
+    return (
+        metrics.withWatermark("ts", watermark)
+        .select("bucket", "metric", *dims, "ts", v100)
+        .groupBy("bucket", "metric", *dims, "v100", F.window("ts", res).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "bucket", "metric", *dims,
+            F.unix_millis(F.col("w.start")).alias("wts"),
+            "v100", "cnt",
         )
     )
 

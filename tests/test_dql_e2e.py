@@ -315,3 +315,32 @@ def test_tag_where_pushes_to_scan(spark):
     assert "EqualTo(host,h1)" in plan, plan
     # the tags map must not be materialized for this query at all
     assert "tags" not in plan.split("ReadSchema")[1].splitlines()[0], plan
+
+
+def test_group_by_product_half_boundary_rounding(spark, duck):
+    """The GROUP BY ... USING product aggregate must use the same
+    floor(p\u00b710\u2074+0.5)/10\u2074 rounding as comb_product (advisor r3, low):
+    Spark's round(d, 4) rounds the SHORTEST-DECIMAL repr of the double
+    (BigDecimal.valueOf) while DuckDB rounds the BINARY value, so they
+    disagree where the binary sits just below an exact .xxxx5 half —
+    0.00015 \u2192 Spark round 0.0002, DuckDB round 0.0001. The floor of the
+    bit-identical double expression is identical on both engines."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 0.00015)], "g int, value double")
+    prod4 = (
+        F.floor(F.product("value") * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    )
+    got = df.groupBy("g").agg(prod4.alias("v")).collect()[0]["v"]
+    duck_floor = duck.sql(
+        "SELECT floor(product(x) * 10000 + 0.5) / 10000.0 "
+        "FROM (VALUES (0.00015::DOUBLE)) t(x)"
+    ).fetchall()[0][0]
+    assert got == duck_floor == 0.0001
+    # the divergence the floor trick avoids:
+    spark_round = (
+        df.groupBy("g").agg(F.round(F.product("value"), 4).alias("v"))
+        .collect()[0]["v"]
+    )
+    duck_round = duck.sql("SELECT round(0.00015::DOUBLE, 4)").fetchall()[0][0]
+    assert spark_round == 0.0002 and duck_round == 0.0001

@@ -207,3 +207,121 @@ def test_distinct_increment_matches_full_rebuild(spark):
     )
     assert got == want
     R.build_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+
+
+def test_partial_variance_wide_domain(spark):
+    """Decimal widths in partial_value_expr must not silently overflow
+    (ANSI off → NULL) for large merged sums. Advisor r3: the previous
+    DECIMAL(15,2) sum cast NULLed variance from |Σv| >= 10^13. The
+    documented domain is now |Σv| < 10^16, Σv² < 10^20, n < 10^11 —
+    exercise Σv = 10^13 (the old failure point) and Σv = 5·10^14 with
+    Σv² ≈ 5·10^19 (near the new bound)."""
+    from decimal import Decimal
+
+    from dqe_spark.sources.rollup import rollup_window_agg
+
+    schema = (
+        "bucket string, metric string, wts long, cnt long, "
+        "sum decimal(28,2), sum_sq decimal(38,4), min double, max double, "
+        "sum_conf decimal(28,2)"
+    )
+
+    def partials(cnt, a, b):
+        # two 1m partial rows in one 1h window: cnt points each of
+        # constant value a resp. b -> merged var = ((a-m)^2+(b-m)^2)/2
+        return spark.createDataFrame(
+            [
+                ("b", "m", 0, cnt, Decimal(cnt) * Decimal(a),
+                 Decimal(cnt) * Decimal(a) * Decimal(a), float(a), float(a),
+                 Decimal(cnt)),
+                ("b", "m", 60_000, cnt, Decimal(cnt) * Decimal(b),
+                 Decimal(cnt) * Decimal(b) * Decimal(b), float(b), float(b),
+                 Decimal(cnt)),
+            ],
+            schema,
+        )
+
+    for cnt in (50_000_000, 2_500_000_000):  # Σv = 10^13 and 5·10^14
+        r = partials(cnt, 90_000, 110_000)
+        for agg, want in (
+            ("variance", 1.0e8),
+            ("stddev", 1.0e4),
+            ("avg", 1.0e5),
+            ("sum", float(cnt) * 200_000.0),
+        ):
+            rows = rollup_window_agg(r, 3_600_000, agg).collect()
+            assert len(rows) == 1, (agg, cnt)
+            got = rows[0]["value"]
+            assert got is not None, f"{agg} @ cnt={cnt}: silent decimal overflow"
+            assert got == pytest.approx(want, rel=1e-12), (agg, cnt, got)
+
+
+def test_ladder_increments_equal_full_rebuild(spark):
+    """Every remaining ladder level (hist, tagged, tagged-hist) merges
+    increments to the exact same partials as a one-shot full build —
+    same halves protocol as the plain-rollup increment test."""
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.sources.metric_store import load_metrics
+
+    sf = SF_SMOKE
+    res = 60_000
+    m = load_metrics(spark, sf)
+    cut = int(m.agg(F.expr("percentile(ts_ms, 0.5)")).collect()[0][0])
+    first, second = m.where(F.col("ts_ms") < cut), m.where(F.col("ts_ms") >= cut)
+
+    cases = [
+        (
+            R.build_hist_rollup, R._hist_dir, R.merge_hist_increment,
+            ("bucket", "metric", "wts", "v100", "cnt"),
+            lambda pts: R._atomic_write(
+                pts.select(
+                    "bucket", "metric",
+                    (F.col("ts_ms") - F.col("ts_ms") % res).alias("wts"),
+                    F.round(F.col("value") * 100).cast("long").alias("v100"),
+                )
+                .groupBy("bucket", "metric", "wts", "v100")
+                .agg(F.count("*").alias("cnt")),
+                R._hist_dir(sf, res), "_tmp_inc_seed_h",
+                sort_cols=("wts", "v100"),
+            ),
+        ),
+        (
+            R.build_tagged_rollup, R._tagged_dir, R.merge_tagged_increment,
+            ("bucket", "metric", *R.TAGGED_DIMS, "wts", "cnt", "sum",
+             "sum_sq", "min", "max", "sum_conf"),
+            lambda pts: R._atomic_write(
+                R.point_partials(pts, res, dims=R.TAGGED_DIMS),
+                R._tagged_dir(sf, res), "_tmp_inc_seed_t",
+            ),
+        ),
+        (
+            R.build_tagged_hist_rollup, R._tagged_hist_dir,
+            R.merge_tagged_hist_increment,
+            ("bucket", "metric", *R.TAGGED_DIMS, "wts", "v100", "cnt"),
+            lambda pts: R._atomic_write(
+                pts.select(
+                    "bucket", "metric", *R.TAGGED_DIMS,
+                    (F.col("ts_ms") - F.col("ts_ms") % res).alias("wts"),
+                    F.round(F.col("value") * 100).cast("long").alias("v100"),
+                )
+                .groupBy("bucket", "metric", *R.TAGGED_DIMS, "wts", "v100")
+                .agg(F.count("*").alias("cnt")),
+                R._tagged_hist_dir(sf, res), "_tmp_inc_seed_th",
+                sort_cols=("wts", "v100"),
+            ),
+        ),
+    ]
+    for build, dir_of, merge, cols, seed in cases:
+        out = build(spark, sf, res, force=True)
+        expected = {
+            tuple(r)
+            for r in spark.read.parquet(str(out)).select(*cols).collect()
+        }
+        seed(first)
+        merge(spark, second, sf, res)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(str(out)).select(*cols).collect()
+        }
+        assert got == expected and got, build.__name__
+        build(spark, sf, res, force=True)  # restore for other tests

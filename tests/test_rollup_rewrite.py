@@ -200,16 +200,40 @@ def test_tagged_rewrite_skips_transformed_frames(spark):
     assert "rollup_" not in _plan_of(ru2)
 
 
-def test_tagged_rewrite_skips_quantiles(spark):
-    """No tagged histogram store: percentile over a filtered scan must
-    fall back to raw points (correctness over cleverness)."""
-    ru = _runs(
-        spark,
+def test_tagged_hist_quantile_rewrite(spark):
+    """Tag-filtered percentile/median answered from the TAGGED
+    HISTOGRAM rollup: dim predicate filters partials, per-window value
+    counts re-merge into the exact multiset — answers identical to the
+    raw-point scan."""
+    dql = (
         "SELECT percentile('events'.'click' FROM 'events' WHERE 'dc' = 'east', "
+        f"0.9, 1h) BETWEEN {JAN1} AND {FEB1}"
+    )
+    raw = _runs(spark, dql)
+    ru = _runs(spark, dql, use_rollups=True)
+    assert "rollup_tagged_hist_60000ms" in _plan_of(ru)
+    assert "rollup_" not in _plan_of(raw)
+    a = {(r["ts_ms"], r["value"]) for r in raw.collect()}
+    b = {(r["ts_ms"], r["value"]) for r in ru.collect()}
+    assert a == b and a
+
+    # median routes through the same path, multi-dim predicates too
+    med = _runs(
+        spark,
+        "SELECT median('events'.'click' FROM 'events' "
+        f"WHERE 'dc' = 'east' AND 'host' != 'h9', 1h) BETWEEN {JAN1} AND {FEB1}",
+        use_rollups=True,
+    )
+    assert "rollup_tagged_hist_60000ms" in _plan_of(med)
+
+    # non-dim tags have no partials of any kind → raw fallback
+    nd = _runs(
+        spark,
+        "SELECT percentile('events'.'click' FROM 'events' WHERE 'region' = 'r1', "
         f"0.9, 1h) BETWEEN {JAN1} AND {FEB1}",
         use_rollups=True,
     )
-    assert "rollup_" not in _plan_of(ru)
+    assert "rollup_" not in _plan_of(nd)
 
 
 def test_shift_rewrite_used_and_matches_raw(spark):

@@ -301,3 +301,85 @@ def test_stream_distinct_matches_batch_sketches(spark):
         assert all(w >= horizon for _, w in missing)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_tagged_and_hist_partials_match_batch(spark):
+    """Drained streaming TAGGED and HISTOGRAM partials must equal the
+    batch-built ladders — streamed and backfilled partials stay
+    interchangeable for every store the query rewrite reads."""
+    from dqe_spark.sources.rollup import (
+        load_hist_rollup,
+        load_tagged_hist_rollup,
+        load_tagged_rollup,
+    )
+    from dqe_spark.streaming.ingest import (
+        stream_hist_partials,
+        stream_metrics,
+        stream_tagged_rollup_partials,
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamth_"))
+    landing = tmp / "landing"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "batch0.parquet")
+
+    def drain(agg, name):
+        out, ckpt = tmp / f"out_{name}", tmp / f"ckpt_{name}"
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out))
+
+    dims = ("host", "dc", "user")
+    cases = [
+        (
+            stream_tagged_rollup_partials(
+                stream_metrics(spark, str(landing), with_dims=True)
+            ),
+            load_tagged_rollup(spark, SF_SMOKE, 60_000),
+            ("metric", *dims, "wts"),
+            lambda r: (r["cnt"], float(r["sum"]), r["min"], r["max"]),
+            "tagged",
+        ),
+        (
+            stream_hist_partials(stream_metrics(spark, str(landing))),
+            load_hist_rollup(spark, SF_SMOKE, 60_000),
+            ("metric", "wts", "v100"),
+            lambda r: r["cnt"],
+            "hist",
+        ),
+        (
+            stream_hist_partials(
+                stream_metrics(spark, str(landing), with_dims=True), dims=dims
+            ),
+            load_tagged_hist_rollup(spark, SF_SMOKE, 60_000),
+            ("metric", *dims, "wts", "v100"),
+            lambda r: r["cnt"],
+            "tagged_hist",
+        ),
+    ]
+    try:
+        for agg, batch, key_cols, val, name in cases:
+            got = {
+                tuple(r[k] for k in key_cols): val(r)
+                for r in drain(agg, name).collect()
+            }
+            want = {
+                tuple(r[k] for k in key_cols): val(r) for r in batch.collect()
+            }
+            # append mode cannot emit windows the final watermark never
+            # closed; batch backfill owns those (same contract as
+            # test_stream_rollup_matches_batch_rollup)
+            assert got and all(got[k] == want[k] for k in got), name
+            wts_i = key_cols.index("wts")
+            horizon = max(k[wts_i] for k in want) - 6 * 60_000
+            missing = set(want) - set(got)
+            assert all(k[wts_i] >= horizon for k in missing), name
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

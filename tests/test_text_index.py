@@ -35,6 +35,38 @@ def test_search_matches_full_scan(spark):
     assert 0 < len(_full_scan_ids(spark, ["dup"])) < 100  # selective term
 
 
+def test_search_normalizes_terms(spark):
+    """Query terms are normalized to the index token rule: 'Vector'
+    matches like 'vector', and a multi-token term ('dup-vector') means
+    all of its tokens (advisor r3, low: un-normalized terms silently
+    returned zero hits)."""
+    import pytest
+
+    from dqe_spark.sources import text_index as TI
+
+    TI.build_text_index(spark, SF_SMOKE, force=True)
+
+    def ids(terms, mode="all"):
+        return {
+            r["doc_id"]
+            for r in TI.keyword_search(spark, SF_SMOKE, terms, mode).collect()
+        }
+
+    base = _full_scan_ids(spark, ["vector"])
+    assert base and ids(["Vector"]) == base
+    assert ids(["  VECTOR\t"]) == base
+    # a hyphenated term = AND of its tokens, in both modes
+    both = _full_scan_ids(spark, ["dup", "vector"], "all")
+    assert ids(["dup-vector"], "all") == both
+    assert ids(["dup-vector"], "any") == both
+    # 'any' of a multi-token term and a plain term
+    want_any = both | _full_scan_ids(spark, ["needle"])
+    assert ids(["dup-vector", "Needle"], "any") == want_any
+    # a term with no indexable tokens is an explicit error, not 0 rows
+    with pytest.raises(ValueError, match="no indexable tokens"):
+        TI.keyword_search(spark, SF_SMOKE, ["!!!"])
+
+
 def test_search_plan_prunes_buckets(spark):
     from dqe_spark.sources import text_index as TI
 
