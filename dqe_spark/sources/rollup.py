@@ -846,3 +846,55 @@ def merge_tagged_hist_increment(
         cast_types={"cnt": "long"},
         sort_cols=("wts", "v100"),
     )
+
+
+# ------------------------------------------------------------- retention
+
+#: ladder-level directory resolvers retention applies to
+_LADDER_DIRS = {
+    "rollup": _rollup_dir,
+    "hist": _hist_dir,
+    "tagged": _tagged_dir,
+    "tagged_hist": _tagged_hist_dir,
+    "distinct": _distinct_dir,
+}
+
+
+def expire_rollup_before(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff_ms: int,
+    res_ms: int,
+    ladder: str = "rollup",
+) -> Path | None:
+    """TTL for a ladder level: drop every partial window strictly older
+    than the cutoff (aligned DOWN to the level's resolution, so a
+    window containing the cutoff is always kept).
+
+    The ladder stores partition by (bucket, metric) — time spans every
+    partition, so retention here is a filter-rewrite of the whole
+    level. That is the DESIGN POINT, not a compromise: rollups are the
+    long-horizon store (raw points expire first via the metric store's
+    partition-unlink `expire_before`; each ladder level is 60–1440×
+    smaller than the level below), so the typical TTL ladder — raw 30d,
+    1m one year, 1h forever — rewrites only the small stores and
+    unlinks the big one. Atomic tmp-dir rename, same as the builders.
+    Returns the store path, or None if the level does not exist."""
+    if ladder not in _LADDER_DIRS:
+        raise ValueError(f"unknown ladder {ladder!r}: {sorted(_LADDER_DIRS)}")
+    out = _LADDER_DIRS[ladder](sf_dir, res_ms)
+    if not (out / "_SUCCESS").exists():
+        return None
+    aligned = cutoff_ms - (cutoff_ms % res_ms)
+    kept = spark.read.parquet(str(out)).where(F.col("wts") >= aligned)
+    part_cols = (
+        ("event_type",) if ladder == "distinct" else ("bucket", "metric")
+    )
+    sort_cols = ("wts", "v100") if ladder.endswith("hist") else ("wts",)
+    return _atomic_write(
+        kept.localCheckpoint(eager=True),
+        out,
+        f"_tmp_expire_{ladder}_{res_ms}ms",
+        part_cols=part_cols,
+        sort_cols=sort_cols,
+    )

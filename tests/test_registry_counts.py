@@ -20,3 +20,23 @@ def test_readme_counts_match_registry():
     assert int(m.group(2)) == len(all_oracles()), (
         f"README says {m.group(2)} oracles; registry has {len(all_oracles())}"
     )
+
+
+def test_priority_prefix_is_stable():
+    """The driver's correctness gate checks a PREFIX of queries(); the
+    PRIORITY list pins those keys. Rounds 2-4 kept them frozen — any
+    accidental edit would rotate the driver's checked set and void
+    round-over-round comparability."""
+    import hashlib
+
+    from dqe_spark.entry import PRIORITY, all_queries
+
+    names = list(all_queries())
+    assert names[: len(PRIORITY)] == PRIORITY
+    # frozen as of round 3 (50 keys); update ONLY deliberately
+    digest = hashlib.md5("|".join(PRIORITY).encode()).hexdigest()
+    assert len(PRIORITY) == 50
+    assert digest == "f4aa0413c407a8a952e8623a1083af16", (
+        "PRIORITY changed — the driver's checked prefix would rotate; "
+        "revert unless the rotation is deliberate (then update this digest)"
+    )

@@ -325,3 +325,38 @@ def test_ladder_increments_equal_full_rebuild(spark):
         }
         assert got == expected and got, build.__name__
         build(spark, sf, res, force=True)  # restore for other tests
+
+
+def test_expire_rollup_before_drops_old_windows(spark):
+    """Ladder TTL: windows strictly older than the (resolution-aligned)
+    cutoff disappear; surviving partials are byte-identical; the store
+    stays atomic-loadable. Covers a scalar and a histogram level."""
+    from dqe_spark.sources import rollup as R
+
+    res = 60_000
+    for ladder, build, dir_of in (
+        ("rollup", R.build_rollup, R._rollup_dir),
+        ("hist", R.build_hist_rollup, R._hist_dir),
+    ):
+        build(spark, SF_SMOKE, res, force=True)
+        out = dir_of(SF_SMOKE, res)
+        before = spark.read.parquet(str(out))
+        lo, hi = before.agg(F.min("wts"), F.max("wts")).first()
+        cutoff = (lo + hi) // 2 + 17  # deliberately unaligned
+        aligned = cutoff - (cutoff % res)
+        want = {
+            tuple(r) for r in before.where(F.col("wts") >= aligned).collect()
+        }
+        assert R.expire_rollup_before(spark, SF_SMOKE, cutoff, res, ladder)
+        after = spark.read.parquet(str(out))
+        got = {tuple(r) for r in after.collect()}
+        assert got == want and got, ladder
+        assert after.agg(F.min("wts")).first()[0] >= aligned
+        build(spark, SF_SMOKE, res, force=True)  # restore
+
+    # unknown ladder name is an explicit error; absent level is a no-op
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown ladder"):
+        R.expire_rollup_before(spark, SF_SMOKE, 0, res, "nope")
+    assert R.expire_rollup_before(spark, SF_SMOKE, 0, 7_000, "rollup") is None
