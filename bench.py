@@ -65,6 +65,9 @@ EXT_HEADLINE = [
     "trans_ewma_1h",
     "trans_holt_1h",
     "counter_rate_1h",
+    # round-4 additions (gap fill, heavy hitters, tagged-hist rewrite)
+    "dense_fill_linear_1m",
+    "events_topk_users_1h",
 ]
 
 

@@ -46,3 +46,74 @@ def densify(
         ).alias(ts),
     )
     return spine.join(agg, on=[*keys, ts], how="left")
+
+
+def fill_forward(
+    dense: DataFrame,
+    keys: Sequence[str] = ("metric",),
+    ts: str = "wts",
+    value: str = "value",
+    out: str = "filled",
+) -> DataFrame:
+    """LOCF gap fill over a densified frame: each NULL window takes the
+    series' last observed value (still NULL before the first
+    observation — honest leading edge, never back-fills).
+
+    Plan: one keyed Window with last_value(ignoreNulls) over an
+    unbounded-preceding ROWS frame — a single (series) shuffle + sort,
+    O(points) state-free scan within each partition; the same shape as
+    derivate, so the exchange is shared when both run over one frame."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.withColumn(out, F.last(value, ignorenulls=True).over(w))
+
+
+def fill_linear(
+    dense: DataFrame,
+    keys: Sequence[str] = ("metric",),
+    ts: str = "wts",
+    value: str = "value",
+    out: str = "filled",
+) -> DataFrame:
+    """Linear-interpolation gap fill: each NULL window between two
+    observations takes the time-weighted line between them; leading and
+    trailing gaps (no neighbor on one side) stay NULL.
+
+    Plan: two Window passes over ONE keyed sort — previous observed
+    (value, ts) via last(ignoreNulls) over the preceding frame, next
+    observed via first(ignoreNulls) over the following frame; the
+    interpolation itself is a narrow projection. Rounded at 4dp via
+    floor(x·10⁴+0.5)/10⁴ — interpolated midpoints of 4dp inputs land
+    exactly on .xxxx5 halves, where the engines' round() functions
+    diverge (PERF.md, cross-engine exactness); the floor of the
+    bit-identical double is identical everywhere."""
+    from pyspark.sql import Window
+
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*keys)
+        .orderBy(ts)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vts = F.when(F.col(value).isNotNull(), F.col(ts))
+    prev_v = F.last(value, ignorenulls=True).over(wp)
+    prev_t = F.last(vts, ignorenulls=True).over(wp)
+    next_v = F.first(value, ignorenulls=True).over(wn)
+    next_t = F.first(vts, ignorenulls=True).over(wn)
+    frac = (F.col(ts) - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    raw = prev_v + frac * (next_v - prev_v)
+    interp = F.floor(raw * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    filled = (
+        F.when(F.col(value).isNotNull(), F.col(value))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+    )
+    return dense.withColumn(out, filled)

@@ -1535,3 +1535,135 @@ def trans_holt_1h(spark, sf_dir):
 
     w = window_agg(load_metrics(spark, sf_dir), 3_600_000, agg_avg("value"), "value")
     return holt_smooth(w, alpha=0.3, beta=0.2, k=48)
+
+
+# ---------------------------------------------------------------------------
+# gap fill over densified series (operators/densify.fill_forward/fill_linear)
+# ---------------------------------------------------------------------------
+
+_JAN5 = 1704067200000 + 4 * 86_400_000
+_DAY = 86_400_000
+
+_DENSE_CLICK_1M = _P + f"""
+, agg AS (
+  SELECT metric, (ts_ms // 60000) * 60000 AS wts,
+         CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0
+           THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value))
+           ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0 AS value
+  FROM metrics
+  WHERE metric = 'events.click' AND ts_ms >= {_JAN5} AND ts_ms < {_JAN5 + _DAY}
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT m.metric AS metric, g.wts AS wts, agg.value AS value
+  FROM (SELECT DISTINCT metric FROM agg) m
+  CROSS JOIN (SELECT unnest(generate_series({_JAN5}, {_JAN5 + _DAY - 1}, 60000)) AS wts) g
+  LEFT JOIN agg ON agg.metric = m.metric AND agg.wts = g.wts
+)
+"""
+
+
+def _dense_click_1m(spark, sf_dir):
+    from dqe_spark.operators.densify import densify
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    m = load_metrics(spark, sf_dir).where(
+        (F.col("metric") == "events.click")
+        & (F.col("ts_ms") >= _JAN5)
+        & (F.col("ts_ms") < _JAN5 + _DAY)
+    )
+    w = window_agg(m, 60_000, agg_avg("value"), "value")
+    return densify(w, _JAN5, _JAN5 + _DAY, 60_000)
+
+
+@q(
+    "dense_fill_locf_1m",
+    _DENSE_CLICK_1M
+    + """
+SELECT metric, wts, value,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY metric ORDER BY wts ROWS UNBOUNDED PRECEDING
+       ) AS filled
+FROM spine
+""",
+)
+def dense_fill_locf_1m(spark, sf_dir):
+    """LOCF gap fill over a densified day of 1m click averages (~95%
+    of windows are empty at sf0.01): each NULL window carries the last
+    observed value forward; leading edge stays NULL. One keyed window
+    pass (operators/densify.fill_forward)."""
+    from dqe_spark.operators.densify import fill_forward
+
+    return fill_forward(_dense_click_1m(spark, sf_dir))
+
+
+@q(
+    "dense_fill_linear_1m",
+    _DENSE_CLICK_1M
+    + """
+, n AS (
+  SELECT metric, wts, value,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY metric ORDER BY wts ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(CASE WHEN value IS NOT NULL THEN wts END IGNORE NULLS) OVER (
+           PARTITION BY metric ORDER BY wts ROWS UNBOUNDED PRECEDING) AS pt,
+         first_value(value IGNORE NULLS) OVER (
+           PARTITION BY metric ORDER BY wts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN value IS NOT NULL THEN wts END IGNORE NULLS) OVER (
+           PARTITION BY metric ORDER BY wts
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM spine
+)
+SELECT metric, wts, value,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              floor((pv + (wts - pt)::DOUBLE / (nt - pt)::DOUBLE * (nv - pv))
+                    * 10000 + 0.5) / 10000.0
+       END AS filled
+FROM n
+""",
+)
+def dense_fill_linear_1m(spark, sf_dir):
+    """Linear-interpolation gap fill over the same densified day:
+    interior gaps take the time-weighted line between the surrounding
+    observations (floor-rounded at 4dp — interpolated midpoints land
+    exactly on .xxxx5 halves where the engines' round() diverge);
+    leading/trailing gaps stay NULL. Two window passes over ONE keyed
+    sort (operators/densify.fill_linear)."""
+    from dqe_spark.operators.densify import fill_linear
+
+    return fill_linear(_dense_click_1m(spark, sf_dir))
+
+
+@q(
+    "events_topk_users_1h",
+    """
+WITH per AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000 // 3600000) * 3600000 AS wts,
+         user_id, count(*) AS weight
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, wts, user_id, CAST(weight AS BIGINT) AS weight,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type, wts ORDER BY weight DESC, user_id ASC
+  ) AS rank FROM per
+) WHERE rank <= 3
+""",
+)
+def events_topk_users_1h(spark, sf_dir):
+    """Exact per-window heavy hitters: top-3 users by event count per
+    (event_type, hour) — two keyed shuffles, partial aggregation
+    absorbs a hot user before the first one (operators/topk.grouped_topk)."""
+    from dqe_spark.operators.topk import grouped_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        ((ts_ms_col(ev) / 3_600_000).cast("long") * 3_600_000).alias("wts"),
+        "user_id",
+    )
+    return grouped_topk(d, ("event_type", "wts"), "user_id", 3)

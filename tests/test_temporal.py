@@ -200,3 +200,45 @@ def test_holt_smooth_recurrence(spark):
     assert got[0] == (10.0, 10.0)
     assert got[1000] == (10.6, 10.72)
     assert got[2000] == (12.004, 12.3808)
+
+
+def test_fill_forward_and_linear_edges(spark):
+    """Gap-fill edge semantics on a crafted series: LOCF never
+    back-fills the leading edge; linear interpolation fills only
+    interior gaps (both neighbors exist) with the time-weighted line,
+    leaving leading AND trailing gaps NULL."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.densify import fill_forward, fill_linear
+
+    rows = [
+        ("m", 0, None),       # leading gap
+        ("m", 60, 10.0),
+        ("m", 120, None),     # interior gap (1/3 of the way 10 -> 40)
+        ("m", 180, None),     # interior gap (2/3)
+        ("m", 240, 40.0),
+        ("m", 300, None),     # trailing gap
+        ("x", 0, 5.0),        # second series: key isolation
+        ("x", 60, None),
+    ]
+    df = spark.createDataFrame(rows, "metric string, wts long, value double")
+
+    locf = {
+        (r["metric"], r["wts"]): r["filled"]
+        for r in fill_forward(df).collect()
+    }
+    assert locf[("m", 0)] is None
+    assert locf[("m", 120)] == locf[("m", 180)] == 10.0
+    assert locf[("m", 300)] == 40.0
+    assert locf[("x", 60)] == 5.0
+
+    lin = {
+        (r["metric"], r["wts"]): r["filled"]
+        for r in fill_linear(df).collect()
+    }
+    assert lin[("m", 0)] is None          # leading: no prev neighbor
+    assert lin[("m", 120)] == 20.0        # 10 + (60/180)*30
+    assert lin[("m", 180)] == 30.0
+    assert lin[("m", 240)] == 40.0        # observed rows pass through
+    assert lin[("m", 300)] is None        # trailing: no next neighbor
+    assert lin[("x", 60)] is None
