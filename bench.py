@@ -68,6 +68,8 @@ EXT_HEADLINE = [
     # round-4 additions (gap fill, heavy hitters, tagged-hist rewrite)
     "dense_fill_linear_1m",
     "events_topk_users_1h",
+    "corr_click_view_1h",
+    "share_by_host_1h",
 ]
 
 

@@ -1,0 +1,135 @@
+"""Cross-series statistics the reference leaves to clients: windowed
+Pearson correlation between two series, share-of-total within a group,
+and per-series running totals.
+
+Numeric parity: inputs are fixed-decimal store values, so every
+aggregate accumulates v·100 integers in DECIMAL (exact, order-free) and
+the single final float expression derives from identical integers on
+both engines — results are bit-identical to the DuckDB oracles (the
+same discipline as windows.avg4_exact; see PERF.md cross-engine
+exactness).
+
+Scale shapes:
+  * windowed_pearson — ONE shuffle keyed (window): both series union
+    into the same aggregation, the five sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) reduce map-side.
+  * share_of_total — two aggregations over the same (group, window)
+    exchange; the total re-joins per window (aggregate-sized rows).
+  * running_total — one keyed Window pass per series, the derivate
+    shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(27,0)"
+
+
+def _v100(col: str):
+    return F.round(F.col(col) * 100).cast(_DEC)
+
+
+def windowed_pearson(
+    points: DataFrame,
+    metric_x: str,
+    metric_y: str,
+    window_ms: int,
+    metric: str = "metric",
+    ts: str = "ts_ms",
+    v: str = "value",
+    min_n: int = 2,
+) -> DataFrame:
+    """Pearson r between two metrics per window, over their TIME-ALIGNED
+    points (inner join on exact timestamp within the window — the same
+    positional-alignment rule the §2.5 combinators use).
+
+    r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)) with all
+    six sums exact DECIMAL over v100 integers; NULL when either side is
+    constant (zero variance) or fewer than ``min_n`` aligned points.
+    Output: (wts, n, r)."""
+    x = points.where(F.col(metric) == metric_x).select(
+        F.col(ts).alias("__ts"), _v100(v).alias("__x")
+    )
+    y = points.where(F.col(metric) == metric_y).select(
+        F.col(ts).alias("__ts"), _v100(v).alias("__y")
+    )
+    j = x.join(y, "__ts")
+    wts = (F.col("__ts") - (F.col("__ts") % F.lit(window_ms))).alias("wts")
+    g = j.select(wts, "__x", "__y").groupBy("wts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n").cast(_DEC)
+    numer = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = numer / F.sqrt(vx * vy)
+    r4 = F.floor(r * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    keep = (F.col("n") >= min_n) & (vx > 0) & (vy > 0)
+    return g.select("wts", "n", F.when(keep, r4).alias("r"))
+
+
+def share_of_total(
+    points: DataFrame,
+    group_keys: Sequence[str],
+    window_ms: int,
+    ts: str = "ts_ms",
+    v: str = "value",
+) -> DataFrame:
+    """Each group's share of the per-window total (basis points,
+    integer-exact: share_bp = (10⁴·Σv_group) div Σv_window over v100
+    integers — no float division at all, so cross-engine parity is
+    trivial). A zero window total has no defined shares → NULL
+    (hypothesis-caught edge: ANSI div-by-zero).
+    Output: (*group_keys, wts, group_sum, share_bp)."""
+    wts = (F.col(ts) - (F.col(ts) % F.lit(window_ms))).alias("wts")
+    per = (
+        points.select(*group_keys, wts, _v100(v).alias("__v"))
+        .groupBy(*group_keys, "wts")
+        .agg(F.sum("__v").alias("g100"))
+    )
+    tot = per.groupBy("wts").agg(F.sum("g100").alias("t100"))
+    return per.join(tot, "wts").select(
+        *group_keys,
+        "wts",
+        (F.col("g100").cast("double") / 100.0).alias("group_sum"),
+        F.expr(
+            "CAST(CASE WHEN t100 <> 0 THEN (10000 * g100) div t100 END AS BIGINT)"
+        ).alias("share_bp"),
+    )
+
+
+def running_total(
+    points: DataFrame,
+    keys: Sequence[str] = ("metric",),
+    ts: str = "ts_ms",
+    v: str = "value",
+    reset_ms: int | None = None,
+) -> DataFrame:
+    """Per-series cumulative sum in time order (ties broken by value —
+    the total-order rule counter_rate established); ``reset_ms`` starts
+    the accumulation over at each boundary (e.g. daily running totals).
+    Exact: the cumulative sum is Σv100 integers, divided once at the
+    end. Output: (*keys, ts, value, running)."""
+    epoch = (
+        [(F.col(ts) - (F.col(ts) % F.lit(reset_ms))).alias("__epoch")]
+        if reset_ms
+        else []
+    )
+    base = points.select(*keys, ts, v, _v100(v).alias("__v"), *epoch)
+    pcols = [*keys, "__epoch"] if reset_ms else list(keys)
+    w = (
+        Window.partitionBy(*pcols)
+        .orderBy(F.col(ts).asc(), F.col(v).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (F.sum("__v").over(w).cast("double") / 100.0).alias("running")
+    return base.select(*keys, ts, v, run)

@@ -1667,3 +1667,98 @@ def events_topk_users_1h(spark, sf_dir):
         "user_id",
     )
     return grouped_topk(d, ("event_type", "wts"), "user_id", 3)
+
+
+# ---------------------------------------------------------------------------
+# cross-series statistics (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "corr_click_view_1h",
+    _P
+    + """
+, x AS (SELECT ts_ms, CAST(round(value * 100) AS HUGEINT) AS xv
+        FROM metrics WHERE metric = 'events.click'),
+y AS (SELECT ts_ms, CAST(round(value * 100) AS HUGEINT) AS yv
+      FROM metrics WHERE metric = 'events.view'),
+g AS (
+  SELECT (x.ts_ms // 3600000) * 3600000 AS wts, count(*) AS n,
+         sum(xv) AS sx, sum(yv) AS sy,
+         sum(xv * xv) AS sxx, sum(yv * yv) AS syy, sum(xv * yv) AS sxy
+  FROM x JOIN y ON x.ts_ms = y.ts_ms GROUP BY 1
+)
+SELECT wts, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 10000 + 0.5) / 10000.0
+       END AS r
+FROM g
+""",
+)
+def corr_click_view_1h(spark, sf_dir):
+    """Hourly Pearson correlation between the click and view series
+    over their time-aligned points — exact integer sufficient
+    statistics, one keyed shuffle (operators/stats.windowed_pearson)."""
+    from dqe_spark.operators.stats import windowed_pearson
+    from dqe_spark.sources.metric_store import load_metrics
+
+    m = load_metrics(spark, sf_dir)
+    return windowed_pearson(m, "events.click", "events.view", 3_600_000)
+
+
+@q(
+    "share_by_host_1h",
+    _P
+    + """
+, per AS (
+  SELECT host, (ts_ms // 3600000) * 3600000 AS wts,
+         sum(CAST(round(value * 100) AS HUGEINT)) AS g100
+  FROM metrics WHERE metric = 'events.click' GROUP BY 1, 2
+),
+tot AS (SELECT wts, sum(g100) AS t100 FROM per GROUP BY 1)
+SELECT host, per.wts AS wts,
+       CAST(g100 AS DOUBLE) / 100.0 AS group_sum,
+       CAST(CASE WHEN t100 <> 0 THEN (10000 * g100) // t100 END AS BIGINT) AS share_bp
+FROM per JOIN tot ON per.wts = tot.wts
+""",
+)
+def share_by_host_1h(spark, sf_dir):
+    """Each host's share of the hourly click volume in basis points —
+    integer-exact (no float division), two aggregations over one
+    (group, window) exchange (operators/stats.share_of_total)."""
+    from dqe_spark.operators.stats import share_of_total
+    from dqe_spark.sources.metric_store import load_metrics
+
+    m = load_metrics(spark, sf_dir).where(F.col("metric") == "events.click")
+    return share_of_total(m, ("host",), 3_600_000)
+
+
+@q(
+    "cumsum_daily_click",
+    _P
+    + """
+, p AS (
+  SELECT metric, ts_ms, value,
+         (ts_ms // 86400000) * 86400000 AS ep,
+         CAST(round(value * 100) AS HUGEINT) AS v100
+  FROM metrics WHERE metric = 'events.click'
+)
+SELECT metric, ts_ms, value,
+       CAST(sum(v100) OVER (
+         PARTITION BY metric, ep ORDER BY ts_ms ASC, value ASC
+         ROWS UNBOUNDED PRECEDING
+       ) AS DOUBLE) / 100.0 AS running
+FROM p
+""",
+)
+def cumsum_daily_click(spark, sf_dir):
+    """Per-series running total that resets daily — exact cumulative
+    v100 sums, one keyed Window pass (operators/stats.running_total)."""
+    from dqe_spark.operators.stats import running_total
+    from dqe_spark.sources.metric_store import load_metrics
+
+    m = load_metrics(spark, sf_dir).where(F.col("metric") == "events.click")
+    return running_total(m, reset_ms=86_400_000)

@@ -100,3 +100,22 @@ def corrupt_records(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     # frame once and split ok/corrupt from the materialized copy.
     df = df.cache()
     return df.where(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+
+
+def read_points_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC landing files (Spark-native reader, no extra package):
+    columnar input already carries the typed schema, so there is no
+    corrupt-record channel — type mismatches fail the file at open, the
+    correct behavior for a self-describing format. Missing optional
+    columns (confidence, tags) default like the other readers."""
+    df = spark.read.schema(POINT_SCHEMA).orc(path)
+    return df.select(
+        "bucket",
+        "metric",
+        "ts_ms",
+        F.col("value").cast("double"),
+        F.coalesce(F.col("confidence"), F.lit(1.0)).alias("confidence"),
+        F.coalesce(
+            F.col("tags"), F.lit(None).cast("map<string,string>")
+        ).alias("tags"),
+    )

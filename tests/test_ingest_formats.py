@@ -54,3 +54,28 @@ def test_json_roundtrip(spark, tmp):
     assert byts[2000]["confidence"] == 1.0
     bad = corrupt_records(spark, str(p), "json").collect()
     assert len(bad) == 1
+
+
+def test_orc_roundtrip_matches_parquet_semantics(spark, tmp_path):
+    """ORC landing files normalize to the same canonical points as the
+    other readers: defaults applied, schema identical."""
+    from dqe_spark.sources.ingest_formats import read_points_orc
+
+    rows = [
+        ("b", "m.a", 1000, 1.5, 0.9, {"host": "h1"}),
+        ("b", "m.b", 2000, 2.5, None, None),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "bucket string, metric string, ts_ms long, value double, "
+        "confidence double, tags map<string,string>",
+    )
+    p = str(tmp_path / "landing_orc")
+    src.write.orc(p)
+    got = {r["metric"]: r for r in read_points_orc(spark, p).collect()}
+    assert got["m.a"]["confidence"] == 0.9 and got["m.a"]["tags"] == {"host": "h1"}
+    assert got["m.b"]["confidence"] == 1.0 and got["m.b"]["tags"] is None
+    assert read_points_orc(spark, p).schema.simpleString() == (
+        "struct<bucket:string,metric:string,ts_ms:bigint,value:double,"
+        "confidence:double,tags:map<string,string>>"
+    )

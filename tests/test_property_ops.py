@@ -293,3 +293,80 @@ def test_sample_stratified_matches_bruteforce(spark, ids, quota):
     ):
         got.setdefault(r["source"], []).append(r["doc_id"])
     assert got == want
+
+
+pts2 = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(0, 40).map(lambda x: x * 250),
+        st.integers(-5000, 5000).map(lambda x: x / 100.0),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_slow
+@given(pts=pts2)
+def test_running_total_matches_bruteforce(spark, pts):
+    """running_total == per-(series, epoch) prefix sums of the exact
+    python accumulation, independent of input row order."""
+    from dqe_spark.operators.stats import running_total
+
+    df = spark.createDataFrame(pts, "metric string, ts_ms long, value double")
+    got = sorted(
+        (r["metric"], r["ts_ms"], r["value"], r["running"])
+        for r in running_total(df, reset_ms=5000).collect()
+    )
+    by_key: dict = {}
+    for m, t, v in sorted(pts, key=lambda r: (r[0], r[1] // 5000, r[1], r[2])):
+        by_key.setdefault((m, t // 5000), []).append((t, v))
+    want = []
+    for (m, _ep), seq in by_key.items():
+        acc = 0
+        for t, v in seq:
+            acc += round(v * 100)
+            want.append((m, t, v, acc / 100.0))
+    # ties on (ts, value) are identical rows — multisets must agree
+    assert got == sorted(want)
+
+
+@_slow
+@given(pts=pts2)
+def test_share_of_total_invariants(spark, pts):
+    """Per-window shares: group sums add to the window total, and for
+    all-positive windows the floor'd basis points sum into
+    (10000 - n_groups, 10000]."""
+    from dqe_spark.operators.stats import share_of_total
+
+    df = spark.createDataFrame(pts, "metric string, ts_ms long, value double")
+    rows = share_of_total(df, ("metric",), 5000).collect()
+    by_w: dict = {}
+    for r in rows:
+        by_w.setdefault(r["wts"], []).append(r)
+    for wts, grp in by_w.items():
+        total = sum(
+            round(v * 100) for m, t, v in pts if t - t % 5000 == wts
+        )
+        assert round(sum(r["group_sum"] for r in grp) * 100) == total
+        if total > 0 and all(r["group_sum"] >= 0 for r in grp):
+            bp = sum(r["share_bp"] for r in grp)
+            assert 10000 - len(grp) < bp <= 10000
+
+
+@_slow
+@given(pts=pts2)
+def test_windowed_pearson_bounds_and_symmetry(spark, pts):
+    """r stays within [-1, 1] (+ rounding slack) and is symmetric in
+    its arguments."""
+    from dqe_spark.operators.stats import windowed_pearson
+
+    both = [(m, t, v) for (m, t, v) in pts] + [
+        ("b" if m == "a" else "a", t, v / 2 + 1) for (m, t, v) in pts
+    ]
+    df = spark.createDataFrame(both, "metric string, ts_ms long, value double")
+    xy = {r["wts"]: r["r"] for r in windowed_pearson(df, "a", "b", 5000).collect()}
+    yx = {r["wts"]: r["r"] for r in windowed_pearson(df, "b", "a", 5000).collect()}
+    assert set(xy) == set(yx)
+    for w, r in xy.items():
+        assert r is None or (-1.0001 <= r <= 1.0001 and yx[w] == r)
