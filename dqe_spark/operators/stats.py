@@ -29,8 +29,14 @@ from pyspark.sql import functions as F
 _DEC = "decimal(27,0)"
 
 
+def _vint(col: str, scale: int = 100):
+    """Exact integer form of a fixed-decimal column (store points are
+    2dp → scale 100; windowed-aggregate outputs are 4dp → scale 10⁴)."""
+    return F.round(F.col(col) * scale).cast(_DEC)
+
+
 def _v100(col: str):
-    return F.round(F.col(col) * 100).cast(_DEC)
+    return _vint(col, 100)
 
 
 def windowed_pearson(
@@ -42,20 +48,24 @@ def windowed_pearson(
     ts: str = "ts_ms",
     v: str = "value",
     min_n: int = 2,
+    scale: int = 100,
 ) -> DataFrame:
     """Pearson r between two metrics per window, over their TIME-ALIGNED
     points (inner join on exact timestamp within the window — the same
-    positional-alignment rule the §2.5 combinators use).
+    positional-alignment rule the §2.5 combinators use). Raw ms points
+    rarely align exactly; the intended input is a pair of WINDOWED
+    series (e.g. the 1m averages, scale=10_000 for their 4dp values) —
+    correlate the downsampled signals, not collision luck.
 
     r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)) with all
-    six sums exact DECIMAL over v100 integers; NULL when either side is
-    constant (zero variance) or fewer than ``min_n`` aligned points.
-    Output: (wts, n, r)."""
+    six sums exact DECIMAL over value·scale integers; NULL when either
+    side is constant (zero variance) or fewer than ``min_n`` aligned
+    points. Output: (wts, n, r)."""
     x = points.where(F.col(metric) == metric_x).select(
-        F.col(ts).alias("__ts"), _v100(v).alias("__x")
+        F.col(ts).alias("__ts"), _vint(v, scale).alias("__x")
     )
     y = points.where(F.col(metric) == metric_y).select(
-        F.col(ts).alias("__ts"), _v100(v).alias("__y")
+        F.col(ts).alias("__ts"), _vint(v, scale).alias("__y")
     )
     j = x.join(y, "__ts")
     wts = (F.col("__ts") - (F.col("__ts") % F.lit(window_ms))).alias("wts")

@@ -1674,19 +1674,31 @@ def events_topk_users_1h(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_AVG4_EXPR = """CAST((CASE WHEN sum(CAST(round(value * 10000) AS HUGEINT)) >= 0
+           THEN (2 * sum(CAST(round(value * 10000) AS HUGEINT)) + count(value)) // (2 * count(value))
+           ELSE -((2 * -(sum(CAST(round(value * 10000) AS HUGEINT))) + count(value)) // (2 * count(value))) END) AS DOUBLE) / 10000.0"""
+
+
 @q(
     "corr_click_view_1h",
     _P
-    + """
-, x AS (SELECT ts_ms, CAST(round(value * 100) AS HUGEINT) AS xv
-        FROM metrics WHERE metric = 'events.click'),
-y AS (SELECT ts_ms, CAST(round(value * 100) AS HUGEINT) AS yv
-      FROM metrics WHERE metric = 'events.view'),
+    + f"""
+, xw AS (
+  SELECT (ts_ms // 60000) * 60000 AS mts, {_AVG4_EXPR} AS xv
+  FROM metrics WHERE metric = 'events.click' GROUP BY 1
+),
+yw AS (
+  SELECT (ts_ms // 60000) * 60000 AS mts, {_AVG4_EXPR} AS yv
+  FROM metrics WHERE metric = 'events.view' GROUP BY 1
+),
 g AS (
-  SELECT (x.ts_ms // 3600000) * 3600000 AS wts, count(*) AS n,
-         sum(xv) AS sx, sum(yv) AS sy,
-         sum(xv * xv) AS sxx, sum(yv * yv) AS syy, sum(xv * yv) AS sxy
-  FROM x JOIN y ON x.ts_ms = y.ts_ms GROUP BY 1
+  SELECT (mts // 3600000) * 3600000 AS wts, count(*) AS n,
+         sum(CAST(round(xv * 10000) AS HUGEINT)) AS sx,
+         sum(CAST(round(yv * 10000) AS HUGEINT)) AS sy,
+         sum(CAST(round(xv * 10000) AS HUGEINT) * CAST(round(xv * 10000) AS HUGEINT)) AS sxx,
+         sum(CAST(round(yv * 10000) AS HUGEINT) * CAST(round(yv * 10000) AS HUGEINT)) AS syy,
+         sum(CAST(round(xv * 10000) AS HUGEINT) * CAST(round(yv * 10000) AS HUGEINT)) AS sxy
+  FROM xw JOIN yw USING (mts) GROUP BY 1
 )
 SELECT wts, CAST(n AS BIGINT) AS n,
        CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
@@ -1699,14 +1711,24 @@ FROM g
 """,
 )
 def corr_click_view_1h(spark, sf_dir):
-    """Hourly Pearson correlation between the click and view series
-    over their time-aligned points — exact integer sufficient
-    statistics, one keyed shuffle (operators/stats.windowed_pearson)."""
+    """Hourly Pearson correlation between the click and view series'
+    1-MINUTE AVERAGES (downsample-then-correlate: raw ms timestamps
+    essentially never collide, so aligning at the window grain is the
+    meaningful signal — 5.9k aligned minutes at sf0.1 vs 0 raw).
+    Exact integer sufficient statistics over the 4dp window values,
+    one keyed shuffle (operators/stats.windowed_pearson, scale=10^4)."""
     from dqe_spark.operators.stats import windowed_pearson
+    from dqe_spark.operators.windows import agg_avg, window_agg
     from dqe_spark.sources.metric_store import load_metrics
 
-    m = load_metrics(spark, sf_dir)
-    return windowed_pearson(m, "events.click", "events.view", 3_600_000)
+    m = load_metrics(spark, sf_dir).where(
+        F.col("metric").isin("events.click", "events.view")
+    )
+    w = window_agg(m, 60_000, agg_avg("value"), "value")
+    return windowed_pearson(
+        w, "events.click", "events.view", 3_600_000,
+        ts="wts", scale=10_000,
+    )
 
 
 @q(
