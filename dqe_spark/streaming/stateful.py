@@ -71,3 +71,67 @@ def stream_derivate(metrics: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+Z_OUT_SCHEMA = "metric string, ts_ms long, value double, zscore double"
+# ring buffer of the k most recent v4 = round(value*10^4) integers,
+# newest last; ints keep the rolling sums exact and order-free, the
+# same discipline as the batch operator (operators/anomaly.py)
+Z_STATE_SCHEMA = "tail array<long>"
+
+_Z_K = 12
+_Z_MIN = 4
+
+
+def _zscore_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (metric,) = key
+    tail: list[int] = list(state.get[0]) if state.exists else []
+    pdf = pd.concat(list(pdfs)).sort_values("ts_ms")
+    if len(pdf):
+        out_z = []
+        for v in pdf["value"].to_numpy():
+            n = len(tail)
+            if n >= _Z_MIN:
+                s = sum(tail)
+                ss = sum(x * x for x in tail)
+                mu = s / n / 10000.0
+                var = max((n * ss - s * s) / (n * n) / 1e8, 0.0)
+                sd = var ** 0.5
+                z = round((float(v) - mu) / sd, 4) if sd > 0 else None
+            else:
+                z = None
+            out_z.append(z)
+            tail.append(int(round(float(v) * 10000)))
+            if len(tail) > _Z_K:
+                tail.pop(0)
+        yield pd.DataFrame(
+            {
+                "metric": metric,
+                "ts_ms": pdf["ts_ms"].to_numpy(),
+                "value": pdf["value"].to_numpy(),
+                "zscore": pd.array(out_z, dtype="float64"),
+            }
+        )
+    state.update(([int(x) for x in tail],))
+
+
+def stream_zscore(metrics: DataFrame) -> DataFrame:
+    """Streaming rolling z-score: each point scored against its k=12
+    predecessors per series — the live twin of
+    operators/anomaly.rolling_zscore (same k/min_points/integer-exact
+    sums, so a drained stream matches the batch operator bit-for-bit;
+    asserted in tests). State per series is the k-point v4 ring buffer
+    (≤ 12 longs), partitioned on the series key."""
+    return (
+        metrics.select("metric", "ts_ms", "value")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _zscore_fn,
+            outputStructType=Z_OUT_SCHEMA,
+            stateStructType=Z_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

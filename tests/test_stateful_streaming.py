@@ -157,3 +157,60 @@ def test_stream_sessions_match_batch(spark, tmpdirs):
     max_ts = max(t for _, t in rows)
     horizon = max_ts - 3_600_000 - 1_800_000
     assert all(start >= horizon for _, start, _ in want - got)
+
+
+def test_stream_zscore_matches_batch_operator(spark, tmpdirs):
+    """Drained streaming rolling z-score == the batch operator
+    (same k=12 / min_points=4 / integer-exact rolling sums), INCLUDING
+    a ring buffer carried across a checkpointed restart."""
+    from dqe_spark.operators.anomaly import rolling_zscore
+    from dqe_spark.streaming.stateful import stream_zscore
+
+    landing, out, ckpt = tmpdirs
+    rows1 = [("m.x", 1000 * i, float((i * 7) % 13) + 0.25) for i in range(1, 31)]
+    rows2 = [("m.x", 1000 * i, float((i * 5) % 11)) for i in range(31, 46)] + [
+        ("m.y", 1000 * i, float(i % 6)) for i in range(1, 10)
+    ]
+
+    def drain():
+        src = (
+            spark.readStream.schema("metric string, ts_ms long, value double")
+            .parquet(str(landing))
+        )
+        q = (
+            stream_zscore(src)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, landing, rows1)
+    drain()
+    _write_batch(spark, landing, rows2)  # restart with state
+    drain()
+
+    got = {
+        (r["metric"], r["ts_ms"]): (r["value"], r["zscore"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = spark.createDataFrame(
+        rows1 + rows2, "metric string, ts_ms long, value double"
+    )
+    want = {
+        (r["metric"], r["wts"]): (r["value"], r["zscore"])
+        for r in rolling_zscore(
+            batch, k=12, min_points=4, ts="ts_ms"
+        ).withColumnRenamed("ts_ms", "wts").collect()
+    }
+    assert set(got) == set(want) and got
+    for k in want:
+        gv, gz = got[k]
+        wv, wz = want[k]
+        assert gv == wv, k
+        assert (gz is None) == (wz is None), k
+        if wz is not None:
+            assert gz == wz, (k, gz, wz)
