@@ -1,0 +1,154 @@
+"""Embedding-column analytics: per-label centroids, norm statistics,
+and the centroid cosine-separation matrix.
+
+The reference engine has no vector column type; its users export
+embeddings and compute cluster diagnostics offline. These operators run
+the diagnostics engine-side over the `array<float>` embedding column —
+the summaries a training-data pipeline reads before trusting a corpus
+(are the class clusters tight? are any two labels collapsed? are norms
+drifting?).
+
+Numeric parity (the windows.avg4_exact discipline, extended to floats):
+float32 embedding elements widen to double EXACTLY, so
+``round(e · 10⁶)`` is the same BIGINT on both engines; every aggregate
+below accumulates those integers (exact, order-free) and each final
+double derives from identical integers — bit-identical to the DuckDB
+oracles with zero tolerance.
+
+Scale shapes (100 TB / billions of vectors):
+  * label_centroids — posexplode is a NARROW row multiply (×dim);
+    partial aggregation collapses each task to |labels|·dim rows before
+    the single (label, pos) shuffle. No per-row Python, no collect.
+  * norm_stats — one map-only higher-order fold per row (JVM codegen),
+    then a |labels|-row groupBy.
+  * centroid_cosine_pairs — runs on the CENTROID table (|labels|·dim
+    rows), so the pairwise join is aggregate-sized; never touches the
+    raw vectors a second time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(27,0)"
+
+# e6: exact integer form of a float32 element (|e| ≤ ~2e3 keeps
+# e6² · dim far inside decimal(27,0)).
+_E6 = "CAST(round(CAST(__e AS DOUBLE) * 1000000) AS BIGINT)"
+
+
+def _div_round(num: str, den: str) -> str:
+    """Sign-aware integer-domain rounding of num/den (both integral
+    SQL expressions): round-half-away-from-zero without ever forming
+    the intermediate double (cross-engine round() diverges at exact
+    halves; integer div does not)."""
+    return (
+        f"CASE WHEN ({num}) >= 0 THEN (2 * ({num}) + ({den})) div (2 * ({den})) "
+        f"ELSE -((2 * -({num}) + ({den})) div (2 * ({den}))) END"
+    )
+
+
+def label_centroids(
+    emb: DataFrame, label: str = "label", v: str = "embedding"
+) -> DataFrame:
+    """Per-label mean embedding as (label, pos, centroid) rows —
+    dimension-agnostic, and the long form downstream consumers join
+    against. centroid is the exact integer-rounded mean at 6dp
+    (matching the e6 quantization), so parity is bit-exact.
+    """
+    e = emb.select(
+        F.col(label).alias("label"), F.posexplode(v).alias("pos", "__e")
+    ).select("label", "pos", F.expr(_E6).cast(_DEC).alias("e6"))
+    g = e.groupBy("label", "pos").agg(
+        F.sum("e6").alias("s6"), F.count(F.lit(1)).alias("n")
+    )
+    c6 = _div_round("s6", "n")
+    return g.select(
+        "label",
+        "pos",
+        F.expr(f"CAST(({c6}) AS DOUBLE) / 1000000.0").alias("centroid"),
+    ).orderBy("label", "pos")
+
+
+def _nsq_col(v: str):
+    """Exact per-row squared L2 norm over e6 integers (BIGINT fold —
+    integer addition commutes, so fold order is irrelevant)."""
+    return F.expr(
+        f"aggregate({v}, 0L, (acc, __x) -> acc + "
+        "CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT) * "
+        "CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+
+
+def norm_stats(
+    emb: DataFrame, label: str = "label", v: str = "embedding"
+) -> DataFrame:
+    """Per-label L2-norm distribution: (label, n, min_norm, max_norm,
+    rms_norm). Norms derive from exact integer squared-norms —
+    min/max/rms are each sqrt of an integer (identical on both
+    engines); rms uses the integer-rounded mean of the squared norms.
+    """
+    nsq = emb.select(F.col(label).alias("label"), _nsq_col(v).alias("nsq"))
+    g = nsq.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("nsq").alias("mn"),
+        F.max("nsq").alias("mx"),
+        F.sum(F.col("nsq").cast(_DEC)).alias("s"),
+    )
+    mean_sq = _div_round("s", "n")
+    return g.select(
+        "label",
+        "n",
+        (F.sqrt(F.col("mn").cast("double")) / 1e6).alias("min_norm"),
+        (F.sqrt(F.col("mx").cast("double")) / 1e6).alias("max_norm"),
+        (F.sqrt(F.expr(f"CAST(({mean_sq}) AS DOUBLE)")) / 1e6).alias("rms_norm"),
+    ).orderBy("label")
+
+
+def centroid_cosine_pairs(
+    emb: DataFrame, label: str = "label", v: str = "embedding"
+) -> DataFrame:
+    """Cosine similarity between every pair of label centroids —
+    the cluster-separation matrix (label_a < label_b; cos4 at 4dp).
+    A near-1 off-diagonal entry means two labels collapsed.
+
+    Exact: centroids stay in the integer domain (c6 BIGINT per
+    position); dot and squared-norms are integer sums, the single
+    float expression cos = dot/√(na·nb) sees identical integers on
+    both engines, and 4dp uses the shared floor(x·10⁴ + 0.5) rule.
+    """
+    e = emb.select(
+        F.col(label).alias("label"), F.posexplode(v).alias("pos", "__e")
+    ).select("label", "pos", F.expr(_E6).cast(_DEC).alias("e6"))
+    g = e.groupBy("label", "pos").agg(
+        F.sum("e6").alias("s6"), F.count(F.lit(1)).alias("n")
+    )
+    c = g.select(
+        "label", "pos", F.expr(_div_round("s6", "n")).cast(_DEC).alias("c6")
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("c6").alias("a6")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("c6").alias("b6")
+    )
+    p = (
+        a.join(b, "pos")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("a6") * F.col("b6")).alias("dot"),
+            F.sum(F.col("a6") * F.col("a6")).alias("na"),
+            F.sum(F.col("b6") * F.col("b6")).alias("nb"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    cos4 = F.floor(cos * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    return p.select(
+        "label_a",
+        "label_b",
+        F.when((F.col("na") > 0) & (F.col("nb") > 0), cos4).alias("cos4"),
+    ).orderBy("label_a", "label_b")

@@ -1784,3 +1784,112 @@ def cumsum_daily_click(spark, sf_dir):
 
     m = load_metrics(spark, sf_dir).where(F.col("metric") == "events.click")
     return running_total(m, reset_ms=86_400_000)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column analytics (operators/embeddings.py): the corpus
+# diagnostics a training pipeline reads before trusting its clusters
+# ---------------------------------------------------------------------------
+
+# exact integer form of one float32 element (see operators/embeddings.py:
+# float32 widens to double exactly; round(e*1e6) is the same BIGINT on
+# both engines — verified zero exact-half products across all SFs)
+_E6_SQL = "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)"
+
+_CENTROID_CTE = f"""
+WITH e AS (
+  SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         {_E6_SQL} AS e6
+  FROM embeddings
+), g AS (
+  SELECT label, pos, CAST(sum(e6) AS HUGEINT) AS s6, count(*) AS n
+  FROM e GROUP BY 1, 2
+)"""
+
+
+@q(
+    "emb_label_centroids",
+    _CENTROID_CTE
+    + """
+SELECT label, pos,
+       CAST((CASE WHEN s6 >= 0 THEN (2 * s6 + n) // (2 * n)
+                  ELSE -((2 * -s6 + n) // (2 * n)) END) AS DOUBLE) / 1000000.0
+         AS centroid
+FROM g
+""",
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding in long (label, pos, centroid) form —
+    one narrow posexplode + one (label, pos) shuffle with map-side
+    partials (operators/embeddings.label_centroids)."""
+    from dqe_spark.operators import embeddings
+
+    return embeddings.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "emb_norm_stats",
+    """
+WITH nsq AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS HUGEINT)
+           AS nsq
+  FROM embeddings
+), g AS (
+  SELECT label, count(*) AS n, min(nsq) AS mn, max(nsq) AS mx, sum(nsq) AS s
+  FROM nsq GROUP BY 1
+)
+SELECT label, n,
+       sqrt(CAST(mn AS DOUBLE)) / 1000000.0 AS min_norm,
+       sqrt(CAST(mx AS DOUBLE)) / 1000000.0 AS max_norm,
+       sqrt(CAST((CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                       ELSE -((2 * -s + n) // (2 * n)) END) AS DOUBLE)) / 1000000.0
+         AS rms_norm
+FROM g
+""",
+)
+def emb_norm_stats(spark, sf_dir):
+    """Per-label L2-norm distribution (norm drift check) — map-only
+    JVM higher-order fold per row, then a |labels|-row groupBy
+    (operators/embeddings.norm_stats)."""
+    from dqe_spark.operators import embeddings
+
+    return embeddings.norm_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "emb_centroid_cosine",
+    _CENTROID_CTE
+    + """
+, c AS (
+  SELECT label, pos,
+         (CASE WHEN s6 >= 0 THEN (2 * s6 + n) // (2 * n)
+               ELSE -((2 * -s6 + n) // (2 * n)) END) AS c6
+  FROM g
+), p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.c6 * b.c6) AS dot, sum(a.c6 * a.c6) AS na, sum(b.c6 * b.c6) AS nb
+  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         CAST(floor((CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+              * 10000 + 0.5) AS DOUBLE) / 10000.0
+       END AS cos4
+FROM p
+""",
+)
+def emb_centroid_cosine(spark, sf_dir):
+    """Cluster-separation matrix: cosine between every pair of label
+    centroids. Pairwise join runs on the centroid table (|labels|·dim
+    rows), never re-touching the raw vectors
+    (operators/embeddings.centroid_cosine_pairs)."""
+    from dqe_spark.operators import embeddings
+
+    return embeddings.centroid_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings")
+    )

@@ -1,0 +1,46 @@
+"""Embedding analytics operators (operators/embeddings.py) on toy
+vectors with hand-computable answers. Cross-engine parity is covered by
+the oracle sweep (test_parity.py: emb_*); this checks the math."""
+
+from __future__ import annotations
+
+import math
+
+from dqe_spark.operators import embeddings as E
+
+
+def _toy(spark):
+    # two labels, 2-dim: label 0 = {(1,0), (0,1)} -> centroid (0.5, 0.5)
+    #                    label 1 = {(2,0)}        -> centroid (2, 0)
+    rows = [
+        (0, [1.0, 0.0]),
+        (0, [0.0, 1.0]),
+        (1, [2.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "label int, embedding array<float>")
+
+
+def test_label_centroids(spark):
+    out = {
+        (r.label, r.pos): r.centroid
+        for r in E.label_centroids(_toy(spark)).collect()
+    }
+    assert out == {(0, 0): 0.5, (0, 1): 0.5, (1, 0): 2.0, (1, 1): 0.0}
+
+
+def test_norm_stats(spark):
+    out = {r.label: r for r in E.norm_stats(_toy(spark)).collect()}
+    assert out[0].n == 2 and out[1].n == 1
+    assert out[0].min_norm == 1.0 and out[0].max_norm == 1.0
+    assert out[0].rms_norm == 1.0  # both unit vectors
+    assert out[1].min_norm == out[1].max_norm == out[1].rms_norm == 2.0
+
+
+def test_centroid_cosine_pairs(spark):
+    rows = E.centroid_cosine_pairs(_toy(spark)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.label_a, r.label_b) == (0, 1)
+    # cos((0.5,0.5),(2,0)) = 1 / (sqrt(0.5)*2) = 0.7071...
+    expect = round(1.0 / (math.sqrt(0.5) * 2.0), 4)
+    assert abs(r.cos4 - expect) < 1e-9
