@@ -70,6 +70,8 @@ EXT_HEADLINE = [
     "events_topk_users_1h",
     "corr_click_view_1h",
     "share_by_host_1h",
+    # embedding-corpus diagnostics (posexplode + keyed shuffle shape)
+    "emb_label_centroids",
 ]
 
 

@@ -370,3 +370,106 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("shared_fp"))
         .where(F.col("shared_fp") >= min_shared)
     )
+
+
+# -- repetition quality signals (Gopher-style filters) ----------------------
+
+# 0-based word n-grams; guarded so short docs yield an empty (typed)
+# array instead of a descending sequence()
+_G2 = (
+    "CASE WHEN size(__tk) >= 2 THEN "
+    "transform(sequence(0, size(__tk) - 2), "
+    "i -> concat(__tk[i], ' ', __tk[i + 1])) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+_G3 = (
+    "CASE WHEN size(__tk) >= 3 THEN "
+    "transform(sequence(0, size(__tk) - 3), "
+    "i -> concat(__tk[i], ' ', __tk[i + 1], ' ', __tk[i + 2])) "
+    "ELSE CAST(array() AS array<string>) END"
+)
+
+# run-length fold over the SORTED 2-gram array: longest run = the modal
+# gram and its count. Strict '>' keeps the FIRST (lexicographically
+# smallest) gram on ties — the same deterministic tie-break as the
+# oracle's ORDER BY cnt DESC, gram ASC.
+_TOP2 = """
+aggregate(
+  array_sort(__g2),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0,
+               'best', CAST(NULL AS STRING), 'bc', 0),
+  (a, x) -> named_struct(
+    'prev', x,
+    'run',  CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END,
+    'best', CASE WHEN (CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END) > a.bc
+                 THEN x ELSE a.best END,
+    'bc',   CASE WHEN (CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END) > a.bc
+                 THEN (CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END)
+                 ELSE a.bc END),
+  a -> named_struct('g', a.best, 'c', a.bc))
+"""
+
+# occurrences belonging to any duplicated 3-gram: when a run reaches 2
+# both occurrences count, each further repeat adds 1
+_DUP3 = """
+aggregate(
+  array_sort(__g3),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'dup', 0),
+  (a, x) -> named_struct(
+    'prev', x,
+    'run', CASE WHEN x = a.prev THEN a.run + 1 ELSE 1 END,
+    'dup', a.dup + CASE WHEN x = a.prev
+                        THEN CASE WHEN a.run = 1 THEN 2 ELSE 1 END
+                        ELSE 0 END),
+  a -> a.dup)
+"""
+
+
+def repetition_signals(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    the modal word 2-gram with its count and character coverage, and
+    the fraction of 3-gram occurrences belonging to a duplicated
+    3-gram. Docs dominated by a repeated phrase score high on both and
+    get dropped by quality gates.
+
+    Scale shape: entirely map-only — per-document sorted-array
+    run-length folds in JVM higher-order functions (no explode, no
+    shuffle, no Python). Work is O(tokens log tokens) per document,
+    embarrassingly parallel at any corpus size.
+
+    Exactness: counts and lengths are integers on both engines; each
+    output fraction is ONE IEEE division of identical integers, so
+    results are bit-identical to the SQL oracle with zero tolerance.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(col).alias("__text"),
+        F.split(F.trim(F.col(col)), r"\s+").alias("__tk"),
+    ).select(
+        id_col,
+        "__text",
+        F.expr(_G2).alias("__g2"),
+        F.expr(_G3).alias("__g3"),
+    )
+    top = base.select(
+        id_col,
+        "__text",
+        F.expr(_TOP2).alias("__t2"),
+        F.expr(_DUP3).alias("__d3"),
+        F.size("__g3").alias("__n3"),
+    )
+    return top.select(
+        id_col,
+        F.col("__t2.g").alias("top2_gram"),
+        F.col("__t2.c").cast("long").alias("top2_cnt"),
+        (
+            (F.col("__t2.c") * F.length("__t2.g")).cast("double")
+            / F.length("__text").cast("double")
+        ).alias("top2_char_frac"),
+        F.when(
+            F.col("__n3") > 0,
+            F.col("__d3").cast("double") / F.col("__n3").cast("double"),
+        ).alias("dup3_frac"),
+    )

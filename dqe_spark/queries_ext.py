@@ -1893,3 +1893,48 @@ def emb_centroid_cosine(spark, sf_dir):
     return embeddings.centroid_cosine_pairs(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@q(
+    "text_repetition",
+    r"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk FROM documents
+), g2 AS (
+  SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS gram
+  FROM t WHERE len(tk) >= 2
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, gram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c2
+), g3 AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - 1)]) AS gram
+  FROM t WHERE len(tk) >= 3
+), c3 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+), d3 AS (
+  SELECT doc_id, sum(cnt) AS total3,
+         coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS dup3
+  FROM c3 GROUP BY 1
+)
+SELECT t.doc_id, top2.gram AS top2_gram, CAST(top2.cnt AS BIGINT) AS top2_cnt,
+       CAST(top2.cnt * len(top2.gram) AS DOUBLE) / CAST(len(t.text) AS DOUBLE)
+         AS top2_char_frac,
+       CAST(dup3 AS DOUBLE) / CAST(total3 AS DOUBLE) AS dup3_frac
+FROM t
+JOIN top2 ON top2.doc_id = t.doc_id AND top2.rn = 1
+JOIN d3 ON d3.doc_id = t.doc_id
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: modal 2-gram coverage +
+    duplicated-3-gram occurrence fraction, computed map-only via
+    sorted-array run-length folds (operators/text.repetition_signals
+    — no explode/shuffle; the oracle replays the same definition
+    relationally)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(d)

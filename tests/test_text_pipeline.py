@@ -157,3 +157,24 @@ def test_sample_fraction_deterministic(spark):
     assert c == {x for x in a if x < 2500}
     assert sample_fraction_deterministic(df, 0).count() == 0
     assert sample_fraction_deterministic(df, 100).count() == 5000
+
+
+def test_repetition_signals(spark):
+    """Hand-checkable repetition math: modal 2-gram, its char
+    coverage, and the duplicated-3-gram occurrence fraction."""
+    from dqe_spark.operators.text import repetition_signals
+
+    # "spam ham spam ham spam" -> 2-grams: [spam ham, ham spam,
+    # spam ham, ham spam] -> modal = "ham spam"/"spam ham" tied at 2;
+    # tie-break = lexicographically smallest = "ham spam".
+    # 3-grams: [spam ham spam, ham spam ham, spam ham spam] -> dup
+    # occurrences 2 of 3.
+    rows = [(1, "spam ham spam ham spam"), (2, "all distinct words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1.top2_gram == "ham spam" and r1.top2_cnt == 2
+    assert r1.top2_char_frac == 2 * len("ham spam") / len("spam ham spam ham spam")
+    assert r1.dup3_frac == 2 / 3
+    r2 = out[2]
+    assert r2.top2_cnt == 1 and r2.dup3_frac == 0.0
