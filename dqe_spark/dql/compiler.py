@@ -250,18 +250,28 @@ HIST_RED = {"max": W.agg_max, "min": W.agg_min, "mean": W.agg_avg,
             "median": W.agg_median, "stddev": W.agg_stddev}
 
 
-def hdr_quantize(v: Column, htv: int, sig_figs: int) -> Column:
+def hdr_quantize(
+    v: Column, htv: int, sig_figs: int, representative: str = "median"
+) -> Column:
     """HDR-histogram value quantization as a Column expression
     (reference records int-rounded points into hdr_histogram:open(HTV,
     SF), src/dqe_hist.erl:43-57). HDR keeps unit resolution up to
     sub_bucket_count = 2^ceil(log2(2·10^sf)) and above that drops one
-    bit of resolution per power-of-two bucket: a value v collapses to
-    v − v mod 2^(floor(log2 v) − (sbc_mag − 1)) (the bucket's lowest
-    equivalent value). floor(log2 v) is computed as len(bin(v)) − 1 so
-    exact powers of two never suffer float log drift; values above the
-    highest trackable value saturate at htv. Quantization is provably
-    identity when every value < sub_bucket_count — the sig_figs=3 /
-    values<1000 case the int-round model covered before."""
+    bit of resolution per power-of-two bucket: a value v lands in the
+    bucket starting at v − v mod 2^(floor(log2 v) − (sbc_mag − 1)).
+    floor(log2 v) is computed as len(bin(v)) − 1 so exact powers of two
+    never suffer float log drift; values above the highest trackable
+    value saturate at htv first. Quantization is provably identity when
+    every value < sub_bucket_count — the sig_figs=3 / values<1000 case
+    the int-round model covered before.
+
+    ``representative`` picks the value reported for a collapsed bucket:
+    "median" (default) is HdrHistogram's medianEquivalentValue =
+    lowest + range/2 — the value hdr's own mean/percentile/stddev
+    readouts are computed from, so downstream reductions match a true
+    HdrHistogram; "lowest" is the bucket's lowestEquivalentValue (the
+    pre-round-4 behavior, kept for consumers that want bucket keys).
+    Both are idempotent (the representative lies inside its bucket)."""
     import math
 
     sbc_mag = math.ceil(math.log2(2 * 10**sig_figs))
@@ -269,7 +279,18 @@ def hdr_quantize(v: Column, htv: int, sig_figs: int) -> Column:
     v = F.least(v, F.lit(int(htv)).cast("long"))
     k = F.length(F.bin(v)) - F.lit(1)  # floor(log2(v)) for v > 0, exact
     quantum = F.pow(F.lit(2.0), (k - F.lit(half_mag)).cast("double")).cast("long")
-    return F.when(v < F.lit(1 << sbc_mag), v).otherwise(v - v % quantum)
+    low = v - v % quantum
+    if representative == "median":
+        # quantum ≥ 2 in this branch (k ≥ sbc_mag > half_mag), so the
+        # half-range 2^(k − half_mag − 1) is an exact positive long
+        out = low + F.pow(
+            F.lit(2.0), (k - F.lit(half_mag + 1)).cast("double")
+        ).cast("long")
+    elif representative == "lowest":
+        out = low
+    else:
+        raise ValueError(f"representative must be median|lowest: {representative!r}")
+    return F.when(v < F.lit(1 << sbc_mag), v).otherwise(out)
 
 
 def arg_types(inputs, sub_type: str = "metric") -> tuple[str, ...]:

@@ -123,12 +123,14 @@ def dql_shift_1d(spark, sf_dir):
 # sig_figs=1 → sub_bucket_count = 2^ceil(log2(20)) = 32: values ≥ 32
 # REALLY quantize (data runs to ~490, quantum 16 at the top), proving
 # the HDR bucket rule end-to-end, not just the identity case. The
-# oracle replays compiler.hdr_quantize: len(bin(v))−1 = floor(log2 v).
+# oracle replays compiler.hdr_quantize: len(bin(v))−1 = floor(log2 v);
+# collapsed buckets report HDR's medianEquivalentValue (lowest + q/2).
 _HDR_SF1 = PARITY_P + """
 , hist AS (
   SELECT metric, (ts_ms // 300000) * 300000 AS wts,
          CASE WHEN v < 32 THEN v
               ELSE v - v % CAST(pow(2, length(bin(v)) - 1 - 4) AS BIGINT)
+                     + CAST(pow(2, length(bin(v)) - 1 - 5) AS BIGINT)
          END AS hv
   FROM (SELECT metric, ts_ms,
                least(CAST(round(value, 0) AS BIGINT), 1000) AS v

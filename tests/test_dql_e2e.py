@@ -247,8 +247,10 @@ def test_shared_scan_cse(spark):
 
 def test_hdr_quantize_bucket_rule(spark):
     """HDR quantization (src/dqe_hist.erl:30-57): identity below
-    sub_bucket_count, lowest-equivalent-value collapse above it,
-    saturation at the highest trackable value."""
+    sub_bucket_count, bucket collapse above it reporting the
+    medianEquivalentValue (lowest + quantum/2, what a true
+    HdrHistogram's readouts are computed from), saturation at the
+    highest trackable value; "lowest" mode keeps the bucket key."""
     from pyspark.sql import functions as F
 
     from dqe_spark.dql.compiler import hdr_quantize
@@ -260,16 +262,27 @@ def test_hdr_quantize_bucket_rule(spark):
     )
     # sf=1 → sbc = 2^ceil(log2(20)) = 32, half_mag = 4
     want = {
-        0: 0, 1: 1, 31: 31,          # identity below sub_bucket_count
-        32: 32, 33: 32,              # quantum 2^(5-4) = 2
-        63: 62, 64: 64, 65: 64,      # boundary: quantum 2 then 4
-        100: 100,                    # 100 % 4 == 0
-        255: 248, 256: 256, 257: 256,  # quantum 8 then 16
-        490: 480,                    # top of the data range
-        1000: 992,                   # htv itself still bucket-collapses
-        5000: 992,                   # saturates at htv=1000 first
+        0: 0, 1: 1, 31: 31,            # identity below sub_bucket_count
+        32: 33, 33: 33,                # quantum 2^(5-4) = 2 → low + 1
+        63: 63, 64: 66, 65: 66,        # boundary: quantum 2 then 4
+        100: 102,                      # bucket [100,104) → 102
+        255: 252, 256: 264, 257: 264,  # quantum 8 then 16
+        490: 488,                      # bucket [480,496) → 488
+        1000: 1008,                    # htv's own bucket [992,1008)
+        5000: 1008,                    # saturates at htv=1000 first
     }
     assert got == want
+    low = dict(
+        df.select(
+            "v", hdr_quantize(F.col("v"), 1000, 1, "lowest").alias("q")
+        ).collect()
+    )
+    want_low = {
+        0: 0, 1: 1, 31: 31, 32: 32, 33: 32, 63: 62, 64: 64, 65: 64,
+        100: 100, 255: 248, 256: 256, 257: 256, 490: 480,
+        1000: 992, 5000: 992,
+    }
+    assert low == want_low
 
 
 def test_histogram_sig_figs_validation(spark):

@@ -196,9 +196,11 @@ def test_rollup_partials_match_raw(spark, pts):
 )
 def test_hdr_quantize_properties(spark, vs, sf):
     """HDR bucket-rule invariants for every sig_figs over adversarial
-    values (powers of two, boundaries): quantization never increases a
-    value, is idempotent, is identity below sub_bucket_count, and keeps
-    relative error under 10^-sf (src/dqe_hist.erl:30-57)."""
+    values (powers of two, boundaries): the median-equivalent
+    representative stays inside its value's bucket, is idempotent, is
+    identity below sub_bucket_count, and keeps relative error under
+    10^-sf; "lowest" mode additionally never increases a value
+    (src/dqe_hist.erl:30-57)."""
     import math
 
     from pyspark.sql import functions as F
@@ -211,16 +213,20 @@ def test_hdr_quantize_properties(spark, vs, sf):
         "v",
         hdr_quantize(F.col("v"), htv, sf).alias("q"),
         hdr_quantize(hdr_quantize(F.col("v"), htv, sf), htv, sf).alias("qq"),
+        hdr_quantize(F.col("v"), htv, sf, "lowest").alias("lo"),
     ).collect()
     sbc = 1 << math.ceil(math.log2(2 * 10**sf))
     for r in rows:
-        v, q, qq = r["v"], r["q"], r["qq"]
-        assert q <= v
+        v, q, qq, lo = r["v"], r["q"], r["qq"], r["lo"]
         assert qq == q, "idempotent"
+        assert lo <= v
         if v < sbc:
-            assert q == v, "identity below sub_bucket_count"
+            assert q == v == lo, "identity below sub_bucket_count"
         else:
-            assert (v - q) / v < 10**-sf, (v, q, sf)
+            quantum = 1 << (v.bit_length() - 1 - (sbc.bit_length() - 2))
+            assert lo <= q < lo + quantum, "representative inside bucket"
+            assert q == lo + quantum // 2
+            assert abs(v - q) / v < 10**-sf, (v, q, sf)
 
 
 texts = st.lists(
