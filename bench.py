@@ -72,6 +72,8 @@ EXT_HEADLINE = [
     "share_by_host_1h",
     # embedding-corpus diagnostics (posexplode + keyed shuffle shape)
     "emb_label_centroids",
+    # star-schema join rollup (broadcast dims + pushed date predicate)
+    "q5_revenue_by_nation",
 ]
 
 

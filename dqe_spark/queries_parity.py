@@ -934,3 +934,56 @@ def li_top1_daily(spark, sf_dir):
     exact_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
     w = window_agg(m, D_MS, exact_sum, "sum_value")
     return topk.series_limit(w, 1, F.sum("sum_value"), top=True)
+
+
+# Star-schema rollup across the TPC-H-ish tables: revenue by nation for
+# one order year. The scale shape a 100 TB warehouse needs: the date
+# predicate pushes into the orders scan (partition/row-group pruning),
+# lineitem joins orders then customer on shuffled keys, and the
+# nation/region dims are BROADCAST (plan-asserted in
+# tests/test_parity.py) so the fact rows never shuffle for them.
+# Revenue is exact: price and discount carry 2 decimals, so
+# ep100 * (100 - disc100) is an exact BIGINT in 1e-4 units, summed in
+# DECIMAL/HUGEINT — order-free and identical on both engines.
+@q(
+    "q5_revenue_by_nation",
+    """
+SELECT n_name, r_name,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+""",
+)
+def q5_revenue_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev4 = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    ).cast("decimal(27,0)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(rev4).cast("double") / 10000.0).alias("revenue"),
+        )
+    )
