@@ -1938,3 +1938,49 @@ def text_repetition(spark, sf_dir):
     relationally)."""
     d = load_table(spark, sf_dir, "documents")
     return text.repetition_signals(d)
+
+
+@q(
+    "text_bm25_topk",
+    r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tks
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, sum(len(tks)) AS t_tokens FROM tk
+), tf AS (
+  SELECT doc_id, t AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tks) AS t FROM tk)
+  WHERE t IN ('dup', 'hash', 'join')
+  GROUP BY 1, 2
+), dft AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), terms AS (
+  SELECT tf.doc_id,
+         ((CAST(2 AS HUGEINT) * n_docs - 2 * df + 1)
+          * 22 * tf * t_tokens * 1000000)
+         // ((CAST(2 AS HUGEINT) * df + 1)
+             * (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)) AS e6
+  FROM tf
+  JOIN dft USING (token)
+  JOIN (SELECT doc_id, len(tks) AS dl FROM tk) d USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(sum(e6) AS DOUBLE) / 1000000.0 AS score
+FROM terms GROUP BY 1
+ORDER BY sum(e6) DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_bm25_topk(spark, sf_dir):
+    """Top-20 ranked retrieval for ('dup','hash','join') — BM25
+    scoring (k1=1.2, b=0.75, rational idf) answered from the inverted
+    index with bucket pruning; each per-term score is one exact
+    integer floor-division in 1e-6 units, so the hash matches the
+    oracle's full-scan replay bit for bit
+    (sources/text_index.bm25_search)."""
+    from dqe_spark.sources.text_index import bm25_search
+
+    return bm25_search(spark, sf_dir, ["dup", "hash", "join"], k=20)

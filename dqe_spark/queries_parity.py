@@ -987,3 +987,50 @@ def q5_revenue_by_nation(spark, sf_dir):
             (F.sum(rev4).cast("double") / 10000.0).alias("revenue"),
         )
     )
+
+
+# Q9-shaped profit rollup covering the remaining TPC-H-ish dims (part,
+# supplier): per (supplier nation, brand) discounted revenue minus
+# retail cost of goods. Scale notes: nation is a CONSTANT-size dim
+# (25 rows at any SF) and is broadcast explicitly; part and supplier
+# GROW with the scale factor, so they join on shuffled keys and AQE is
+# left to pick broadcast only when a filter makes a side small enough.
+# All money math is exact integers in 1e-4 units.
+@q(
+    "q9_margin_by_brand",
+    """
+SELECT n_name, p_brand,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(round(l_quantity * 100) AS BIGINT)
+                ) AS DOUBLE) / 10000.0 AS margin
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+""",
+)
+def q9_margin_by_brand(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    margin4 = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT)) "
+        "- CAST(round(p_retailprice * 100) AS BIGINT) "
+        "* CAST(round(l_quantity * 100) AS BIGINT)"
+    ).cast("decimal(27,0)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(margin4).cast("double") / 10000.0).alias("margin"),
+        )
+    )

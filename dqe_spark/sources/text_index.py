@@ -38,7 +38,7 @@ import shutil
 import zlib
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dqe_spark.sources.store import STORE_ROOT
@@ -63,19 +63,36 @@ def _n_buckets(p: Path) -> int:
     return int(marker.read_text()) if marker.exists() else N_BUCKETS_DEFAULT
 
 
+def _tokens_col() -> Column:
+    return F.expr(
+        f"filter(split(lower(text), '{TOKEN_DELIM}'), x -> x != '')"
+    )
+
+
 def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
+    # postings carry the term frequency (tf): still map-only — the
+    # per-token count is a filter() over the doc's own token array
+    # (O(len²) per doc, trivially small), no groupBy in the build
     return (
-        docs.select(
+        docs.select("doc_id", _tokens_col().alias("__tk"))
+        .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(F.split(F.lower(F.col("text")), TOKEN_DELIM))
-            ).alias("token"),
+            "__tk",
+            F.explode(F.array_distinct("__tk")).alias("token"),
         )
-        .where(F.col("token") != "")
+        .select(
+            "doc_id",
+            "token",
+            F.expr("size(filter(__tk, x -> x = token))").alias("tf"),
+        )
         .withColumn(
             "tb", F.pmod(F.crc32(F.col("token")), F.lit(n_buckets)).cast("int")
         )
     )
+
+
+def _docstats(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.size(_tokens_col()).alias("dl"))
 
 
 def build_text_index(
@@ -90,7 +107,21 @@ def build_text_index(
     ingests); default is the sf_dir's documents table."""
     out = _index_dir(sf_dir)
     if not force and index_path(sf_dir) is not None:
-        return out
+        # layout upgrade: a pre-tf index (or one without doc stats)
+        # rebuilds once from the corpus instead of silently serving the
+        # old schema
+        if "tf" in spark.read.parquet(str(out)).columns and (
+            out / "_docstats" / "_SUCCESS"
+        ).exists():
+            return out
+        if docs is not None:
+            # an increment can't upgrade the layout: it only carries
+            # the NEW docs, and a rebuild from them would drop the rest
+            raise RuntimeError(
+                f"text index at {out} predates the tf layout; rebuild "
+                "with build_text_index(..., force=True) before merging"
+            )
+        force = True
     if docs is None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     postings = _postings(docs, n_buckets)
@@ -103,6 +134,9 @@ def build_text_index(
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(str(tmp))
+    )
+    _docstats(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "_docstats")
     )
     (tmp / "_BUCKETS").write_text(str(n_buckets))
     if out.exists():
@@ -140,7 +174,7 @@ def merge_index_increment(
         F.broadcast(touched), "tb", "left_semi"
     )
     merged = (
-        existing.select("doc_id", "token", "tb")
+        existing.select("doc_id", "token", "tf", "tb")
         .unionByName(inc)
         .distinct()
         .localCheckpoint(eager=True)
@@ -153,6 +187,17 @@ def merge_index_increment(
         .partitionBy("tb")
         .parquet(str(p))
     )
+    # doc stats follow the same contract (append of new doc_ids, the
+    # distinct absorbs idempotent re-landing). Small table; at true
+    # corpus scale partition by ingest date and append instead.
+    ds_path = p / "_docstats"
+    ds = (
+        spark.read.parquet(str(ds_path))
+        .unionByName(_docstats(new_docs))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ds.coalesce(1).write.mode("overwrite").parquet(str(ds_path))
     return p
 
 
@@ -215,4 +260,123 @@ def keyword_search(
         .agg(F.count_distinct("token").alias("k"))
         .where(F.col("k") == len(flat))
         .select("doc_id")
+    )
+
+
+def _norm_terms(terms: list[str]) -> list[str]:
+    flat: list[str] = []
+    for t in terms:
+        toks = [x for x in re.split(TOKEN_DELIM, t.lower()) if x]
+        if not toks:
+            raise ValueError(
+                f"term {t!r} has no indexable tokens (token rule: "
+                f"lowercase [a-z0-9]+)"
+            )
+        flat.extend(toks)
+    return sorted(set(flat))
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    k: int = 20,
+    idf: str = "rational",
+) -> DataFrame:
+    """Ranked retrieval over the inverted index: top-k documents by a
+    BM25 score (k1=1.2, b=0.75) for the query terms.
+
+    ``idf`` picks the inverse-document-frequency form:
+      * "rational" (default): idf = (N − df + ½)/(df + ½) — BM25's
+        idf argument WITHOUT the log. Every factor is then rational,
+        so each per-term score is one exact integer floor-division in
+        1e-6 units and the summed score is bit-identical across
+        engines (cross-engine ln() differs in the last bit on ~8% of
+        inputs — measured — which a hash-exact oracle cannot absorb).
+        Single-term rankings are identical to log-BM25 (monotone
+        transform); multi-term rankings weight rare terms more
+        strongly.
+      * "log": textbook BM25 idf = ln(1 + (N − df + ½)/(df + ½)),
+        float scoring. For consumers; not oracle-hashable.
+
+    Scale shape: the per-term predicate prunes index buckets exactly
+    like keyword_search; df comes from a tiny per-token aggregate of
+    the pruned postings; doc length joins in by doc_id from the doc
+    stats sidecar; corpus constants (N, total tokens) are a 1-row
+    broadcast. Cost scales with posting-list length, never corpus
+    size. Final top-k is a k-row sort (TakeOrderedAndProject).
+    """
+    if not terms:
+        raise ValueError("bm25_search needs at least one term")
+    if idf not in ("rational", "log"):
+        raise ValueError(f"bad idf {idf!r}")
+    flat = _norm_terms(terms)
+    build_text_index(spark, sf_dir)
+    p = _index_dir(sf_dir)
+    n = _n_buckets(p)
+    idx = spark.read.parquet(str(p))
+    pred = None
+    for t in flat:
+        c = (F.col("tb") == _bucket_of(t, n)) & (F.col("token") == t)
+        pred = c if pred is None else (pred | c)
+    hits = idx.where(pred).select("doc_id", "token", "tf")
+    dft = hits.groupBy("token").agg(F.count("*").alias("df"))
+    ds = spark.read.parquet(str(p / "_docstats"))
+    totals = ds.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    scored = (
+        hits.join(F.broadcast(dft), "token")
+        .join(ds, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    if idf == "rational":
+        # ((2N−2df+1)·22·tf·T·10⁶) // ((2df+1)·(10·T·tf + 3·T + 9·dl·N))
+        # = idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) in 1e-6 units,
+        # every factor an exact integer (k1=1.2, b=0.75, avgdl=T/N)
+        e6 = F.expr(
+            "CAST((CAST(2 AS DECIMAL(38,0)) * n_docs - 2 * df + 1)"
+            " * 22 * tf * t_tokens * 1000000 AS DECIMAL(38,0))"
+            " div "
+            "CAST((CAST(2 AS DECIMAL(38,0)) * df + 1)"
+            " * (10 * t_tokens * tf + 3 * t_tokens + 9 * dl * n_docs)"
+            " AS DECIMAL(38,0))"
+        )
+        per_doc = scored.select("doc_id", e6.alias("e6")).groupBy("doc_id").agg(
+            F.sum("e6").alias("score_e6")
+        )
+        return (
+            per_doc.select(
+                "doc_id",
+                (F.col("score_e6").cast("double") / 1000000.0).alias("score"),
+                "score_e6",
+            )
+            .orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score")
+        )
+    ln_idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * 2.2) / (
+        F.col("tf")
+        + 1.2
+        * (
+            0.25
+            + 0.75
+            * F.col("dl")
+            * F.col("n_docs")
+            / F.col("t_tokens")
+        )
+    )
+    per_doc = (
+        scored.select("doc_id", (ln_idf * tf_part).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    return (
+        per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
     )

@@ -117,3 +117,40 @@ def test_merge_increment_equals_full_build(spark):
     )
     assert again == want
     TI.build_text_index(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_bm25_plan_prunes_buckets_and_variants(spark):
+    """bm25_search keeps keyword_search's pruning (K term buckets out
+    of 64 in PartitionFilters), its log-idf variant ranks single-term
+    queries identically to the rational default (monotone idf
+    transform), and scores decrease down the ranking."""
+    from dqe_spark.sources import text_index as TI
+
+    TI.build_text_index(spark, SF_SMOKE, force=True)
+    df = TI.bm25_search(spark, SF_SMOKE, ["dup", "vector"], k=5)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+    plan = je.explainString(mode("formatted"))
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "tb" in ln]
+    assert pf, plan
+
+    rows = df.collect()
+    assert rows and all(
+        rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1)
+    )
+    a = [r.doc_id for r in TI.bm25_search(spark, SF_SMOKE, ["dup"], k=8).collect()]
+    b = [
+        r.doc_id
+        for r in TI.bm25_search(spark, SF_SMOKE, ["dup"], k=8, idf="log").collect()
+    ]
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TI.bm25_search(spark, SF_SMOKE, [])
+    with _pytest.raises(ValueError):
+        TI.bm25_search(spark, SF_SMOKE, ["dup"], idf="bogus")
