@@ -74,6 +74,8 @@ EXT_HEADLINE = [
     "emb_label_centroids",
     # star-schema join rollup (broadcast dims + pushed date predicate)
     "q5_revenue_by_nation",
+    # ranked retrieval from the inverted index (bucket-pruned BM25)
+    "text_bm25_topk",
 ]
 
 
