@@ -76,6 +76,8 @@ EXT_HEADLINE = [
     "q5_revenue_by_nation",
     # ranked retrieval from the inverted index (bucket-pruned BM25)
     "text_bm25_topk",
+    # wide-aggregate scan (map-side combine to |groups| rows per task)
+    "q1_pricing_summary",
 ]
 
 

@@ -1984,3 +1984,32 @@ def text_bm25_topk(spark, sf_dir):
     from dqe_spark.sources.text_index import bm25_search
 
     return bm25_search(spark, sf_dir, ["dup", "hash", "join"], k=20)
+
+
+@q(
+    "text_phrase_search",
+    r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len([i for i in range(1, len(tks))
+                   if tks[i] = 'hash' AND tks[i+1] = 'join']) AS BIGINT)
+           AS n_matches
+  FROM tk
+)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+)
+def text_phrase_search(spark, sf_dir):
+    """Documents containing the exact phrase "hash join" with match
+    counts, answered from the POSITIONAL index (bucket-pruned postings
+    + stored occurrence positions; document text never re-read) — the
+    oracle replays the definition as a full-scan adjacency count
+    (sources/text_index.phrase_search)."""
+    from dqe_spark.sources.text_index import phrase_search
+
+    return phrase_search(spark, sf_dir, "hash join")

@@ -1034,3 +1034,75 @@ def q9_margin_by_brand(spark, sf_dir):
             (F.sum(margin4).cast("double") / 10000.0).alias("margin"),
         )
     )
+
+
+# Q1-shaped pricing summary: the canonical wide-aggregate scan (eight
+# aggregates per group over a pushed ship-date predicate, two tiny
+# groups). At 100 TB this is THE map-side-combine showcase: partial
+# aggregation collapses every task to |groups| rows before one
+# |groups|-row exchange. Money/quantity columns carry 2 decimals:
+# sums accumulate as exact integers in 1e-2/1e-4/1e-6 units; the
+# averages use the sign-free integer-domain 4dp rounding (all values
+# positive), so every output hashes bit-identical to the oracle.
+@q(
+    "q1_pricing_summary",
+    """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep100,
+         CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         CAST(round(l_tax * 100) AS BIGINT) AS t100
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(q100) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sum(ep100) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(ep100 AS HUGEINT) * (100 - d100)) AS DOUBLE) / 10000.0
+         AS sum_disc_price,
+       CAST(sum(CAST(ep100 AS HUGEINT) * (100 - d100) * (100 + t100))
+            AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST((2 * sum(CAST(q100 AS HUGEINT) * 100) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_qty,
+       CAST((2 * sum(CAST(ep100 AS HUGEINT) * 100) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_price,
+       CAST((2 * sum(CAST(d100 AS HUGEINT) * 100) + count(*))
+            // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_disc,
+       count(*) AS n_rows
+FROM li GROUP BY 1, 2
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp")
+    )
+    q100 = "CAST(round(l_quantity * 100) AS BIGINT)"
+    ep100 = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    d100 = "CAST(round(l_discount * 100) AS BIGINT)"
+    t100 = "CAST(round(l_tax * 100) AS BIGINT)"
+    dec = "DECIMAL(38,0)"
+
+    def s(expr: str) -> F.Column:
+        return F.expr(f"sum(CAST({expr} AS {dec}))")
+
+    def avg4(expr: str) -> F.Column:
+        return F.expr(
+            f"CAST((2 * sum(CAST({expr} AS {dec}) * 100) + count(*)) "
+            f"div (2 * count(*)) AS DOUBLE) / 10000.0"
+        )
+
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (s(q100).cast("double") / 100.0).alias("sum_qty"),
+        (s(ep100).cast("double") / 100.0).alias("sum_base_price"),
+        (s(f"{ep100} * (100 - {d100})").cast("double") / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            s(f"{ep100} * (100 - {d100}) * (100 + {t100})").cast("double")
+            / 1000000.0
+        ).alias("sum_charge"),
+        avg4(q100).alias("avg_qty"),
+        avg4(ep100).alias("avg_price"),
+        avg4(d100).alias("avg_disc"),
+        F.count("*").alias("n_rows"),
+    )

@@ -6,16 +6,22 @@ operation in training-data curation; scanning 100 TB of text per query
 is not. The index is the classic inverted list, laid out for Spark
 partition pruning:
 
-    _store/<sf>/text_index/tb=<b>/part-*.parquet   (token, doc_id)
+    _store/<sf>/text_index/tb=<b>/part-*.parquet
+        (token, doc_id, tf, positions)
+    _store/<sf>/text_index/_docstats/   (doc_id, dl)
 
   * ``tb`` = crc32(token) mod N_BUCKETS — a term lookup computes the
     same bucket driver-side, so the scan opens 1/N of the files
     (PartitionFilters; plan-asserted in tests/test_text_index.py).
   * files are token-sorted, so the token equality predicate becomes
     row-group min/max skipping within the bucket.
-  * postings are doc-distinct (array_distinct before explode): index
-    size is bounded by Σ distinct tokens per doc, not token
-    occurrences.
+  * one posting row per (doc, distinct token) carrying the term
+    frequency and the 0-based occurrence positions — the standard
+    positional index (row count is Σ distinct tokens per doc; stored
+    ints are Σ occurrences, the price of phrase queries), serving
+    boolean search (keyword_search), BM25 ranking (bm25_search), and
+    exact phrase matching (phrase_search) without ever re-reading
+    document text.
 
 Tokenization is the engine's standard word rule (lowercase,
 ``[^a-z0-9]+`` delimiters) — identical in the DuckDB oracle
@@ -70,9 +76,11 @@ def _tokens_col() -> Column:
 
 
 def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
-    # postings carry the term frequency (tf): still map-only — the
-    # per-token count is a filter() over the doc's own token array
-    # (O(len²) per doc, trivially small), no groupBy in the build
+    # postings carry the term frequency (tf) and the 0-based token
+    # positions (the standard positional inverted index — size is
+    # Σ token OCCURRENCES, the classic cost of phrase support). Still
+    # map-only: both derive from the doc's own token array (O(len²)
+    # per doc, trivially small), no groupBy in the build.
     return (
         docs.select("doc_id", _tokens_col().alias("__tk"))
         .select(
@@ -83,7 +91,12 @@ def _postings(docs: DataFrame, n_buckets: int) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            F.expr("size(filter(__tk, x -> x = token))").alias("tf"),
+            F.expr(
+                "filter(sequence(0, size(__tk) - 1), i -> __tk[i] = token)"
+            ).alias("positions"),
+        )
+        .select(
+            "doc_id", "token", F.size("positions").alias("tf"), "positions"
         )
         .withColumn(
             "tb", F.pmod(F.crc32(F.col("token")), F.lit(n_buckets)).cast("int")
@@ -107,10 +120,11 @@ def build_text_index(
     ingests); default is the sf_dir's documents table."""
     out = _index_dir(sf_dir)
     if not force and index_path(sf_dir) is not None:
-        # layout upgrade: a pre-tf index (or one without doc stats)
-        # rebuilds once from the corpus instead of silently serving the
-        # old schema
-        if "tf" in spark.read.parquet(str(out)).columns and (
+        # layout upgrade: a pre-tf/pre-positions index (or one without
+        # doc stats) rebuilds once from the corpus instead of silently
+        # serving the old schema
+        cols = set(spark.read.parquet(str(out)).columns)
+        if {"tf", "positions"} <= cols and (
             out / "_docstats" / "_SUCCESS"
         ).exists():
             return out
@@ -174,7 +188,7 @@ def merge_index_increment(
         F.broadcast(touched), "tb", "left_semi"
     )
     merged = (
-        existing.select("doc_id", "token", "tf", "tb")
+        existing.select("doc_id", "token", "tf", "positions", "tb")
         .unionByName(inc)
         .distinct()
         .localCheckpoint(eager=True)
@@ -379,4 +393,56 @@ def bm25_search(
         per_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", "score")
+    )
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: str
+) -> DataFrame:
+    """Exact phrase matching from the positional index: documents
+    where the phrase's tokens occur CONSECUTIVELY, with the match
+    count. Never re-reads document text — candidates come from the
+    pruned posting buckets (same PartitionFilters as keyword_search)
+    and adjacency is verified on the stored position lists: a match is
+    a position p of the first token with p+i in the i-th token's list
+    for every following token.
+
+    Scale shape: K pruned bucket scans, one groupBy(doc_id) over the
+    union of K posting lists (positions pivot into a token→positions
+    map per candidate doc), then a JVM filter/exists fold per doc.
+    Cost scales with posting-list length, never corpus size."""
+    toks = [x for x in re.split(TOKEN_DELIM, phrase.lower()) if x]
+    if len(toks) < 2:
+        raise ValueError(
+            f"phrase {phrase!r} needs at least two indexable tokens; "
+            "use keyword_search for single terms"
+        )
+    uniq = sorted(set(toks))
+    build_text_index(spark, sf_dir)
+    p = _index_dir(sf_dir)
+    n = _n_buckets(p)
+    idx = spark.read.parquet(str(p))
+    pred = None
+    for t in uniq:
+        c = (F.col("tb") == _bucket_of(t, n)) & (F.col("token") == t)
+        pred = c if pred is None else (pred | c)
+    per_doc = (
+        idx.where(pred)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("token"), F.collect_list("positions")
+            ).alias("pm"),
+            F.count_distinct("token").alias("k"),
+        )
+        .where(F.col("k") == len(uniq))
+    )
+    chain = " AND ".join(
+        f"array_contains(pm['{t}'], p + {i})"
+        for i, t in enumerate(toks[1:], start=1)
+    )
+    n_matches = F.expr(f"size(filter(pm['{toks[0]}'], p -> {chain}))")
+    return (
+        per_doc.select("doc_id", n_matches.cast("long").alias("n_matches"))
+        .where(F.col("n_matches") > 0)
     )

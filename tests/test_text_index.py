@@ -154,3 +154,72 @@ def test_bm25_plan_prunes_buckets_and_variants(spark):
         TI.bm25_search(spark, SF_SMOKE, [])
     with _pytest.raises(ValueError):
         TI.bm25_search(spark, SF_SMOKE, ["dup"], idf="bogus")
+
+
+def test_old_layout_index_upgrades_once(spark):
+    """A pre-tf index (no tf column, no _docstats) rebuilds from the
+    corpus on next use; an INCREMENT against it fails loudly instead of
+    rebuilding from the new docs alone (which would drop history)."""
+    import shutil
+
+    import pytest
+
+    from dqe_spark.sources import text_index as TI
+
+    TI.build_text_index(spark, SF_SMOKE, force=True)
+    p = TI._index_dir(SF_SMOKE)
+    # forge the old layout: strip tf from the postings, drop _docstats
+    old = spark.read.parquet(str(p)).select("doc_id", "token", "tb").collect()
+    old_df = spark.createDataFrame(old, "doc_id long, token string, tb int")
+    shutil.rmtree(p)
+    (
+        old_df.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(str(p))
+    )
+    (p / "_BUCKETS").write_text(str(TI.N_BUCKETS_DEFAULT))
+    assert "tf" not in spark.read.parquet(str(p)).columns
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(RuntimeError, match="predates the tf layout"):
+        TI.merge_index_increment(spark, SF_SMOKE, docs.limit(5))
+
+    # corpus-sourced build upgrades in place
+    TI.build_text_index(spark, SF_SMOKE)
+    assert "tf" in spark.read.parquet(str(p)).columns
+    assert (p / "_docstats" / "_SUCCESS").exists()
+    assert TI.bm25_search(spark, SF_SMOKE, ["dup"], k=3).count() > 0
+
+
+def test_phrase_search_positions(spark):
+    """Positional adjacency on crafted docs: matches counted, word
+    order honored, repeated-word phrases handled, single-token phrases
+    rejected."""
+    from dqe_spark.sources import text_index as TI
+
+    rows = [
+        (1, "fast hash join beats slow hash join here"),
+        (2, "join hash is not hash-join reversed"),  # 'hash-join' IS adjacent
+        (3, "hash only"),
+        (4, "echo echo echo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    TI.build_text_index(spark, SF_SMOKE, force=True, docs=docs)
+    try:
+        got = {
+            r.doc_id: r.n_matches
+            for r in TI.phrase_search(spark, SF_SMOKE, "hash join").collect()
+        }
+        assert got == {1: 2, 2: 1}
+        rep = {
+            r.doc_id: r.n_matches
+            for r in TI.phrase_search(spark, SF_SMOKE, "echo echo").collect()
+        }
+        assert rep == {4: 2}
+        import pytest
+
+        with pytest.raises(ValueError, match="at least two"):
+            TI.phrase_search(spark, SF_SMOKE, "hash")
+    finally:
+        TI.build_text_index(spark, SF_SMOKE, force=True)  # restore corpus index
