@@ -152,3 +152,64 @@ def centroid_cosine_pairs(
         "label_b",
         F.when((F.col("na") > 0) & (F.col("nb") > 0), cos4).alias("cos4"),
     ).orderBy("label_a", "label_b")
+
+
+def centroid_confusion(
+    emb: DataFrame, label: str = "label", v: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid confusion matrix: assign every vector to its
+    closest label centroid (squared L2, exact integer domain) and
+    count (label, pred_label) cells — the "are my clusters actually
+    separable" diagnostic. A heavy off-diagonal cell means vectors of
+    one label sit closer to another label's mean.
+
+    Scale shape: the exact c6 centroids (|labels|·dim ints) are
+    collected once and inlined as literal arrays — the same
+    C×dims-scalar driver fetch the IVF k-means path uses
+    (similarity.py) — so the assignment pass is MAP-ONLY: one
+    zip_with/aggregate fold per (row, label) in JVM codegen, no join,
+    no explode; the only shuffle is the final |labels|²-cell groupBy
+    with map-side partials. Ties go to the smallest label
+    (array_position finds the FIRST minimum).
+
+    Exactness: e6/c6 are exact BIGINTs, dist² sums of their squared
+    differences — identical integers on both engines, so the
+    confusion counts are hash-exact against a relational oracle."""
+    e = emb.select(
+        F.col(label).alias("label"), F.posexplode(v).alias("pos", "__e")
+    ).select("label", "pos", F.expr(_E6).cast(_DEC).alias("e6"))
+    g = e.groupBy("label", "pos").agg(
+        F.sum("e6").alias("s6"), F.count(F.lit(1)).alias("n")
+    )
+    cent = (
+        g.select("label", "pos", F.expr(_div_round("s6", "n")).alias("c6"))
+        .orderBy("label", "pos")
+        .collect()
+    )
+    by_label: dict[int, list[int]] = {}
+    for r in cent:
+        by_label.setdefault(r["label"], []).append(int(r["c6"]))
+    labels = sorted(by_label)
+    e6arr = (
+        f"transform({v}, __x -> "
+        "CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    dists = ", ".join(
+        "aggregate(zip_with(__e6, "
+        f"array({', '.join(f'{c}L' for c in by_label[lb])}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, d) -> acc + d)"
+        for lb in labels
+    )
+    lbl_arr = ", ".join(str(lb) for lb in labels)
+    pred = (
+        f"element_at(array({lbl_arr}), "
+        f"CAST(array_position(__d, array_min(__d)) AS INT))"
+    )
+    return (
+        emb.select(F.col(label).alias("label"), F.expr(e6arr).alias("__e6"))
+        .select("label", F.expr(f"array({dists})").alias("__d"))
+        .select("label", F.expr(pred).alias("pred_label"))
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred_label")
+    )

@@ -2013,3 +2013,46 @@ def text_phrase_search(spark, sf_dir):
     from dqe_spark.sources.text_index import phrase_search
 
     return phrase_search(spark, sf_dir, "hash join")
+
+
+@q(
+    "emb_centroid_confusion",
+    """
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e6
+  FROM embeddings
+), g AS (
+  SELECT label, pos, CAST(sum(e6) AS HUGEINT) AS s6, count(*) AS n
+  FROM e GROUP BY 1, 2
+), c AS (
+  SELECT label AS clabel, pos,
+         CAST((CASE WHEN s6 >= 0 THEN (2 * s6 + n) // (2 * n)
+               ELSE -((2 * -s6 + n) // (2 * n)) END) AS BIGINT) AS c6
+  FROM g
+), d AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         sum((e.e6 - c.c6) * (e.e6 - c.c6)) AS dist2
+  FROM e JOIN c ON e.pos = c.pos
+  GROUP BY 1, 2, 3
+), a AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, clabel ASC) AS rn
+  FROM d
+)
+SELECT label, clabel AS pred_label, count(*) AS n
+FROM a WHERE rn = 1 GROUP BY 1, 2
+""",
+)
+def emb_centroid_confusion(spark, sf_dir):
+    """Nearest-centroid confusion matrix over the embeddings table —
+    map-only assignment against inlined exact centroids, one
+    |labels|²-cell groupBy; the oracle replays assignment relationally
+    (operators/embeddings.centroid_confusion)."""
+    from dqe_spark.operators import embeddings
+
+    return embeddings.centroid_confusion(
+        load_table(spark, sf_dir, "embeddings")
+    )

@@ -311,3 +311,34 @@ def stream_distinct_partials(
             "sketch",
         )
     )
+
+
+def stream_index_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    sf_dir: str,
+    checkpoint: str,
+    schema: str = DOCS_SCHEMA,
+):
+    """Continuous positional-index maintenance: each micro-batch of
+    newly landed documents folds into the inverted index via the SAME
+    merge_index_increment the batch backfill uses, so streamed and
+    backfilled postings are indistinguishable (drained == one-shot
+    rebuild; tests/test_streaming.py). foreachBatch because the sink
+    is a partitioned-store merge (touched buckets rewrite via dynamic
+    partition overwrite), not an append — and the increment is
+    idempotent on re-landed docs (the distinct absorbs them), which is
+    exactly the at-least-once delivery foreachBatch provides. Returns
+    the unstarted writeStream (caller picks the trigger)."""
+    from dqe_spark.sources.text_index import merge_index_increment
+
+    docs = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _merge(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            merge_index_increment(batch_df.sparkSession, sf_dir, batch_df)
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )

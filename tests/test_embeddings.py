@@ -44,3 +44,23 @@ def test_centroid_cosine_pairs(spark):
     # cos((0.5,0.5),(2,0)) = 1 / (sqrt(0.5)*2) = 0.7071...
     expect = round(1.0 / (math.sqrt(0.5) * 2.0), 4)
     assert abs(r.cos4 - expect) < 1e-9
+
+
+def test_centroid_confusion(spark):
+    """Toy assignment: centroids (0.5,0.5) and (2,0); vector (1.9,0.1)
+    labeled 0 lands in label 1's cell; ties go to the smaller label."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (0, [0.0, 1.0]),
+        (0, [1.9, 0.1]),
+        (1, [2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        (r.label, r.pred_label): r.n
+        for r in E.centroid_confusion(df).collect()
+    }
+    # centroids: label0 mean = (0.9666667, 0.3666667), label1 = (2, 0)
+    # (1,0): d0 = .1356, d1 = 1.0 -> 0 ; (0,1): d0 = 1.336, d1 = 5 -> 0
+    # (1.9,.1): d0 = .942, d1 = .02 -> 1 ; (2,0): -> 1
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 1}

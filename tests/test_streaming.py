@@ -383,3 +383,47 @@ def test_stream_tagged_and_hist_partials_match_batch(spark):
             assert all(k[wts_i] >= horizon for k in missing), name
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_index_documents_matches_rebuild(spark):
+    """Index built from half the corpus + the other half STREAMED in
+    (foreachBatch merge) equals the one-shot full rebuild, posting for
+    posting including tf and positions; doc stats follow."""
+    from dqe_spark.sources import text_index as TI
+    from dqe_spark.streaming.ingest import stream_index_documents
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    p = TI._index_dir(SF_SMOKE)
+
+    def snapshot():
+        return sorted(
+            (r["doc_id"], r["token"], r["tf"], tuple(r["positions"]))
+            for r in spark.read.parquet(str(p)).collect()
+        )
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamidx_"))
+    landing, ckpt = tmp / "landing", tmp / "ckpt"
+    landing.mkdir()
+    try:
+        TI.build_text_index(spark, SF_SMOKE, force=True)
+        want = snapshot()
+
+        TI.build_text_index(
+            spark, SF_SMOKE, force=True, docs=docs.where(F.col("doc_id") < cut)
+        )
+        docs.where(F.col("doc_id") >= cut).write.mode("overwrite").parquet(
+            str(landing)
+        )
+        q = (
+            stream_index_documents(spark, str(landing), SF_SMOKE, str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert snapshot() == want
+        ds = spark.read.parquet(str(p / "_docstats"))
+        assert ds.count() == docs.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        TI.build_text_index(spark, SF_SMOKE, force=True)  # restore
