@@ -213,3 +213,59 @@ def centroid_confusion(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "pred_label")
     )
+
+
+def covariance_matrix(
+    emb: DataFrame, v: str = "embedding", scale: int = 8
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the input PCA/whitening/ZCA needs, computed engine-side so the
+    driver only ever sees dim·(dim+1)/2 cells.
+
+    cov(i,j) = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / n², reported at 10^-scale
+    precision via the shared sign-aware integer rounding — every
+    sufficient statistic is an exact integer (e6 quantization), so the
+    cells hash bit-identical to the relational oracle.
+
+    Scale shape: one narrow per-row pair expansion (dim·(dim+1)/2
+    structs from the row's own array — no self-join of the exploded
+    table, which would shuffle n·dim rows) collapsed by map-side
+    partials to the |cells| grain; marginals are a dim-row broadcast.
+    """
+    e6arr = (
+        f"transform({v}, __x -> "
+        "CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pairs = (
+        "flatten(transform(sequence(0, size(__e6) - 1), i -> "
+        "transform(sequence(i, size(__e6) - 1), j -> "
+        "named_struct('i', i, 'j', j, "
+        "'xy', CAST(__e6[i] AS DECIMAL(38,0)) * __e6[j]))))"
+    )
+    p = (
+        emb.select(F.expr(e6arr).alias("__e6"))
+        .select(F.explode(F.expr(pairs)).alias("p"))
+        .groupBy(F.col("p.i").alias("pos_i"), F.col("p.j").alias("pos_j"))
+        .agg(F.sum("p.xy").alias("sxy"), F.count(F.lit(1)).alias("n"))
+    )
+    m = (
+        emb.select(F.posexplode(v).alias("pos", "__e"))
+        .select("pos", F.expr(_E6).cast(_DEC).alias("e6"))
+        .groupBy("pos")
+        .agg(F.sum("e6").alias("s6"))
+    )
+    mi = m.select(F.col("pos").alias("pos_i"), F.col("s6").alias("si"))
+    mj = m.select(F.col("pos").alias("pos_j"), F.col("s6").alias("sj"))
+    num = "CAST(n AS DECIMAL(38,0)) * sxy - CAST(si AS DECIMAL(38,0)) * sj"
+    den = f"CAST(n AS DECIMAL(38,0)) * n * CAST(pow(10, {12 - scale}) AS BIGINT)"
+    c = _div_round(num, den)
+    return (
+        p.join(F.broadcast(mi), "pos_i")
+        .join(F.broadcast(mj), "pos_j")
+        .select(
+            "pos_i",
+            "pos_j",
+            (F.expr(c).cast("double") / float(10**scale)).alias("cov"),
+        )
+        .orderBy("pos_i", "pos_j")
+    )

@@ -2056,3 +2056,42 @@ def emb_centroid_confusion(spark, sf_dir):
     return embeddings.centroid_confusion(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+@q(
+    "emb_covariance",
+    """
+WITH e AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS e6
+  FROM embeddings
+), p AS (
+  SELECT a.pos AS pos_i, b.pos AS pos_j,
+         CAST(sum(CAST(a.e6 AS HUGEINT) * b.e6) AS HUGEINT) AS sxy,
+         count(*) AS n
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+  GROUP BY 1, 2
+), m AS (
+  SELECT pos, CAST(sum(e6) AS HUGEINT) AS s6 FROM e GROUP BY 1
+)
+SELECT pos_i, pos_j,
+       CAST((CASE WHEN (n * sxy - mi.s6 * mj.s6) >= 0
+             THEN (2 * (n * sxy - mi.s6 * mj.s6) + n * n * 10000)
+                  // (2 * n * n * 10000)
+             ELSE -((2 * -(n * sxy - mi.s6 * mj.s6) + n * n * 10000)
+                  // (2 * n * n * 10000)) END) AS DOUBLE) / 100000000.0 AS cov
+FROM p
+JOIN m mi ON mi.pos = p.pos_i
+JOIN m mj ON mj.pos = p.pos_j
+""",
+)
+def emb_covariance(spark, sf_dir):
+    """Upper-triangle covariance of the embedding dimensions (the
+    PCA/whitening input) at 1e-8 precision — per-row pair expansion
+    with map-side partials, never a self-join of the exploded table;
+    the oracle replays relationally
+    (operators/embeddings.covariance_matrix)."""
+    from dqe_spark.operators import embeddings
+
+    return embeddings.covariance_matrix(load_table(spark, sf_dir, "embeddings"))

@@ -119,3 +119,49 @@ def read_points_orc(spark: SparkSession, path: str) -> DataFrame:
             F.col("tags"), F.lit(None).cast("map<string,string>")
         ).alias("tags"),
     )
+
+
+# media-file landing: Spark's built-in binaryFile source maps raw
+# image/audio/video files straight into the multimodal binary-column
+# convention (operators/multimodal.py) — no Python in the read path
+MEDIA_EXT_TYPES = {
+    "png": "image/png", "bmp": "image/bmp", "jpg": "image/jpeg",
+    "jpeg": "image/jpeg", "gif": "image/gif", "wav": "audio/wav",
+    "mp3": "audio/mpeg", "mp4": "video/mp4", "webm": "video/webm",
+}
+
+
+def read_media_files(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> DataFrame:
+    """Ingest raw media files via the built-in ``binaryFile`` source
+    into the multimodal convention: (id, content binary, media_type,
+    src_path, length, modified_ms). The id is the content's md5 (the
+    engine-wide content-addressing rule), media_type derives from the
+    file extension with application/octet-stream as the honest
+    fallback.
+
+    Scale shape: binaryFile is a real FileFormat — distributed
+    file listing, per-file tasks, PathGlobFilter pushdown; the
+    decode/feature pass downstream stays Arrow-batched
+    (multimodal.decode_media_features). Files > 2 GiB are the
+    format's documented limit; shard or chunk upstream."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(
+        F.element_at(F.split(F.col("path"), r"\."), -1)
+    )
+    mt = F.lit(None).cast("string")
+    for e, t in sorted(MEDIA_EXT_TYPES.items()):
+        mt = F.when(ext == e, F.lit(t)).otherwise(mt)
+    return df.select(
+        F.md5(F.col("content")).alias("id"),
+        F.col("content"),
+        F.coalesce(mt, F.lit("application/octet-stream")).alias("media_type"),
+        F.col("path").alias("src_path"),
+        F.col("length"),
+        F.unix_millis(F.col("modificationTime")).alias("modified_ms"),
+    )

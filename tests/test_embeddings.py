@@ -64,3 +64,16 @@ def test_centroid_confusion(spark):
     # (1,0): d0 = .1356, d1 = 1.0 -> 0 ; (0,1): d0 = 1.336, d1 = 5 -> 0
     # (1.9,.1): d0 = .942, d1 = .02 -> 1 ; (2,0): -> 1
     assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 1}
+
+
+def test_covariance_matrix(spark):
+    """Toy covariance: two samples (1,0) and (0,1) give var .25 per
+    dim and cross-covariance -.25."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0])], "label int, embedding array<float>"
+    )
+    got = {
+        (r.pos_i, r.pos_j): r.cov
+        for r in E.covariance_matrix(df).collect()
+    }
+    assert got == {(0, 0): 0.25, (0, 1): -0.25, (1, 1): 0.25}

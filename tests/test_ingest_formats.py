@@ -79,3 +79,55 @@ def test_orc_roundtrip_matches_parquet_semantics(spark, tmp_path):
         "struct<bucket:string,metric:string,ts_ms:bigint,value:double,"
         "confidence:double,tags:map<string,string>>"
     )
+
+
+def test_read_media_files_binary_source(spark, tmp_path):
+    """binaryFile landing: real WAV/PNG bytes (media_codec test
+    vectors) land as the multimodal convention and decode end-to-end;
+    unknown extensions fall back to octet-stream; the glob filter
+    prunes; ids are content-addressed (md5) so a re-landed duplicate
+    file maps to the same id."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.media_codec import encode_png, encode_wav
+    from dqe_spark.operators.multimodal import decode_media_features
+    from dqe_spark.sources.ingest_formats import read_media_files
+
+    land = tmp_path / "media"
+    land.mkdir()
+    png = encode_png(np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3))
+    wav = encode_wav(
+        np.linspace(-3000, 3000, 64).astype(np.int16), sample_rate=8000
+    )
+    (land / "a.png").write_bytes(png)
+    (land / "b.wav").write_bytes(wav)
+    (land / "copy_of_a.png").write_bytes(png)
+    (land / "notes.xyz").write_bytes(b"opaque")
+
+    df = read_media_files(spark, str(land))
+    rows = {r.src_path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["a.png"].media_type == "image/png"
+    assert rows["b.wav"].media_type == "audio/wav"
+    assert rows["notes.xyz"].media_type == "application/octet-stream"
+    assert rows["a.png"].id == rows["copy_of_a.png"].id  # content-addressed
+    assert rows["a.png"].length == len(png)
+
+    dec = {
+        r.doc_id: r
+        for r in decode_media_features(
+            df.where(F.col("media_type") != "application/octet-stream")
+            .select(
+                F.crc32(F.col("id")).alias("doc_id"), "content", "media_type"
+            )
+        ).collect()
+    }
+    d = dec[
+        spark.range(1)
+        .select(F.crc32(F.lit(rows["a.png"].id)))
+        .first()[0]
+    ]
+    assert (d.width, d.height) == (4, 3) and d.error is None
+
+    only_png = read_media_files(spark, str(land), glob="*.png")
+    assert only_png.count() == 2
