@@ -269,3 +269,76 @@ def covariance_matrix(
         )
         .orderBy("pos_i", "pos_j")
     )
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 8,
+    v: str = "embedding",
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components — the
+    dimensionality-reduction step ahead of ANN indexing / clustering.
+
+    The covariance matrix is computed engine-side (covariance_matrix:
+    exact integers, dim·(dim+1)/2 cells) and eigen-decomposed on the
+    DRIVER — a dim×dim symmetric eigh is microseconds and is the one
+    step that is legitimately driver-sized, like the k-means centroid
+    fetch (similarity.py). The k component vectors and the column
+    means then inline as literals, so the projection pass is MAP-ONLY:
+    one zip_with/aggregate dot product per (row, component) in JVM
+    codegen — no shuffle at any corpus size.
+
+    Component sign is fixed deterministically (largest-|coordinate|
+    entry made positive) so reruns and restarts project identically.
+    Iterative/linalg semantics are not SQL-expressible — correctness
+    is pinned against numpy in tests/test_embeddings.py instead of a
+    DuckDB oracle.
+    """
+    import numpy as np
+
+    cells = covariance_matrix(emb, v, scale=12).collect()
+    dim = max(r["pos_j"] for r in cells) + 1
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be 1..{dim}, got {k}")
+    C = np.zeros((dim, dim))
+    for r in cells:
+        C[r["pos_i"], r["pos_j"]] = C[r["pos_j"], r["pos_i"]] = r["cov"]
+    w, V = np.linalg.eigh(C)  # ascending eigenvalues
+    comps = []
+    for c in range(1, k + 1):
+        vec = V[:, -c]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        comps.append(vec)
+    m = (
+        emb.select(F.posexplode(v).alias("pos", "__e"))
+        .select("pos", F.expr(_E6).cast(_DEC).alias("e6"))
+        .groupBy("pos")
+        .agg(F.sum("e6").alias("s6"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mean = {r["pos"]: float(r["s6"]) / (1e6 * r["n"]) for r in m}
+    mean_lit = "array({})".format(
+        ", ".join(f"{mean[i]!r}D" for i in range(dim))
+    )
+    projs = [
+        (
+            "aggregate(zip_with(__c, array({comps}), (x, c) -> x * c), "
+            "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+        ).format(comps=", ".join(f"{float(x)!r}D" for x in comp))
+        for comp in comps
+    ]
+    centered = (
+        f"zip_with({v}, {mean_lit}, (x, mu) -> CAST(x AS DOUBLE) - mu)"
+    )
+    cols = [F.col(id_col)] + [F.col(c) for c in keep if c in emb.columns]
+    return (
+        emb.select(*cols, F.expr(centered).alias("__c"))
+        .select(
+            *[c if isinstance(c, str) else c for c in
+              [id_col] + [c for c in keep if c in emb.columns]],
+            F.array(*[F.expr(p) for p in projs]).alias("proj"),
+        )
+    )

@@ -2095,3 +2095,16 @@ def emb_covariance(spark, sf_dir):
     from dqe_spark.operators import embeddings
 
     return embeddings.covariance_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+# rows-only: eigen-decomposition is not SQL-expressible; correctness
+# is pinned against numpy (tests/test_embeddings.py::test_pca_project*)
+@q("emb_pca_project")
+def emb_pca_project(spark, sf_dir):
+    """Top-8 PCA projection of the embeddings table — exact integer
+    covariance, driver-side dim×dim eigh (the one legitimately
+    driver-sized step), map-only literal-component projection
+    (operators/embeddings.pca_project)."""
+    from dqe_spark.operators import embeddings
+
+    return embeddings.pca_project(load_table(spark, sf_dir, "embeddings"), k=8)

@@ -77,3 +77,39 @@ def test_covariance_matrix(spark):
         for r in E.covariance_matrix(df).collect()
     }
     assert got == {(0, 0): 0.25, (0, 1): -0.25, (1, 1): 0.25}
+
+
+def test_pca_project_matches_numpy(spark):
+    """Engine PCA == numpy PCA on the same rows: projections agree to
+    float tolerance component-wise (deterministic sign rule), and
+    projected variance is ordered by component."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 6)).astype(np.float32)
+    base[:, 0] *= 5.0  # dominant direction
+    base[:, 1] *= 2.0
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    out = {r.vec_id: list(r.proj) for r in E.pca_project(df, k=3).collect()}
+
+    # numpy reference on the e6-quantized values (the engine's exact
+    # covariance input), same sign rule
+    X = np.round(base.astype(np.float64) * 1e6) / 1e6
+    Xc = X - X.mean(axis=0)
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    P = []
+    for c in range(1, 4):
+        vec = V[:, -c]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        P.append(vec)
+    # engine centers by exact e6 means and projects RAW (uncentered-
+    # quantization) doubles; agree within covariance rounding tolerance
+    want = (X - X.mean(axis=0)) @ np.array(P).T
+    got = np.array([out[i] for i in range(200)])
+    assert np.allclose(got, want, atol=1e-3)
+    var = got.var(axis=0)
+    assert var[0] >= var[1] >= var[2]
