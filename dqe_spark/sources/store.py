@@ -411,3 +411,86 @@ def load_events_store(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         "payload",
         F.col("dt").cast("string"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic bucketed relations: co-located joins for the warehouse tables
+# ---------------------------------------------------------------------------
+
+
+def _rel_dir(sf_dir: str, name: str) -> Path:
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / "rel_bucketed" / name
+
+
+def _rel_table(sf_dir: str, name: str) -> str:
+    sf = Path(sf_dir.rstrip("/")).name.replace(".", "_")
+    return f"dqe_rel_{sf}_{name}"
+
+
+def ingest_bucketed_relation(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    buckets: int = DEFAULT_BUCKETS,
+    force: bool = False,
+) -> str:
+    """Bucket a warehouse table by its join key (sorted within
+    buckets) — the layout for REPEATED fact-fact joins: two relations
+    bucketed into the same count on their join keys sort-merge-join
+    with ZERO exchange and zero sort (plan-asserted in
+    tests/test_store.py). At 100 TB this converts every
+    lineitem⋈orders from a full dual shuffle into a per-bucket local
+    merge; the one-time bucketing write is the same murmur3-pmod
+    repartition the metric store uses (one file per bucket, no
+    small-file explosion)."""
+    out = _rel_dir(sf_dir, name)
+    table = _rel_table(sf_dir, name)
+    if not force and (out / "_SUCCESS").exists():
+        _register_relation(spark, sf_dir, name)
+        return table
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    if out.exists():
+        shutil.rmtree(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    (
+        df.repartition(buckets, key)
+        .write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", str(out))
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    (out / "_BUCKETS").write_text(str(buckets))
+    (out / "_DDL").write_text(f"{ddl}\n{key}")
+    return table
+
+
+def _register_relation(spark: SparkSession, sf_dir: str, name: str) -> None:
+    table = _rel_table(sf_dir, name)
+    if spark.catalog.tableExists(table):
+        return
+    out = _rel_dir(sf_dir, name)
+    ddl, key = (out / "_DDL").read_text().split("\n")
+    spark.sql(
+        f"CREATE TABLE `{table}` ({ddl}) USING parquet "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+        f"INTO {_n_buckets(out)} BUCKETS LOCATION '{out}'"
+    )
+
+
+def load_bucketed_relation(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame | None:
+    """The bucketed relation as a DataFrame (catalog re-registered
+    from the stored DDL if needed); None when never built."""
+    out = _rel_dir(sf_dir, name)
+    if not (out / "_SUCCESS").exists():
+        return None
+    _register_relation(spark, sf_dir, name)
+    return spark.table(_rel_table(sf_dir, name))

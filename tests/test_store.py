@@ -351,3 +351,48 @@ def test_lifecycle_applies_to_events_store(spark):
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)  # other tests expect view path
+
+
+def test_bucketed_relation_colocated_join(spark):
+    """lineitem and orders bucketed by their join keys sort-merge-join
+    with ZERO Exchange and ZERO Sort (bucket count matches, data
+    sorted within buckets); results equal the plain join; a dropped
+    catalog entry re-registers from the stored DDL."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.sources import store
+    from tests.conftest import SF_SMOKE
+
+    t1 = store.ingest_bucketed_relation(spark, SF_SMOKE, "lineitem", "l_orderkey")
+    t2 = store.ingest_bucketed_relation(spark, SF_SMOKE, "orders", "o_orderkey")
+    li, o = spark.table(t1), spark.table(t2)
+    j = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+
+    def plan_of(df):
+        je = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+        return je.explainString(mode("formatted"))
+
+    plan = plan_of(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "(Sort" not in plan.split("SortMergeJoin")[0], plan
+
+    got = j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+    )
+    raw = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").join(
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, raw.collect()))
+
+    # cross-session persistence: drop the catalog entry, reload from DDL
+    spark.sql(f"DROP TABLE `{t1}`")
+    li2 = store.load_bucketed_relation(spark, SF_SMOKE, "lineitem")
+    j2 = li2.hint("merge").join(o, li2.l_orderkey == o.o_orderkey)
+    assert "Exchange" not in plan_of(j2)
