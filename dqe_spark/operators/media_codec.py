@@ -333,3 +333,60 @@ def decode_media(content: bytes, media_type: str) -> dict:
             + ", ".join(sorted(_DECODERS))
         )
     return fn(bytes(content))
+
+
+# --------------------------------------------------------------------------
+# Resize (pure-numpy; deterministic integer index math)
+
+def resize_pixels(
+    pixels: np.ndarray, width: int, height: int, method: str = "nearest"
+) -> np.ndarray:
+    """Resize an (h, w[, c]) uint8 pixel array.
+
+    * "nearest" — index map ``src = floor(dst · src_len / dst_len)``:
+      pure integer arithmetic, bit-deterministic everywhere.
+    * "area" — box average over the nearest-neighbor source bins
+      (integer bin edges from the same floor map; uint16 accumulation)
+      — the standard anti-aliased downscale, still deterministic.
+    """
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    if width < 1 or height < 1:
+        raise MediaDecodeError(f"bad resize target {width}x{height}")
+    if method == "nearest":
+        ys = (np.arange(height) * h) // height
+        xs = (np.arange(width) * w) // width
+        return pixels[ys][:, xs]
+    if method == "area":
+        ye = np.concatenate([(np.arange(height) * h) // height, [h]])
+        xe = np.concatenate([(np.arange(width) * w) // width, [w]])
+        out = np.empty((height, width, c), dtype=np.uint8)
+        for j in range(height):
+            y0, y1 = int(ye[j]), max(int(ye[j + 1]), int(ye[j]) + 1)
+            band = pixels[y0:y1].astype(np.uint32)
+            for i in range(width):
+                x0, x1 = int(xe[i]), max(int(xe[i + 1]), int(xe[i]) + 1)
+                cell = band[:, x0:x1]
+                n = cell.shape[0] * cell.shape[1]
+                # round-half-up integer mean, per channel
+                out[j, i] = ((cell.sum(axis=(0, 1)) * 2 + n) // (2 * n)).astype(
+                    np.uint8
+                )
+        return out
+    raise MediaDecodeError(f"unknown resize method {method!r}")
+
+
+def resize_image(
+    data: bytes, width: int, height: int, method: str = "nearest"
+) -> bytes:
+    """Decode a PNG/BMP payload, resize, re-encode as PNG (the
+    engine's normalized image format). Raises MediaDecodeError on
+    undecodable/unsupported inputs — honest, like decode_media."""
+    if data[:8] == _PNG_SIG:
+        d = decode_png(data)
+    elif data[:2] == b"BM":
+        d = decode_bmp(data)
+    else:
+        raise MediaDecodeError("resize supports PNG/BMP payloads")
+    return encode_png(resize_pixels(d["pixels"], width, height, method))

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from dqe_spark.operators.partitioning import spread
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -161,4 +162,53 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
                 "frame_idx"
             ),
         )
+    )
+
+
+#: resize output: re-encoded PNG content + final dims; error rows keep
+#: the input id with NULL content (honest partial failure, never a drop)
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, method: str = "nearest"
+) -> DataFrame:
+    """REAL image resize over the binary column (PNG/BMP in,
+    normalized PNG out) — Arrow-batched mapInPandas like the decoders;
+    per-row failures land in ``error`` with NULL content instead of
+    dropping the row or poisoning the batch.
+
+    Scale shape: map-only (no shuffle); ``spread`` widens the few-file
+    test corpora, a no-op at real scale. The nearest/area kernels are
+    pure integer numpy (media_codec.resize_pixels), bit-deterministic
+    across runs and partitionings.
+    """
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    out = mc.resize_image(bytes(content), width, height, method)
+                    rows.append((did, out, "image/png", width, height, None))
+                except mc.MediaDecodeError as e:
+                    rows.append((did, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return spread(df.select("doc_id", "content")).mapInPandas(
+        batches, schema=RESIZED_SCHEMA
     )

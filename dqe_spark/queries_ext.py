@@ -2108,3 +2108,65 @@ def emb_pca_project(spark, sf_dir):
     from dqe_spark.operators import embeddings
 
     return embeddings.pca_project(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+@q(
+    "multimodal_resize",
+    """
+SELECT doc_id,
+       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       avg(CAST((doc_id + 4 * x + 4 * y) % 256 AS DOUBLE)) AS mean_luma
+FROM documents, range(4) tx(x), range(4) ty(y)
+WHERE doc_id % 2 = 1
+GROUP BY doc_id
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """REAL image resize verified against an analytic oracle: each odd
+    doc_id renders an 8x8 gradient PNG (pixel = (doc_id + 2x + 2y) %
+    256), the engine resizes to 4x4 (nearest: source index 2x', 2y'),
+    re-decodes its own output, and reports the mean — which the oracle
+    recomputes in closed form as avg((doc_id + 4x' + 4y') % 256). A
+    hash match pins the exact resize index map, not just the shape
+    (operators/multimodal.resize_images; both means are exact doubles:
+    integer sums over 16/48 samples divide without rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.multimodal import resize_images
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 2 == 1)
+    )
+
+    def synth(it):
+        for pdf in it:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                yy, xx = np.mgrid[0:8, 0:8]
+                px = ((int(doc_id) + 2 * xx + 2 * yy) % 256).astype(np.uint8)
+                content = mc.encode_png(np.repeat(px[:, :, None], 3, axis=2))
+                recs.append((int(doc_id), content))
+            yield pd.DataFrame(recs, columns=["doc_id", "content"])
+
+    bin_df = d.mapInPandas(synth, "doc_id long, content binary")
+    resized = resize_images(bin_df, 4, 4)
+
+    def redecode(it):
+        for pdf in it:
+            recs = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                dd = mc.decode_png(bytes(content))
+                recs.append(
+                    (int(doc_id), dd["width"], dd["height"], dd["mean_luma"])
+                )
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "width", "height", "mean_luma"]
+            )
+
+    return resized.mapInPandas(
+        redecode, "doc_id long, width long, height long, mean_luma double"
+    )

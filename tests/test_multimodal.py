@@ -149,3 +149,35 @@ def test_decode_media_features_mixed(spark):
     assert abs(out[2]["mean_luma"] - 100.0) < 1e-9
     assert out[3]["kind"] is None and "no in-container decoder" in out[3]["error"]
     assert all(r["n_bytes"] > 0 and r["digest"] for r in out.values())
+
+
+def test_resize_images_end_to_end(spark):
+    """Real resize through the engine: PNG and BMP payloads come back
+    as normalized PNGs at the target size with exact nearest-neighbor
+    pixels; undecodable payloads keep their row with an error."""
+    import numpy as np
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.multimodal import resize_images
+
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    rows = [
+        (1, bytearray(mc.encode_png(px))),
+        (2, bytearray(_wav_bytes(np.zeros(16, dtype=np.int16)))),  # not an image
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r for r in resize_images(df, 4, 3).collect()}
+
+    ok = out[1]
+    assert (ok.media_type, ok.width, ok.height, ok.error) == ("image/png", 4, 3, None)
+    d = mc.decode_png(bytes(ok.content))
+    exp = px[(np.arange(3) * 6) // 3][:, (np.arange(4) * 8) // 4]
+    assert (d["pixels"] == exp).all()
+
+    bad = out[2]
+    assert bad.content is None and "PNG/BMP" in bad.error
+
+    # area downscale preserves the global mean within rounding
+    area = resize_images(df.where("doc_id = 1"), 4, 3, method="area").collect()[0]
+    am = mc.decode_png(bytes(area.content))["pixels"].astype(float).mean()
+    assert abs(am - float(px.mean())) < 2.0
