@@ -390,3 +390,109 @@ def resize_image(
     else:
         raise MediaDecodeError("resize supports PNG/BMP payloads")
     return encode_png(resize_pixels(d["pixels"], width, height, method))
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) — the standard UNCOMPRESSED video container (plain
+# header + raw planar frames; what ffmpeg pipes produce). Real parse:
+# header grammar, frame walk, luma-plane extraction for any chroma mode.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+#: bytes per frame = w·h · factor (luma plane is always the first w·h)
+_Y4M_CHROMA_FACTOR = {
+    "mono": 1.0, "420": 1.5, "420jpeg": 1.5, "420mpeg2": 1.5,
+    "420paldv": 1.5, "411": 1.5, "422": 2.0, "444": 3.0,
+}
+
+
+def decode_y4m(data: bytes) -> dict:
+    """Parse a YUV4MPEG2 stream → metadata + per-frame luma planes.
+
+    Returns dict(kind='video', width, height, fps_num, fps_den,
+    n_frames, duration_ms, frames) where frames is a list of (h, w)
+    uint8 luma arrays — chroma subsampling only affects the skipped
+    plane bytes, so every documented chroma mode is supported."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise MediaDecodeError("bad Y4M magic")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise MediaDecodeError("Y4M missing header terminator")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    chroma = "420"
+    for tok in data[len(_Y4M_MAGIC):nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif t[0] == "C":
+            chroma = t[1:]
+    if not width or not height:
+        raise MediaDecodeError("Y4M missing W/H")
+    if chroma not in _Y4M_CHROMA_FACTOR:
+        raise MediaDecodeError(f"unsupported Y4M chroma mode C{chroma}")
+    frame_bytes = int(width * height * _Y4M_CHROMA_FACTOR[chroma])
+    luma_bytes = width * height
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise MediaDecodeError(f"bad Y4M FRAME marker at {pos}")
+        start = fnl + 1
+        if start + frame_bytes > len(data):
+            raise MediaDecodeError("Y4M frame truncated")
+        frames.append(
+            np.frombuffer(data, np.uint8, luma_bytes, start)
+            .reshape(height, width)
+            .copy()
+        )
+        pos = start + frame_bytes
+    return {
+        "kind": "video",
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": len(frames),
+        "duration_ms": (
+            len(frames) * 1000 * fps_den // fps_num if fps_num else None
+        ),
+        "frames": frames,
+    }
+
+
+def encode_y4m(
+    frames: list, fps: tuple[int, int] = (25, 1), chroma: str = "420"
+) -> bytes:
+    """Minimal Y4M writer (test vectors + synthetic-media sinks): luma
+    from the given (h, w) arrays, chroma planes neutral 128s."""
+    h, w = frames[0].shape
+    factor = _Y4M_CHROMA_FACTOR[chroma]
+    pad = int(w * h * factor) - w * h
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n"
+    out = [head.encode("ascii")]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+        out.append(b"\x80" * pad)
+    return b"".join(out)
+
+
+def decode_y4m_meta(data: bytes) -> dict:
+    """Y4M metadata for the feature table (frames parsed then dropped
+    — DECODED_SCHEMA carries scalars only; mean_luma over all frames)."""
+    d = decode_y4m(data)
+    frames = d.pop("frames")
+    d["mean_luma"] = float(
+        np.mean([f.astype(np.float64).mean() for f in frames])
+    ) if frames else None
+    d["channels"] = 1
+    return d
+
+
+_DECODERS["video/x-yuv4mpeg"] = decode_y4m_meta

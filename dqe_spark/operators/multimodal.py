@@ -4,9 +4,11 @@ metadata, processed via Arrow-batched pandas on mapInPandas.
 Decode is REAL for the formats the standard library + numpy can carry
 (operators/media_codec.py): WAV audio (sample rate / channels /
 duration / RMS), PNG (full inflate + unfilter → pixels + luminance),
-24-bpp BMP, and JPEG frame headers (dimensions). Formats that need
-ffmpeg (video, compressed audio) raise NotImplementedError per row and
-surface as an ``error`` column — the batch never fails.
+24-bpp BMP, Y4M uncompressed video (header grammar + frame walk +
+luma planes — what `ffmpeg -f yuv4mpegpipe` emits), and JPEG frame
+headers (dimensions). Formats that need ffmpeg itself (compressed
+video/audio codecs) raise NotImplementedError per row and surface as
+an ``error`` column — the batch never fails.
 
 What the plumbing guarantees regardless of format:
 
@@ -211,4 +213,65 @@ def resize_images(
 
     return spread(df.select("doc_id", "content")).mapInPandas(
         batches, schema=RESIZED_SCHEMA
+    )
+
+
+#: real frame sampling: one row per sampled frame, luma as gray PNG
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("content", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL video frame sampling: parse Y4M (uncompressed video, the
+    ffmpeg-pipe standard) executor-side, keep every Nth frame's luma
+    plane as a grayscale PNG — one output row per sampled frame.
+    Chroma subsampling never matters (the luma plane leads every
+    frame), so all documented C-modes work. Undecodable payloads keep
+    one row with the error; compressed codecs (H.264 etc.) raise
+    honestly — transcode to Y4M upstream (`ffmpeg -f yuv4mpegpipe`).
+
+    Scale shape: map-only mapInPandas (Arrow batches), no shuffle;
+    a row fans out to ceil(n_frames/every_n) rows — the standard
+    thumbnailing multiply."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    d = mc.decode_y4m(bytes(content))
+                    for i in range(0, d["n_frames"], every_n):
+                        rows.append(
+                            (
+                                did,
+                                i,
+                                mc.encode_png(d["frames"][i]),
+                                "image/png",
+                                d["width"],
+                                d["height"],
+                                None,
+                            )
+                        )
+                except mc.MediaDecodeError as e:
+                    rows.append((did, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return spread(df.select("doc_id", "content")).mapInPandas(
+        batches, schema=FRAMES_SCHEMA
     )

@@ -834,22 +834,8 @@ def neardup_srp(spark, sf_dir):
     return similarity.neardup_srp_pairs(e, 0.2, _SRP_PLANES, bands=8)
 
 
-@q(
-    "multimodal_frame_sample",
-    """
-WITH b AS (
-  SELECT doc_id, octet_length(encode(text)) % 240 + 1 AS n_frames
-  FROM documents
-)
-SELECT doc_id, unnest(range(0, n_frames, 30)) AS frame_idx
-FROM b
-""",
-)
-def multimodal_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing: per-row frame index explosion
-    (deterministic stub in place of ffmpeg keyframe extraction)."""
-    d = load_table(spark, sf_dir, "documents")
-    return multimodal.frame_sample_stub(multimodal.to_binary_table(d))
+# (the round-3 frame-sampling STUB entry was superseded by the real
+# Y4M-backed multimodal_frame_sample registered further down)
 
 
 # ---------------------------------------------------------------------------
@@ -2169,4 +2155,67 @@ def multimodal_resize(spark, sf_dir):
 
     return resized.mapInPandas(
         redecode, "doc_id long, width long, height long, mean_luma double"
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       CAST((doc_id + 5 * f) % 256 AS DOUBLE) AS mean_luma
+FROM documents, range(15) t(f)
+WHERE f % 3 = 0 AND f < (doc_id % 7) + 8
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL video frame sampling verified analytically: each doc
+    renders a Y4M stream of (doc_id % 7) + 8 constant-luma frames
+    (frame f = (doc_id + 5f) % 256), the engine samples every 3rd
+    frame via the Y4M parser, re-decodes its own PNG output, and the
+    mean must match the closed form — proving frame walk, index
+    arithmetic, and luma extraction, not just row counts
+    (operators/multimodal.sample_frames, media_codec.decode_y4m)."""
+    import numpy as np
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id % 7) + 8
+                frames = [
+                    np.full((4, 6), (int(doc_id) + 5 * f) % 256, dtype=np.uint8)
+                    for f in range(n)
+                ]
+                recs.append((int(doc_id), mc.encode_y4m(frames)))
+            yield pd.DataFrame(recs, columns=["doc_id", "content"])
+
+    bin_df = d.mapInPandas(synth, "doc_id long, content binary")
+    sampled = sample_frames(bin_df, every_n=3)
+
+    def redecode(it):
+        for pdf in it:
+            recs = []
+            for doc_id, idx, content in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["content"]
+            ):
+                dd = mc.decode_png(bytes(content))
+                recs.append(
+                    (int(doc_id), int(idx), dd["width"], dd["height"],
+                     dd["mean_luma"])
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "frame_idx", "width", "height", "mean_luma"],
+            )
+
+    return sampled.mapInPandas(
+        redecode,
+        "doc_id long, frame_idx long, width long, height long, mean_luma double",
     )

@@ -127,7 +127,8 @@ def read_points_orc(spark: SparkSession, path: str) -> DataFrame:
 MEDIA_EXT_TYPES = {
     "png": "image/png", "bmp": "image/bmp", "jpg": "image/jpeg",
     "jpeg": "image/jpeg", "gif": "image/gif", "wav": "audio/wav",
-    "mp3": "audio/mpeg", "mp4": "video/mp4", "webm": "video/webm",
+    "y4m": "video/x-yuv4mpeg", "mp3": "audio/mpeg", "mp4": "video/mp4",
+    "webm": "video/webm",
 }
 
 

@@ -181,3 +181,40 @@ def test_resize_images_end_to_end(spark):
     area = resize_images(df.where("doc_id = 1"), 4, 3, method="area").collect()[0]
     am = mc.decode_png(bytes(area.content))["pixels"].astype(float).mean()
     assert abs(am - float(px.mean())) < 2.0
+
+
+def test_sample_frames_y4m(spark):
+    """Real Y4M frame sampling: exact luma planes back out for every
+    Nth frame across chroma modes; compressed video raises honestly
+    into the error column; decode_media reports video metadata."""
+    import numpy as np
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.multimodal import sample_frames
+
+    frames = [
+        np.arange(4 * 6, dtype=np.uint8).reshape(4, 6) + 10 * i
+        for i in range(7)
+    ]
+    rows = [
+        (1, bytearray(mc.encode_y4m(frames, chroma="420"))),
+        (2, bytearray(mc.encode_y4m(frames[:2], chroma="444"))),
+        (3, bytearray(b"\x00\x00\x00\x18ftypmp42 not a y4m")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = sample_frames(df, every_n=3).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+
+    got1 = {r.frame_idx: r for r in by[1]}
+    assert sorted(got1) == [0, 3, 6]
+    for i in (0, 3, 6):
+        d = mc.decode_png(bytes(got1[i].content))
+        assert (d["pixels"][:, :, 0] == frames[i]).all()
+    assert [r.frame_idx for r in by[2]] == [0]
+    assert by[3][0].content is None and "Y4M" in by[3][0].error
+
+    meta = mc.decode_media(bytes(rows[0][1]), "video/x-yuv4mpeg")
+    assert meta["kind"] == "video" and meta["n_frames"] == 7
+    assert meta["duration_ms"] == 7 * 1000 // 25
