@@ -496,3 +496,28 @@ def decode_y4m_meta(data: bytes) -> dict:
 
 
 _DECODERS["video/x-yuv4mpeg"] = decode_y4m_meta
+
+
+def decimate_wav(data: bytes, every_n: int) -> bytes:
+    """Integer-decimation resample of a 16-bit WAV payload: keep every
+    Nth sample frame (all channels together), sample_rate divides by N
+    — the deterministic downsample for feature pipelines that don't
+    need an anti-alias filter (pair with a windowed mean upstream when
+    they do). Raises MediaDecodeError on undecodable input."""
+    if every_n < 1:
+        raise MediaDecodeError(f"every_n must be >= 1, got {every_n}")
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise MediaDecodeError(f"bad WAV: {e}") from e
+    if width != 2:
+        raise MediaDecodeError(
+            f"decimate_wav supports 16-bit PCM, got width {width}"
+        )
+    rate = sr // every_n
+    if rate < 1:
+        raise MediaDecodeError(f"decimation {every_n} exceeds sample rate {sr}")
+    frames = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)[::every_n]
+    return encode_wav(frames.reshape(-1), sample_rate=rate, channels=ch)

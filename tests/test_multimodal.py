@@ -218,3 +218,51 @@ def test_sample_frames_y4m(spark):
     meta = mc.decode_media(bytes(rows[0][1]), "video/x-yuv4mpeg")
     assert meta["kind"] == "video" and meta["n_frames"] == 7
     assert meta["duration_ms"] == 7 * 1000 // 25
+
+
+def test_decimate_wav():
+    """Exact decimation: every Nth frame survives across channel
+    counts, rate divides, malformed input raises."""
+    import numpy as np
+    import pytest
+
+    from dqe_spark.operators import media_codec as mc
+
+    mono = np.arange(100, dtype=np.int16)
+    out = mc.decode_wav(mc.decimate_wav(mc.encode_wav(mono, 8000), 4))
+    assert out["sample_rate"] == 2000 and out["n_samples"] == 25
+
+    stereo = np.stack([np.arange(60), np.arange(60) * -1], axis=1).astype(
+        np.int16
+    )
+    b = mc.decimate_wav(mc.encode_wav(stereo.reshape(-1), 44100, channels=2), 3)
+    d = mc.decode_wav(b)
+    assert d["channels"] == 2 and d["n_samples"] == 20
+    assert d["sample_rate"] == 44100 // 3
+    # frames kept intact: first kept frame is (0, 0), second (3, -3)
+    import io as _io
+    import wave as _wave
+
+    with _wave.open(_io.BytesIO(b), "rb") as w:
+        raw = np.frombuffer(w.readframes(2), dtype="<i2").reshape(-1, 2)
+    assert raw.tolist() == [[0, 0], [3, -3]]
+
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decimate_wav(b"not a wav", 2)
+
+
+def test_resample_audio_end_to_end(spark):
+    import numpy as np
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.multimodal import resample_audio
+
+    rows = [
+        (1, bytearray(mc.encode_wav(np.arange(100, dtype=np.int16), 8000))),
+        (2, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r for r in resample_audio(df, 4).collect()}
+    assert (out[1].sample_rate, out[1].n_samples) == (2000, 25)
+    assert mc.decode_wav(bytes(out[1].content))["n_samples"] == 25
+    assert out[2].content is None and out[2].error
