@@ -172,3 +172,70 @@ def holt_smooth(
         r4(st[0]).alias("level"),
         r4(st[0] + st[1]).alias("forecast"),
     )
+
+
+def cusum(
+    df: DataFrame,
+    kappa: float = 0.5,
+    h: float = 4.0,
+    k: int = 96,
+    keys: tuple[str, ...] = ("metric",),
+    ts: str = "wts",
+    v: str = "value",
+) -> DataFrame:
+    """Two-sided CUSUM drift detection over each point's k-window
+    tail: S⁺ accumulates positive drift above the tail mean beyond
+    the slack κ, S⁻ negative drift, and either crossing h raises the
+    alarm — the classic change-point chart for slow shifts a z-score
+    never catches.
+
+        S⁺ ← max(0, S⁺ + (x − μ − κ)),   S⁻ ← min(0, S⁻ + (x − μ + κ))
+
+    Entirely in the INTEGER domain: inputs are 4dp window values, so
+    x4/μ4/κ4/h4 are exact longs and the recurrence (max/min/+) never
+    leaves integers — bit-identical cross-engine with no float-order
+    discipline needed at all (μ4 is the sign-aware rounded tail mean).
+    Same bounded ordered-frame fold shape as ewma/holt: O(k) per row,
+    one keyed window pass."""
+    k4 = int(round(kappa * 10000))
+    h4 = int(round(h * 10000))
+    w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, 0)
+    xs = F.collect_list(F.round(F.col(v) * 10000).cast("long")).over(w)
+    s = F.aggregate(xs, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(xs).cast("long")
+    mu4 = F.expr(
+        "CASE WHEN __s >= 0 THEN (2 * __s + __n) div (2 * __n) "
+        "ELSE -((2 * -__s + __n) div (2 * __n)) END"
+    )
+    zero = F.lit(0).cast("long")
+
+    def step(acc, e):
+        sp = F.greatest(
+            zero, acc[0] + e[0] - F.col("__mu4") - F.lit(k4).cast("long")
+        )
+        sn = F.least(
+            zero, acc[1] + e[1] - F.col("__mu4") + F.lit(k4).cast("long")
+        )
+        return F.array(sp, sn)
+
+    folded = F.aggregate(
+        F.transform(F.col("__xs"), lambda x: F.array(x, x)),
+        F.array(zero, zero),
+        step,
+    )
+    out = (
+        df.select(
+            *keys, ts, v, xs.alias("__xs"), s.alias("__s"), n.alias("__n")
+        )
+        .withColumn("__mu4", mu4)
+        .withColumn("__st", folded)
+    )
+    sp, sn = F.col("__st")[0], F.col("__st")[1]
+    return out.select(
+        *keys,
+        ts,
+        v,
+        (sp.cast("double") / 10000.0).alias("cusum_pos"),
+        (sn.cast("double") / 10000.0).alias("cusum_neg"),
+        ((sp >= h4) | (-sn >= h4)).alias("alarm"),
+    )

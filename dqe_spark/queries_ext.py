@@ -2219,3 +2219,51 @@ def multimodal_frame_sample(spark, sf_dir):
         redecode,
         "doc_id long, frame_idx long, width long, height long, mean_luma double",
     )
+
+
+@q(
+    "anomaly_cusum_1m",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W
+    + """
+, t AS (
+  SELECT metric, wts, value,
+         list(CAST(round(value * 10000) AS BIGINT))
+           OVER (PARTITION BY metric ORDER BY wts
+                 ROWS BETWEEN 96 PRECEDING AND CURRENT ROW) AS xs
+  FROM w
+), m AS (
+  SELECT metric, wts, value, xs,
+         CASE WHEN list_sum(xs) >= 0
+              THEN (2 * list_sum(xs) + len(xs)) // (2 * len(xs))
+              ELSE -((2 * -list_sum(xs) + len(xs)) // (2 * len(xs))) END AS mu4
+  FROM t
+), r AS (
+  SELECT metric, wts, value,
+         list_reduce(
+           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                        list_transform(xs, x -> [x, x])),
+           (acc, e) -> [greatest(CAST(0 AS BIGINT), acc[1] + e[1] - mu4 - 250000),
+                        least(CAST(0 AS BIGINT), acc[2] + e[2] - mu4 + 250000)])
+           AS st
+  FROM m
+)
+SELECT metric, wts, value,
+       CAST(st[1] AS DOUBLE) / 10000.0 AS cusum_pos,
+       CAST(st[2] AS DOUBLE) / 10000.0 AS cusum_neg,
+       (st[1] >= 2500000 OR -st[2] >= 2500000) AS alarm
+FROM r
+""",
+)
+def anomaly_cusum_1m(spark, sf_dir):
+    """Two-sided CUSUM drift chart over per-minute series (κ=σ/2=25,
+    h=5σ=250 for this data's σ≈50): catches slow level shifts a
+    z-score never sees. Recurrence runs entirely in the integer
+    domain, so no float-order discipline is even needed
+    (operators/anomaly.cusum)."""
+    from dqe_spark.operators.anomaly import cusum
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(load_metrics(spark, sf_dir), 60_000, agg_avg("value"), "value")
+    return cusum(w, kappa=25.0, h=250.0, k=96)

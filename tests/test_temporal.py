@@ -242,3 +242,30 @@ def test_fill_forward_and_linear_edges(spark):
     assert lin[("m", 240)] == 40.0        # observed rows pass through
     assert lin[("m", 300)] is None        # trailing: no next neighbor
     assert lin[("x", 60)] is None
+
+
+def test_cusum_detects_level_shift(spark):
+    """A clean level shift: flat at 100 for 50 windows then flat at
+    200 — the z-score path sees only one step, CUSUM accumulates and
+    alarms shortly after the shift and stays alarmed."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.anomaly import cusum
+
+    rows = [("m", i * 60_000, 100.0 if i < 50 else 200.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "metric string, wts long, value double")
+    out = (
+        cusum(df, kappa=10.0, h=100.0, k=200)
+        .orderBy("wts")
+        .collect()
+    )
+    alarms = [r.wts // 60_000 for r in out if r.alarm]
+    assert alarms, "no alarm raised"
+    # first alarm comes AFTER the shift at window 50, within a few
+    # windows (drift accumulates ~ (200-mu-kappa) per window)
+    assert 50 < alarms[0] <= 60
+    assert all(i >= alarms[0] for i in alarms)
+    # pre-shift region is quiet
+    assert not [i for i in alarms if i < 50]
+    # both sides bounded: S+ nonneg, S- nonpos
+    assert all(r.cusum_pos >= 0 and r.cusum_neg <= 0 for r in out)
