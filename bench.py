@@ -78,6 +78,10 @@ EXT_HEADLINE = [
     "text_bm25_topk",
     # wide-aggregate scan (map-side combine to |groups| rows per task)
     "q1_pricing_summary",
+    # Arrow-batched media pipeline (synth → resize → re-decode)
+    "multimodal_resize",
+    # integer-domain windowed fold (CUSUM drift chart)
+    "anomaly_cusum_1m",
 ]
 
 

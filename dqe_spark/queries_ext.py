@@ -2267,3 +2267,59 @@ def anomaly_cusum_1m(spark, sf_dir):
 
     w = window_agg(load_metrics(spark, sf_dir), 60_000, agg_avg("value"), "value")
     return cusum(w, kappa=25.0, h=250.0, k=96)
+
+
+_INCR_PAIRS_SQL = (
+    _MINHASH_SIG_CTE
+    + ", bands AS (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_sql(b)} AS key FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    + """
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, st.doc_id AS store_id
+  FROM bands n JOIN bands st ON n.band = st.band AND n.key = st.key
+  WHERE n.doc_id % 10 = 7 AND st.doc_id % 10 <> 7
+), inter AS (
+  SELECT c.new_id, c.store_id, count(*) AS inter
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.new_id
+  JOIN s sb ON sb.doc_id = c.store_id AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT new_id, store_id,
+       round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sz na ON new_id = na.doc_id
+JOIN sz nb ON store_id = nb.doc_id
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.7
+"""
+)
+
+
+@q("dedup_minhash_incr", _INCR_PAIRS_SQL)
+def dedup_minhash_incr(spark, sf_dir):
+    """INCREMENTAL near-dup: the docs landing today (doc_id % 10 = 7)
+    checked against the persisted corpus signature store (the rest) —
+    new docs are hashed fresh, the corpus is probed via its banded key
+    store and verified from its shingle sidecar, never re-read
+    (sources/minhash_store.neardup_against_store). The oracle replays
+    both sides from scratch, so a hash match proves the STORE contents
+    equal fresh computation."""
+    from dqe_spark.sources import minhash_store as MS
+
+    docs = load_table(spark, sf_dir, "documents")
+    rest = docs.where(F.col("doc_id") % 10 != 7)
+    new = docs.where(F.col("doc_id") % 10 == 7)
+    p = MS._store_dir(sf_dir)
+    marker = p / "_SUBSET"
+    want = "mod10ne7"
+    if (
+        not (p / "_SUCCESS").exists()
+        or not marker.exists()
+        or marker.read_text() != want
+    ):
+        MS.build_minhash_store(spark, sf_dir, docs=rest, force=True)
+        marker.write_text(want)
+    return MS.neardup_against_store(spark, sf_dir, new, 0.7)

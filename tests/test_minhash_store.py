@@ -1,0 +1,66 @@
+"""MinHash signature store (sources/minhash_store.py): incremental
+merge equals full rebuild, the probe finds planted near-dups without
+re-reading the corpus, and re-landing is idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _snapshot(spark, p):
+    return sorted(
+        (r["doc_id"], r["band"], r["key"])
+        for r in spark.read.parquet(str(p)).collect()
+    )
+
+
+def test_increment_equals_full_build(spark):
+    from dqe_spark.sources import minhash_store as MS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    p = MS._store_dir(SF_SMOKE)
+
+    MS.build_minhash_store(spark, SF_SMOKE, force=True)
+    want = _snapshot(spark, p)
+    n_sh = spark.read.parquet(str(p / "_shingles")).count()
+
+    MS.build_minhash_store(
+        spark, SF_SMOKE, docs=docs.where(F.col("doc_id") < cut), force=True
+    )
+    MS.merge_minhash_increment(
+        spark, SF_SMOKE, docs.where(F.col("doc_id") >= cut)
+    )
+    assert _snapshot(spark, p) == want
+    assert spark.read.parquet(str(p / "_shingles")).count() == n_sh
+
+    # idempotent re-land
+    MS.merge_minhash_increment(
+        spark, SF_SMOKE, docs.where(F.col("doc_id") >= cut)
+    )
+    assert _snapshot(spark, p) == want
+
+
+def test_probe_finds_planted_neardup(spark):
+    from dqe_spark.sources import minhash_store as MS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    MS.build_minhash_store(spark, SF_SMOKE, force=True)
+    try:
+        # new doc = a stored doc with one word changed -> high jaccard
+        src = docs.orderBy("doc_id").first()
+        toks = src["text"].split()
+        toks[len(toks) // 2] = "zzzmutation"
+        new = spark.createDataFrame(
+            [(999_999, " ".join(toks)), (999_998, "totally unrelated words only")],
+            "doc_id long, text string",
+        )
+        hits = MS.neardup_against_store(spark, SF_SMOKE, new, 0.5).collect()
+        pairs = {(r.new_id, r.store_id) for r in hits}
+        assert (999_999, src["doc_id"]) in pairs
+        assert not [r for r in hits if r.new_id == 999_998]
+        assert all(0.5 <= r.jaccard <= 1.0 for r in hits)
+    finally:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)  # restore
