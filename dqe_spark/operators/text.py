@@ -473,3 +473,78 @@ def repetition_signals(
             F.col("__d3").cast("double") / F.col("__n3").cast("double"),
         ).alias("dup3_frac"),
     )
+
+
+# -- declarative quality gating ---------------------------------------------
+
+#: ordered gate names (first failing gate is the verdict)
+GATE_ORDER = ("too_short", "too_long", "lang", "low_quality", "repetitive")
+
+
+def quality_gates(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 5000,
+    langs: tuple[str, ...] = ("en",),
+    min_quality_e4: int = 2000,
+    max_dup3_bp: int = 500,
+) -> DataFrame:
+    """The corpus admission filter as ONE declarative map-only pass:
+    every document gets a verdict — the FIRST failing gate in
+    GATE_ORDER, or 'pass' — plus the integer-domain signals the
+    decision used (auditable: a verdict can be re-derived from the
+    row). Gates: token-count band, language allowlist, lexical-quality
+    floor (quality_e4 units of 1e-4), duplicated-3-gram ceiling in
+    basis points.
+
+    All signals are exact integers (the established cross-engine
+    discipline), so verdicts hash bit-identical to the SQL oracle; the
+    whole pass is narrow expressions over each doc's own token array —
+    no shuffle, no Python."""
+    base = df.select(
+        F.col(id_col),
+        F.col(col).alias("text"),  # stopword_hits resolves `text` by name
+        F.split(F.trim(F.col(col)), r"\s+").alias("__tk"),
+    ).select(
+        id_col,
+        "text",
+        "__tk",
+        F.expr(_G3).alias("__g3"),
+    )
+    sig = base.select(
+        id_col,
+        F.size("__tk").cast("long").alias("n_tokens"),
+        F.when(
+            50 * stopword_hits(F.col("text")) > F.size("__tk"), F.lit("en")
+        ).otherwise(F.lit("unk")).alias("lang_pred"),
+        F.expr(
+            "CAST((least(size(__tk), 100) * size(array_distinct(__tk)) "
+            "* 10000) DIV (100 * size(__tk)) AS long)"
+        ).alias("quality_e4"),
+        F.expr(_DUP3).alias("__d3"),
+        F.size("__g3").cast("long").alias("__n3"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "lang_pred",
+        "quality_e4",
+        F.expr(
+            "CAST(CASE WHEN __n3 > 0 THEN (10000 * __d3) div __n3 "
+            "ELSE 0 END AS long)"
+        ).alias("dup3_bp"),
+    )
+    lang_ok = F.col("lang_pred").isin(*langs)
+    verdict = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(~lang_ok, "lang")
+        .when(F.col("quality_e4") < min_quality_e4, "low_quality")
+        .when(F.col("dup3_bp") > max_dup3_bp, "repetitive")
+        .otherwise("pass")
+    )
+    return sig.select(
+        id_col, "n_tokens", "lang_pred", "quality_e4", "dup3_bp",
+        verdict.alias("verdict"),
+    )

@@ -2323,3 +2323,50 @@ def dedup_minhash_incr(spark, sf_dir):
         MS.build_minhash_store(spark, sf_dir, docs=rest, force=True)
         marker.write_text(want)
     return MS.neardup_against_store(spark, sf_dir, new, 0.7)
+
+
+@q(
+    "corpus_quality_gates",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOK} AS tk FROM documents
+), g3 AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk) - 1)]) AS gram
+  FROM t WHERE len(tk) >= 3
+), c3 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+), d3 AS (
+  SELECT doc_id, coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS dup3,
+         sum(cnt) AS tot3
+  FROM c3 GROUP BY 1
+), f AS (
+  SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CASE WHEN 50 * ({_STOP_HITS}) > len(tk) THEN 'en' ELSE 'unk' END
+           AS lang_pred,
+         CAST((least(len(tk), 100) * len(list_distinct(tk)) * 10000)
+              // (100 * len(tk)) AS BIGINT) AS quality_e4,
+         CAST(coalesce((10000 * dup3) // tot3, 0) AS BIGINT) AS dup3_bp
+  FROM t LEFT JOIN d3 ON d3.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens, lang_pred, quality_e4, dup3_bp,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_tokens > 80 THEN 'too_long'
+            WHEN lang_pred <> 'en' THEN 'lang'
+            WHEN quality_e4 < 1500 THEN 'low_quality'
+            WHEN dup3_bp > 0 THEN 'repetitive'
+            ELSE 'pass' END AS verdict
+FROM f
+""",
+)
+def corpus_quality_gates(spark, sf_dir):
+    """The corpus admission filter: per-doc verdict (first failing
+    gate or 'pass') with the integer-domain signals it used — one
+    narrow map-only pass, verdicts hash bit-identical to the SQL
+    replay (operators/text.quality_gates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_gates(
+        d, min_tokens=20, max_tokens=80, langs=("en",),
+        min_quality_e4=1500, max_dup3_bp=0,
+    )

@@ -178,3 +178,30 @@ def test_repetition_signals(spark):
     assert r1.dup3_frac == 2 / 3
     r2 = out[2]
     assert r2.top2_cnt == 1 and r2.dup3_frac == 0.0
+
+
+def test_quality_gates_verdict_order(spark):
+    """Gate order is deterministic: a doc failing several gates gets
+    the FIRST one; signals allow re-deriving each verdict."""
+    from dqe_spark.operators.text import quality_gates
+
+    rows = [
+        (1, "short doc"),                                 # too_short
+        (2, " ".join(f"w{i}" for i in range(200))),       # too_long (+unk lang)
+        (3, " ".join(f"x{i}" for i in range(30))),        # lang (no stopwords)
+        (4, "the a of and to " * 6),                      # en, repeated phrase
+        (5, "the quick brown fox jumps over a lazy dog and then "
+            "wanders off to find some other interesting things today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_gates(
+        df, min_tokens=10, max_tokens=100, min_quality_e4=1000,
+        max_dup3_bp=0).collect()}
+    assert out[1].verdict == "too_short"
+    assert out[2].verdict == "too_long"      # length precedes lang
+    assert out[3].verdict == "lang"
+    assert out[4].verdict in ("low_quality", "repetitive")
+    assert out[5].verdict == "pass"
+    # signals are auditable
+    assert out[3].lang_pred == "unk" and out[5].lang_pred == "en"
+    assert out[4].dup3_bp > 0
