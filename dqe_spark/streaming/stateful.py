@@ -135,3 +135,78 @@ def stream_zscore(metrics: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+C_OUT_SCHEMA = (
+    "metric string, ts_ms long, value double, "
+    "cusum_pos double, cusum_neg double, alarm boolean"
+)
+#: ring buffer of the (k+1) most recent v4 integers, newest last —
+#: the same tail the batch operator folds (rowsBetween(-k, 0))
+C_STATE_SCHEMA = "tail array<long>"
+
+
+def _make_cusum_fn(kappa4: int, h4: int, k: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (metric,) = key
+        tail: list[int] = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs)).sort_values("ts_ms")
+        if len(pdf):
+            pos, neg, alarm = [], [], []
+            for v in pdf["value"].to_numpy():
+                tail.append(int(round(float(v) * 10000)))
+                if len(tail) > k + 1:
+                    tail.pop(0)
+                n = len(tail)
+                s = sum(tail)
+                # truncating div like Spark's `div` (both branches
+                # operate on non-negative ints, where // == div)
+                mu4 = (
+                    (2 * s + n) // (2 * n)
+                    if s >= 0
+                    else -((2 * -s + n) // (2 * n))
+                )
+                sp = sn = 0
+                for x in tail:
+                    sp = max(0, sp + x - mu4 - kappa4)
+                    sn = min(0, sn + x - mu4 + kappa4)
+                pos.append(sp / 10000.0)
+                neg.append(sn / 10000.0)
+                alarm.append(sp >= h4 or -sn >= h4)
+            yield pd.DataFrame(
+                {
+                    "metric": metric,
+                    "ts_ms": pdf["ts_ms"].to_numpy(),
+                    "value": pdf["value"].to_numpy(),
+                    "cusum_pos": pos,
+                    "cusum_neg": neg,
+                    "alarm": alarm,
+                }
+            )
+        state.update(([int(x) for x in tail],))
+
+    return fn
+
+
+def stream_cusum(
+    metrics: DataFrame, kappa: float = 25.0, h: float = 250.0, k: int = 96
+) -> DataFrame:
+    """Streaming CUSUM drift chart: each point's two-sided drift sums
+    over its k-tail, the live twin of operators/anomaly.cusum (same
+    integer-domain recurrence and rounded tail mean, so a drained
+    stream matches the batch operator bit-for-bit, including across a
+    checkpointed restart — asserted in tests). State per series is the
+    (k+1)-point v4 ring buffer, partitioned on the series key."""
+    return (
+        metrics.select("metric", "ts_ms", "value")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _make_cusum_fn(int(round(kappa * 10000)), int(round(h * 10000)), k),
+            outputStructType=C_OUT_SCHEMA,
+            stateStructType=C_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

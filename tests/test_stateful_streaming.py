@@ -214,3 +214,56 @@ def test_stream_zscore_matches_batch_operator(spark, tmpdirs):
         assert (gz is None) == (wz is None), k
         if wz is not None:
             assert gz == wz, (k, gz, wz)
+
+
+def test_stream_cusum_matches_batch_operator(spark, tmpdirs):
+    """Drained streaming CUSUM == the batch operator (same κ/h/k and
+    integer-domain recurrence), including the ring buffer carried
+    across a checkpointed restart."""
+    from dqe_spark.operators.anomaly import cusum
+    from dqe_spark.streaming.stateful import stream_cusum
+
+    landing, out, ckpt = tmpdirs
+    rows1 = [("m.x", 1000 * i, 100.0 + (i % 5)) for i in range(1, 31)]
+    rows2 = [("m.x", 1000 * i, 160.0 + (i % 3)) for i in range(31, 46)] + [
+        ("m.y", 1000 * i, float(i % 6)) for i in range(1, 10)
+    ]
+
+    def drain():
+        src = (
+            spark.readStream.schema("metric string, ts_ms long, value double")
+            .parquet(str(landing))
+        )
+        q = (
+            stream_cusum(src, kappa=5.0, h=50.0, k=20)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, landing, rows1)
+    drain()
+    _write_batch(spark, landing, rows2)  # restart with state
+    drain()
+
+    got = {
+        (r["metric"], r["ts_ms"]): (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = spark.createDataFrame(
+        rows1 + rows2, "metric string, ts_ms long, value double"
+    )
+    want = {
+        (r["metric"], r["wts"]): (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+        for r in cusum(batch, kappa=5.0, h=50.0, k=20, ts="ts_ms")
+        .withColumnRenamed("ts_ms", "wts")
+        .collect()
+    }
+    assert set(got) == set(want) and got
+    assert got == want
+    # the level shift in rows2 must actually alarm
+    assert any(a for (_, _, a) in got.values())
