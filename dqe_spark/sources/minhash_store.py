@@ -204,3 +204,39 @@ def neardup_against_store(
         .select("new_id", "store_id", F.round("jaccard", 4).alias("jaccard"))
     )
     return verified
+
+
+def purge_doc_ids(
+    spark: SparkSession, sf_dir: str, doc_ids: DataFrame
+) -> Path:
+    """Remove documents from the signature store (the takedown sweep,
+    mirroring text_index.purge_doc_ids): touched bb buckets rewrite
+    without the purged docs' band keys; the shingle sidecar drops them
+    too. A purged doc can never again appear as a candidate OR as
+    verification evidence."""
+    p = _store_dir(sf_dir)
+    ids = F.broadcast(doc_ids.select("doc_id").distinct())
+    bands = spark.read.parquet(str(p))
+    touched = bands.join(ids, "doc_id", "left_semi").select("bb").distinct()
+    kept = (
+        bands.join(F.broadcast(touched), "bb", "left_semi")
+        .join(ids, "doc_id", "left_anti")
+        .select("doc_id", "band", "key", "bb")
+        .localCheckpoint(eager=True)
+    )
+    (
+        kept.repartition("bb")
+        .sortWithinPartitions("key", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bb")
+        .parquet(str(p))
+    )
+    sh_path = p / "_shingles"
+    sh = (
+        spark.read.parquet(str(sh_path))
+        .join(ids, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    sh.write.mode("overwrite").parquet(str(sh_path))
+    return p

@@ -446,3 +446,42 @@ def phrase_search(
         per_doc.select("doc_id", n_matches.cast("long").alias("n_matches"))
         .where(F.col("n_matches") > 0)
     )
+
+
+def purge_doc_ids(
+    spark: SparkSession, sf_dir: str, doc_ids: DataFrame
+) -> Path:
+    """Remove documents from the index (takedown / right-to-be-
+    forgotten): buckets containing any purged doc rewrite WITHOUT its
+    postings via dynamic partition overwrite — cost proportional to
+    the touched buckets, not the index; doc stats drop the ids too.
+    Equals a rebuild from the filtered corpus, posting for posting
+    (asserted in tests). ``doc_ids`` is a 1-column (doc_id) frame."""
+    p = _index_dir(sf_dir)
+    ids = F.broadcast(doc_ids.select("doc_id").distinct())
+    idx = spark.read.parquet(str(p))
+    touched = (
+        idx.join(ids, "doc_id", "left_semi").select("tb").distinct()
+    )
+    kept = (
+        idx.join(F.broadcast(touched), "tb", "left_semi")
+        .join(ids, "doc_id", "left_anti")
+        .select("doc_id", "token", "tf", "positions", "tb")
+        .localCheckpoint(eager=True)
+    )
+    (
+        kept.repartition("tb")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb")
+        .parquet(str(p))
+    )
+    ds_path = p / "_docstats"
+    ds = (
+        spark.read.parquet(str(ds_path))
+        .join(ids, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    ds.coalesce(1).write.mode("overwrite").parquet(str(ds_path))
+    return p

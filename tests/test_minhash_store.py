@@ -64,3 +64,43 @@ def test_probe_finds_planted_neardup(spark):
         assert all(0.5 <= r.jaccard <= 1.0 for r in hits)
     finally:
         MS.build_minhash_store(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_purge_equals_rebuild_without_docs(spark):
+    """Purging ids from BOTH doc stores equals rebuilding each from the
+    filtered corpus, and purged docs vanish from search results."""
+    from dqe_spark.sources import minhash_store as MS
+    from dqe_spark.sources import text_index as TI
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    victims = docs.select("doc_id").where(F.col("doc_id") % 17 == 3)
+    vset = {r["doc_id"] for r in victims.collect()}
+    kept_docs = docs.where(~F.col("doc_id").isin(vset))
+
+    try:
+        # minhash store
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)
+        MS.purge_doc_ids(spark, SF_SMOKE, victims)
+        got = _snapshot(spark, MS._store_dir(SF_SMOKE))
+        MS.build_minhash_store(spark, SF_SMOKE, docs=kept_docs, force=True)
+        assert got == _snapshot(spark, MS._store_dir(SF_SMOKE))
+
+        # text index
+        TI.build_text_index(spark, SF_SMOKE, force=True)
+        TI.purge_doc_ids(spark, SF_SMOKE, victims)
+        p = TI._index_dir(SF_SMOKE)
+        left = {r["doc_id"] for r in spark.read.parquet(str(p)).select("doc_id").distinct().collect()}
+        assert not (left & vset)
+        hits = {r.doc_id for r in TI.keyword_search(spark, SF_SMOKE, ["the"]).collect()}
+        assert not (hits & vset)
+        ds = {r["doc_id"] for r in spark.read.parquet(str(p / "_docstats")).collect()}
+        assert not (ds & vset)
+        TI.build_text_index(spark, SF_SMOKE, force=True, docs=kept_docs)
+        want_left = {
+            r["doc_id"]
+            for r in spark.read.parquet(str(p)).select("doc_id").distinct().collect()
+        }
+        assert left == want_left
+    finally:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)
+        TI.build_text_index(spark, SF_SMOKE, force=True)
