@@ -237,3 +237,38 @@ def knn_pq_probed(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def purge_vector_ids(
+    spark: SparkSession, sf_dir: str, ids: DataFrame
+) -> Path:
+    """Remove vectors from the materialized index (the takedown sweep,
+    mirroring text_index/minhash_store.purge_doc_ids): only the cells
+    holding a purged id rewrite, via dynamic partition overwrite; the
+    centroids/codebooks are untouched (they are trained artifacts, not
+    per-vector state). A purged vector can no longer be served by any
+    probe."""
+    p = ann_path(sf_dir)
+    if p is None:
+        raise FileNotFoundError(f"no ANN index under {_ann_dir(sf_dir)}")
+    meta = json.loads((p / "meta.json").read_text())
+    id_col = meta["id_col"]
+    ids_b = F.broadcast(ids.selectExpr(f"{ids.columns[0]} AS {id_col}").distinct())
+    idx = spark.read.parquet(str(p / "index"))
+    touched = idx.join(ids_b, id_col, "left_semi").select("cell").distinct()
+    kept = (
+        idx.join(F.broadcast(touched), "cell", "left_semi")
+        .join(ids_b, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    (
+        kept.repartition("cell")
+        .sortWithinPartitions("cell", id_col)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(str(p / "index"))
+    )
+    # rewritten files replace the session's cached listing for the path
+    spark.catalog.refreshByPath(str(p / "index"))
+    return p

@@ -122,3 +122,43 @@ def test_served_knn_matches_operator_path(spark):
     # (the smoke embeddings are near-uniform, the hardest case for a
     # coarse quantizer — real corpora cluster far better)
     assert len(set(got) & set(exact)) >= 6
+
+
+def test_purge_vector_ids(spark):
+    """Purged vectors vanish from the index and from served probes;
+    untouched cells are not rewritten; the result equals re-ingesting
+    the filtered vectors (same frozen centroids/codebooks)."""
+    import os
+
+    from dqe_spark.sources import ann_store
+
+    p = ann_store.ingest_ann(spark, SF_SMOKE, force=True)
+    idx0, meta = ann_store.load_ann(spark, SF_SMOKE)
+    id_col = meta["id_col"]
+    n0 = idx0.count()
+    victims = idx0.select(id_col).limit(3)
+    vset = {r[id_col] for r in victims.collect()}
+    # cells that hold no victim must keep their files untouched
+    cell_of = {
+        r["cell"]: None
+        for r in idx0.join(
+            F.broadcast(victims), id_col, "left_semi"
+        ).select("cell").distinct().collect()
+    }
+    untouched = [
+        d for d in os.listdir(p / "index")
+        if d.startswith("cell=") and int(d.split("=")[1]) not in cell_of
+    ]
+    mtimes = {
+        d: os.path.getmtime(p / "index" / d) for d in untouched
+    }
+
+    ann_store.purge_vector_ids(spark, SF_SMOKE, victims)
+    idx1, _ = ann_store.load_ann(spark, SF_SMOKE)
+    left = {r[id_col] for r in idx1.select(id_col).collect()}
+    assert not (left & vset)
+    assert idx1.count() == n0 - len(vset)
+    for d in untouched:
+        assert os.path.getmtime(p / "index" / d) == mtimes[d], d
+
+    ann_store.ingest_ann(spark, SF_SMOKE, force=True)  # restore
