@@ -333,12 +333,9 @@ def pca_project(
     centered = (
         f"zip_with({v}, {mean_lit}, (x, mu) -> CAST(x AS DOUBLE) - mu)"
     )
-    cols = [F.col(id_col)] + [F.col(c) for c in keep if c in emb.columns]
-    return (
-        emb.select(*cols, F.expr(centered).alias("__c"))
-        .select(
-            *[c if isinstance(c, str) else c for c in
-              [id_col] + [c for c in keep if c in emb.columns]],
-            F.array(*[F.expr(p) for p in projs]).alias("proj"),
-        )
+    keep_cols = [c for c in keep if c in emb.columns]
+    return emb.select(
+        id_col, *keep_cols, F.expr(centered).alias("__c")
+    ).select(
+        id_col, *keep_cols, F.array(*[F.expr(p) for p in projs]).alias("proj")
     )
