@@ -33,7 +33,10 @@ bucket). Search reads K pruned buckets (K = #terms), then a tiny
 groupBy on doc_id — cost scales with posting-list length, never corpus
 size. Incremental maintenance = append new docs' postings to their
 buckets (dynamic partition overwrite), same pattern as the rollup
-increments.
+increments. No small-file compaction is needed by construction: every
+merge/purge repartitions by tb before a dynamic overwrite, so each
+touched bucket directory is always replaced by exactly one sorted
+file.
 """
 
 from __future__ import annotations
@@ -485,3 +488,4 @@ def purge_doc_ids(
     )
     ds.coalesce(1).write.mode("overwrite").parquet(str(ds_path))
     return p
+

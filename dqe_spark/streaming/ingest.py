@@ -342,3 +342,31 @@ def stream_index_documents(
         docs.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_dedup_index_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    sf_dir: str,
+    checkpoint: str,
+    schema: str = DOCS_SCHEMA,
+):
+    """Continuous MinHash-store maintenance — the signature-store twin
+    of stream_index_documents: each micro-batch of landed documents
+    folds into the persisted band/shingle store via the same
+    idempotent merge the batch backfill uses, so the incremental
+    near-dup probe (minhash_store.neardup_against_store) always sees
+    the corpus up to the last drained batch. Returns the unstarted
+    writeStream."""
+    from dqe_spark.sources.minhash_store import merge_minhash_increment
+
+    docs = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _merge(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            merge_minhash_increment(batch_df.sparkSession, sf_dir, batch_df)
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -427,3 +427,47 @@ def test_stream_index_documents_matches_rebuild(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         TI.build_text_index(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_stream_minhash_store_matches_rebuild(spark):
+    """Signature store built from half the corpus + the other half
+    STREAMED in equals the one-shot full build, band key for band key;
+    the incremental probe then sees streamed docs as corpus members."""
+    from dqe_spark.sources import minhash_store as MS
+    from dqe_spark.streaming.ingest import stream_dedup_index_documents
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    p = MS._store_dir(SF_SMOKE)
+
+    def snapshot():
+        return sorted(
+            (r["doc_id"], r["band"], r["key"])
+            for r in spark.read.parquet(str(p)).collect()
+        )
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streammh_"))
+    landing, ckpt = tmp / "landing", tmp / "ckpt"
+    landing.mkdir()
+    try:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)
+        want = snapshot()
+
+        MS.build_minhash_store(
+            spark, SF_SMOKE, docs=docs.where(F.col("doc_id") < cut), force=True
+        )
+        docs.where(F.col("doc_id") >= cut).write.mode("overwrite").parquet(
+            str(landing)
+        )
+        q = (
+            stream_dedup_index_documents(spark, str(landing), SF_SMOKE, str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert snapshot() == want
+        sh = spark.read.parquet(str(p / "_shingles"))
+        assert sh.count() == docs.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)  # restore

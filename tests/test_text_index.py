@@ -223,3 +223,4 @@ def test_phrase_search_positions(spark):
             TI.phrase_search(spark, SF_SMOKE, "hash")
     finally:
         TI.build_text_index(spark, SF_SMOKE, force=True)  # restore corpus index
+
