@@ -397,3 +397,55 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def hamming_neardup_pairs(
+    sig: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 64,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    sig_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate pairs under hamming distance over an arbitrary
+    integer signature column (dHash, simhash64, …) — the pigeonhole
+    banding of simhash_neardup_pairs generalized: with
+    bands > max_hamming any qualifying pair agrees on at least one
+    band, so candidates come from an equi-join (linear per bucket) and
+    the banding is EXACT, never all-pairs. Output (id_i, id_j,
+    hamming)."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the banded candidates to be exact"
+        )
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
+    bits_per = bits // bands
+    mask = (1 << bits_per) - 1
+    # posexplode carries the band index alongside the band value, so
+    # the join key (band, k) never conflates equal values from
+    # different bit ranges
+    lf = sig.select(
+        id_col,
+        F.col(sig_col).alias("__s"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sig_col), b * bits_per)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "k"),
+    )
+    a = lf.select(F.col(id_col).alias("id_i"), F.col("__s").alias("sa"), "band", "k")
+    b = lf.select(F.col(id_col).alias("id_j"), F.col("__s").alias("sb"), "band", "k")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        a.join(b, ["band", "k"])
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

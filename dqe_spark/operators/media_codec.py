@@ -521,3 +521,28 @@ def decimate_wav(data: bytes, every_n: int) -> bytes:
         raise MediaDecodeError(f"decimation {every_n} exceeds sample rate {sr}")
     frames = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)[::every_n]
     return encode_wav(frames.reshape(-1), sample_rate=rate, channels=ch)
+
+
+def image_dhash(data: bytes, method: str = "nearest") -> int:
+    """Perceptual difference hash (dHash) of a PNG/BMP payload: the
+    image's luma downscales to 9×8 and each bit records whether a
+    pixel is brighter than its left neighbor — 64 bits, robust to
+    re-encoding and small edits, the standard cheap image-dedup
+    signature. Integer end to end (truncating channel mean, integer
+    resize index map, strict > comparison), so hashes are
+    bit-deterministic everywhere. Returned as a SIGNED 64-bit value
+    (two's complement) to match BIGINT storage."""
+    if data[:8] == _PNG_SIG:
+        d = decode_png(data)
+    elif data[:2] == b"BM":
+        d = decode_bmp(data)
+    else:
+        raise MediaDecodeError("dhash supports PNG/BMP payloads")
+    px = d["pixels"]
+    luma = (px.astype(np.uint32).sum(axis=2) // px.shape[2]).astype(np.uint8)
+    small = resize_pixels(luma, 9, 8, method)[:, :, 0].astype(np.int32)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | int(small[y, x + 1] > small[y, x])
+    return bits - (1 << 64) if bits >= (1 << 63) else bits

@@ -309,3 +309,28 @@ def resample_audio(df: DataFrame, every_n: int) -> DataFrame:
         "doc_id long, content binary, media_type string, "
         "sample_rate long, n_samples long, error string",
     )
+
+
+def image_dhashes(
+    df: DataFrame, method: str = "nearest"
+) -> DataFrame:
+    """Perceptual dHash per image row (media_codec.image_dhash) —
+    Arrow-batched, error-honest like the other media operators; the
+    input to hamming-banded image dedup (dedup.hamming_neardup_pairs)."""
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    rows.append((did, mc.image_dhash(bytes(content), method), None))
+                except mc.MediaDecodeError as e:
+                    rows.append((did, None, str(e)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash", "error"])
+
+    return spread(df.select("doc_id", "content")).mapInPandas(
+        batches, "doc_id long, dhash long, error string"
+    )

@@ -2370,3 +2370,65 @@ def corpus_quality_gates(spark, sf_dir):
         d, min_tokens=20, max_tokens=80, langs=("en",),
         min_quality_e4=1500, max_dup3_bp=0,
     )
+
+
+@q(
+    "image_dedup_dhash",
+    r"""
+WITH b AS (
+  SELECT doc_id, y, x,
+         CASE WHEN (3*doc_id + 194*x + 194 + 106*y) % 256
+                   > (3*doc_id + 194*x + 106*y) % 256
+              THEN 1 ELSE 0 END AS bit
+  FROM documents, range(8) ty(y), range(8) tx(x)
+), h AS (
+  SELECT doc_id,
+         sum(CAST(bit AS HUGEINT)
+             * (CAST(1 AS HUGEINT) << CAST((7-y)*8 + (7-x) AS INTEGER))) AS u
+  FROM b GROUP BY doc_id
+), s AS (
+  SELECT doc_id,
+         CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                   THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT)
+           AS dhash
+  FROM h
+)
+SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+""",
+)
+def image_dedup_dhash(spark, sf_dir):
+    """Perceptual image dedup, chain-verified: per-doc 18x16 gradient
+    PNGs (pixel = (3·doc_id + 97x + 53y) % 256) are decoded, luma'd,
+    resized 9x8 and dHashed ENGINE-SIDE, then paired by exact
+    pigeonhole hamming banding — while the oracle derives every hash
+    bit in closed form (nearest resize doubles the gradient steps) and
+    does the all-pairs hamming directly. A hash match pins decode,
+    resize index map, dHash bit order, signed packing, AND the banded
+    candidate generation at once (media_codec.image_dhash,
+    multimodal.image_dhashes, dedup.hamming_neardup_pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.dedup import hamming_neardup_pairs
+    from dqe_spark.operators.multimodal import image_dhashes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                yy, xx = np.mgrid[0:16, 0:18]
+                px = ((3 * int(doc_id) + 97 * xx + 53 * yy) % 256).astype(
+                    np.uint8
+                )
+                recs.append((int(doc_id), mc.encode_png(px)))
+            yield pd.DataFrame(recs, columns=["doc_id", "content"])
+
+    bin_df = d.mapInPandas(synth, "doc_id long, content binary")
+    sig = image_dhashes(bin_df).select("doc_id", "dhash")
+    return hamming_neardup_pairs(sig, max_hamming=2)

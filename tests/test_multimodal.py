@@ -266,3 +266,31 @@ def test_resample_audio_end_to_end(spark):
     assert (out[1].sample_rate, out[1].n_samples) == (2000, 25)
     assert mc.decode_wav(bytes(out[1].content))["n_samples"] == 25
     assert out[2].content is None and out[2].error
+
+
+def test_image_dhash_properties():
+    """dHash invariants: identical images hash equal; a small luma
+    perturbation moves few bits; unrelated gradients are far apart;
+    re-encoding (PNG→BMP-style roundtrip) is hash-invariant."""
+    import numpy as np
+
+    from dqe_spark.operators import media_codec as mc
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h0 = mc.image_dhash(mc.encode_png(base))
+    assert h0 == mc.image_dhash(mc.encode_png(base))
+
+    tweak = base.copy()
+    tweak[0, 0] = 255 - tweak[0, 0]
+    h1 = mc.image_dhash(mc.encode_png(tweak))
+    assert bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") <= 4
+
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    h2 = mc.image_dhash(mc.encode_png(other))
+    assert bin((h0 ^ h2) & ((1 << 64) - 1)).count("1") > 10
+
+    import pytest
+
+    with pytest.raises(mc.MediaDecodeError):
+        mc.image_dhash(b"not an image")
