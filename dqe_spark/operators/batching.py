@@ -133,6 +133,55 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks with overlap —
+    the per-document counterpart of ``pack_sequences`` (RAG indexing
+    and long-context pretraining both consume this shape: windows of
+    ``size`` tokens advancing by ``size − overlap``).
+
+    Chunk ``i`` covers tokens [i·stride, i·stride + size); the last
+    chunk is the first one whose window reaches the end of the
+    document, so every token is covered and no chunk starts past the
+    end. A document with n ≤ size tokens yields exactly one chunk.
+
+    Output: (id, chunk_id, tok_start, chunk_tokens, chunk_text).
+
+    Plan shape: MAP-ONLY — tokenize, compute the chunk count
+    arithmetically, explode a 0..n_chunks−1 sequence, and slice the
+    token array per chunk. No shuffle, no window; output rows are
+    produced in the same partition that read the document, so the
+    operator scales linearly with corpus bytes. The explode fan-out is
+    bounded by n/stride per document (a 100k-token doc at the default
+    stride is ~450 rows), and the text column is read once.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    stride = size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.expr(f"CAST((size(__toks) - {overlap} + {stride - 1}) DIV {stride} AS INT)")
+    )
+    d = d.withColumn("__i", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    start = F.col("__i") * stride
+    return d.select(
+        id_col,
+        F.col("__i").cast("long").alias("chunk_id"),
+        start.cast("long").alias("tok_start"),
+        F.least(F.lit(size), n - start).cast("long").alias("chunk_tokens"),
+        F.array_join(F.slice("__toks", start + 1, F.lit(size)), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     strata: str = "source",

@@ -1232,6 +1232,40 @@ def batch_mixture_weights(spark, sf_dir):
     return batching.mixture_weights(d, strata="source")
 
 
+@q(
+    "corpus_chunk",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE (len(toks) - 8 + 23) // 24 END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks, n, unnest(range(n_chunks)) AS i FROM c
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 24 AS BIGINT) AS tok_start,
+       CAST(least(32, n - i * 24) AS BIGINT) AS chunk_tokens,
+       array_to_string(toks[CAST(i * 24 + 1 AS BIGINT):CAST(i * 24 + 32 AS BIGINT)], ' ')
+         AS chunk_text
+FROM e
+""",
+)
+def corpus_chunk(spark, sf_dir):
+    """Fixed-size token chunking with overlap (32/8 — sized so the
+    synthetic docs, max ~100 tokens, actually straddle chunks): each document
+    explodes into its context windows, chunk text materialized by
+    slicing the token array — map-only, no shuffle
+    (operators/batching.chunk_documents)."""
+    from dqe_spark.operators import batching
+
+    d = load_table(spark, sf_dir, "documents")
+    return batching.chunk_documents(d, size=32, overlap=8)
+
+
 @q("knn_pq")  # rows-only: learned codebooks (iterative k-means) are not
 # SQL-expressible; exactness of the ADC plumbing and recall are
 # pytest-verified against brute force (tests/test_similarity.py)

@@ -90,3 +90,48 @@ def test_pack_window_never_carries_text(spark):
         if any(op in ln for op in ("Window", "Sort", "Exchange"))
     ]
     assert shuffle_ops and all("text#" not in ln for ln in shuffle_ops), plan
+
+
+def test_chunk_documents_tiling(spark):
+    """Chunks tile each document: chunk i starts at i*stride, every
+    token is covered, consecutive chunks overlap by exactly `overlap`
+    (except a shorter final chunk), and rejoining the chunk texts with
+    the overlap removed reconstructs the token stream."""
+    from dqe_spark.operators.batching import chunk_documents
+
+    out = chunk_documents(_docs(spark), size=32, overlap=8)
+    rows = out.orderBy("doc_id", "chunk_id").collect()
+    docs = {r.doc_id: r.text.strip().split() for r in _docs(spark).collect()}
+    per = {}
+    for r in rows:
+        per.setdefault(r.doc_id, []).append(r)
+    assert per.keys() == docs.keys()
+    for doc_id, chunks in per.items():
+        toks = docs[doc_id]
+        n = len(toks)
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.tok_start == i * 24
+            assert c.chunk_tokens == min(32, n - c.tok_start)
+            assert c.chunk_text.split() == toks[c.tok_start : c.tok_start + 32]
+        last = chunks[-1]
+        # full coverage: the last chunk reaches the end of the doc
+        assert last.tok_start + last.chunk_tokens == n
+        # no chunk starts at-or-past the end
+        assert all(c.tok_start < n for c in chunks)
+
+
+def test_chunk_documents_single_chunk_and_args(spark):
+    from dqe_spark.operators.batching import chunk_documents
+    import pytest
+
+    one = chunk_documents(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        size=8,
+        overlap=2,
+    ).collect()
+    assert len(one) == 1 and one[0].chunk_tokens == 3 and one[0].chunk_text == "a b c"
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark), size=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark), size=8, overlap=-1)
