@@ -10,7 +10,7 @@ they pipeline with the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny English stopword set for the n-gram/stopword language heuristic
@@ -547,4 +547,60 @@ def quality_gates(
     return sig.select(
         id_col, "n_tokens", "lang_pred", "quality_e4", "dup3_bp",
         verdict.alias("verdict"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF — per-document
+    keyword extraction over the whole corpus (the per-doc complement
+    of BM25, which ranks documents for one query).
+
+    Token rule matches the inverted index (lowercase, [a-z0-9] runs).
+    Scoring stays in the INTEGER domain so both engines rank
+    identically: idf is BM25's rational form (N − df + ½)/(df + ½)
+    without the log (log's last-bit noise diverges cross-engine on ~8%
+    of inputs — measured for bm25_search), and
+
+        score_e6 = tf · (2N − 2df + 1) · 10⁶ div (2df + 1)
+
+    is one exact floor division (fits a long up to N ≈ 4·10¹⁰ at
+    tf ≤ 100; beyond that drop the 10⁶ scale or go DECIMAL). Ties
+    break on term asc, so top-k membership is fully deterministic.
+
+    Plan shape: explode → (id, term) groupBy for tf (partial agg
+    absorbs the fan-out), a vocabulary-sized groupBy for df, an
+    AQE-sized join of tf against the vocab table (no broadcast hint —
+    a 100 TB corpus's vocabulary may not broadcast), a 1-row count
+    cross-joined broadcast, and a per-document window whose partitions
+    are bounded by each doc's distinct-term count.
+
+    Output: (id, rk, term, score_e6).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    tk = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = tk.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.expr("(tf * (2 * n_docs - 2 * df + 1) * 1000000) DIV (2 * df + 1)"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select(id_col, "rk", "term", "score_e6")
     )

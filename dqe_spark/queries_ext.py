@@ -1233,6 +1233,43 @@ def batch_mixture_weights(spark, sf_dir):
 
 
 @q(
+    "text_tfidf_top3",
+    r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), s AS (
+  SELECT doc_id, term,
+         CAST((tf * (2 * n_docs - 2 * df + 1) * 1000000) // (2 * df + 1)
+              AS BIGINT) AS score_e6
+  FROM tf JOIN dft USING (term) CROSS JOIN nd
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score_e6
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_e6 DESC, term ASC) AS rk
+  FROM s
+)
+WHERE rk <= 3
+""",
+)
+def text_tfidf_top3(spark, sf_dir):
+    """Per-document top-3 salient terms by TF-IDF with BM25's rational
+    idf in exact e6 integer units — deterministic cross-engine ranking,
+    ties broken by term (operators/text.tfidf_top_terms)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=3)
+
+
+@q(
     "corpus_chunk",
     r"""
 WITH t AS (

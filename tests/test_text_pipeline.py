@@ -205,3 +205,31 @@ def test_quality_gates_verdict_order(spark):
     # signals are auditable
     assert out[3].lang_pred == "unk" and out[5].lang_pred == "en"
     assert out[4].dup3_bp > 0
+
+
+def test_tfidf_rare_terms_outrank_common(spark):
+    """At equal tf, a rarer term (lower df) must score strictly higher;
+    ties break alphabetically; rk is dense 1..k per doc."""
+    from dqe_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta common common"),
+            (2, "alpha gamma common common"),
+            (3, "common common common delta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, k=3).orderBy("doc_id", "rk").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_e6 for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # beta/gamma/delta are df=1; 'common' is df=3 and tf-heavy, but idf
+    # dominates: the unique term must rank first in each doc
+    assert by_doc[1][0].term == "beta"
+    assert by_doc[2][0].term == "gamma"
+    assert by_doc[3][0].term == "delta"
