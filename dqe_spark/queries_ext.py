@@ -2503,3 +2503,83 @@ def image_dedup_dhash(spark, sf_dir):
     bin_df = d.mapInPandas(synth, "doc_id long, content binary")
     sig = image_dhashes(bin_df).select("doc_id", "dhash")
     return hamming_neardup_pairs(sig, max_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# Alerting: threshold-for-duration rules + SLO burn rate
+# ---------------------------------------------------------------------------
+
+_AVG4_W5M = _AVG4_W.replace("// 60000) * 60000", "// 300000) * 300000")
+
+
+@q(
+    "alerts_sustained_5m",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W5M
+    + """
+, b AS (
+  SELECT metric, wts, value,
+         wts - row_number() OVER (PARTITION BY metric ORDER BY wts) * 300000
+           AS island
+  FROM w WHERE value > 50.0
+)
+SELECT metric,
+       min(wts) AS start_wts,
+       CAST(min(wts) + 600000 AS BIGINT) AS fire_wts,
+       max(wts) AS end_wts,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       max(value) AS peak
+FROM b GROUP BY metric, island
+HAVING count(*) >= 3
+""",
+)
+def alerts_sustained_5m(spark, sf_dir):
+    """Prometheus-style `avg > 50 FOR 15m` over 5-minute windows:
+    firing intervals via gaps-and-islands, one shuffle total
+    (operators/alerts.threshold_alerts — the (metric, island) groupBy
+    reuses the row_number window's hash distribution)."""
+    from dqe_spark.operators.alerts import threshold_alerts
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(load_metrics(spark, sf_dir), 300_000, agg_avg("value"), "value")
+    return threshold_alerts(w, threshold=50.0, for_windows=3, step_ms=300_000)
+
+
+@q(
+    "alerts_slo_burn",
+    _P
+    + """
+, f AS (
+  SELECT ts_ms - ts_ms % 300000 AS wts,
+         CAST((10000 * sum(CASE WHEN metric = 'events.error' THEN 1 ELSE 0 END))
+              // count(*) AS BIGINT) AS err_bp_fast
+  FROM metrics GROUP BY 1
+), s AS (
+  SELECT ts_ms - ts_ms % 3600000 AS slow_wts,
+         CAST((10000 * sum(CASE WHEN metric = 'events.error' THEN 1 ELSE 0 END))
+              // count(*) AS BIGINT) AS err_bp_slow
+  FROM metrics GROUP BY 1
+)
+SELECT wts, err_bp_fast, err_bp_slow,
+       CAST((100 * err_bp_fast) // 2000 AS BIGINT) AS burn_fast_e2,
+       CAST((100 * err_bp_slow) // 2000 AS BIGINT) AS burn_slow_e2
+FROM f JOIN s ON wts - wts % 3600000 = slow_wts
+WHERE (100 * err_bp_fast) // 2000 >= 120
+  AND (100 * err_bp_slow) // 2000 >= 120
+""",
+)
+def alerts_slo_burn(spark, sf_dir):
+    """Multi-window SLO burn-rate alert (SRE-workbook fast/slow
+    pattern): 5m error-ratio spike confirmed by the containing 1h
+    ratio, both in integer basis points / hundredths-of-burn
+    (operators/alerts.slo_burn_rate; budget 2000 bp, burn >= 1.2x)."""
+    from dqe_spark.operators.alerts import slo_burn_rate
+    from dqe_spark.sources.metric_store import load_metrics
+
+    return slo_burn_rate(
+        load_metrics(spark, sf_dir),
+        error_metric="events.error",
+        budget_bp=2000,
+        threshold_e2=120,
+    )
