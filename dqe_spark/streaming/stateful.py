@@ -190,6 +190,95 @@ def _make_cusum_fn(kappa4: int, h4: int, k: int):
     return fn
 
 
+A_OUT_SCHEMA = (
+    "metric string, start_wts long, fire_wts long, end_wts long, "
+    "n_windows long, peak double"
+)
+#: the open run per series: first/last breached window, run length,
+#: worst value so far (max in `above` mode, min otherwise)
+A_STATE_SCHEMA = "start_wts long, last_wts long, n long, peak double"
+
+
+def _make_alert_fn(threshold: float, for_windows: int, step_ms: int, above: bool):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (metric,) = key
+        run = list(state.get) if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values("wts")
+        closed = []
+
+        def close():
+            nonlocal run
+            if run and run[2] >= for_windows:
+                closed.append(
+                    (
+                        metric,
+                        run[0],
+                        run[0] + (for_windows - 1) * step_ms,
+                        run[1],
+                        run[2],
+                        run[3],
+                    )
+                )
+            run = None
+
+        for wts, v in zip(pdf["wts"].to_numpy(), pdf["value"].to_numpy()):
+            wts, v = int(wts), float(v)
+            breach = v > threshold if above else v < threshold
+            if not breach:
+                close()
+                continue
+            if run and wts == run[1] + step_ms:
+                run[1], run[2] = wts, run[2] + 1
+                run[3] = max(run[3], v) if above else min(run[3], v)
+            else:
+                close()  # a window gap breaks the run, like batch islands
+                run = [wts, wts, 1, v]
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "metric", "start_wts", "fire_wts", "end_wts",
+                    "n_windows", "peak",
+                ],
+            )
+        if run:
+            state.update(tuple(run))
+        elif state.exists:
+            state.remove()
+
+    return fn
+
+
+def stream_threshold_alerts(
+    windows: DataFrame,
+    threshold: float,
+    for_windows: int,
+    step_ms: int,
+    above: bool = True,
+) -> DataFrame:
+    """Streaming `expr > t FOR d` rule over windowed points (metric,
+    wts, value): the live twin of operators/alerts.threshold_alerts.
+    Emits one row per RESOLVED firing interval — the moment a
+    non-breach or a window gap ends a run of >= for_windows
+    consecutive breached windows (same islands semantics as batch, so
+    a drained stream whose runs all resolve matches the batch operator
+    bit-for-bit — asserted in tests, including across a checkpointed
+    restart). State per series is the open run: 3 longs + 1 double."""
+    return (
+        windows.select("metric", "wts", "value")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _make_alert_fn(threshold, for_windows, step_ms, above),
+            outputStructType=A_OUT_SCHEMA,
+            stateStructType=A_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_cusum(
     metrics: DataFrame, kappa: float = 25.0, h: float = 250.0, k: int = 96
 ) -> DataFrame:

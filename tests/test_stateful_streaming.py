@@ -267,3 +267,72 @@ def test_stream_cusum_matches_batch_operator(spark, tmpdirs):
     assert got == want
     # the level shift in rows2 must actually alarm
     assert any(a for (_, _, a) in got.values())
+
+
+def test_stream_threshold_alerts_matches_batch(spark, tmpdirs):
+    """Drained streaming alert rule == batch threshold_alerts when all
+    runs resolve, with a run spanning the batch boundary (restart with
+    the open run in state). Schema note: these frames carry (metric,
+    wts, value) — windowed points, not raw ts_ms."""
+    from dqe_spark.operators.alerts import threshold_alerts
+    from dqe_spark.streaming.stateful import stream_threshold_alerts
+
+    landing, out, ckpt = tmpdirs
+    step = 1000
+    # m.a: run of 4 split 2+2 across the restart, resolved in batch 2;
+    #      then a too-short run (1), also resolved.
+    # m.b: a gap (3000 -> 5000) splits breaches into runs of 2 and 2,
+    #      only... for_windows=2 so BOTH fire; second resolves at 7000.
+    rows1 = [
+        ("m.a", 1000, 9.0), ("m.a", 2000, 9.5),
+        ("m.b", 2000, 7.0), ("m.b", 3000, 7.5),
+    ]
+    rows2 = [
+        ("m.a", 3000, 8.0), ("m.a", 4000, 8.5), ("m.a", 5000, 1.0),
+        ("m.a", 6000, 9.0), ("m.a", 7000, 0.5),
+        ("m.b", 5000, 6.5), ("m.b", 6000, 6.0), ("m.b", 7000, 0.0),
+    ]
+
+    def drain():
+        src = (
+            spark.readStream.schema("metric string, wts long, value double")
+            .parquet(str(landing))
+        )
+        q = (
+            stream_threshold_alerts(src, threshold=5.0, for_windows=2,
+                                    step_ms=step)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def _w(rows):
+        landing.mkdir(parents=True, exist_ok=True)
+        pdf = spark.createDataFrame(
+            rows, "metric string, wts long, value double"
+        ).toPandas()
+        n = len(list(landing.glob("*.parquet")))
+        pdf.to_parquet(landing / f"batch{n}.parquet", index=False)
+
+    _w(rows1)
+    drain()
+    _w(rows2)  # restart: m.a's and m.b's open runs live in state
+    drain()
+
+    key = lambda r: (r["metric"], r["start_wts"])  # noqa: E731
+    cols = ("metric", "start_wts", "fire_wts", "end_wts", "n_windows", "peak")
+    got = {key(r): tuple(r[c] for c in cols)
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        rows1 + rows2, "metric string, wts long, value double"
+    )
+    want = {key(r): tuple(r[c] for c in cols)
+            for r in threshold_alerts(batch, threshold=5.0, for_windows=2,
+                                      step_ms=step).collect()}
+    assert got == want and got
+    # the cross-restart m.a run is one interval 1000..4000, peak 9.5
+    assert got[("m.a", 1000)] == ("m.a", 1000, 2000, 4000, 4, 9.5)
