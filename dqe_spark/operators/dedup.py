@@ -449,3 +449,100 @@ def hamming_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def substring_dedup_stats(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication report per document: how much of
+    each doc is covered by token k-grams that also occur in ANOTHER
+    document (the doc-level readout of exact-substring dedup a la Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better" — theirs marks 50-token spans via a suffix array; the
+    Spark-native equivalent is k-gram hashing, which needs no global
+    sorted structure and shuffles on uniform md5 keys).
+
+    Pipeline (one narrow pass + two hash shuffles, never all-pairs):
+      1. map-only: tokens (index token rule: lowercase [a-z0-9] runs)
+         -> positional k-gram md5s via transform over the token array;
+      2. grams with >= 2 distinct docs (groupBy gram; md5 keys are
+         uniform, so no skew);
+      3. semi-join doc-gram occurrences against the duplicated-gram
+         set (AQE picks the strategy; the dup-gram side shrinks with
+         corpus quality);
+      4. merge overlapping/adjacent covered intervals [p, p+k-1] per
+         doc: sorted by start and all equal length, a new span begins
+         exactly when p > lag(p) + k — one window pass, and the
+         (id, island) groupBy reuses the window's hash(id)
+         distribution (no extra Exchange).
+
+    Output: (id, n_tokens, dup_tokens, dup_bp, n_spans) for EVERY
+    input doc — clean docs report zeros, so the result doubles as a
+    corpus-quality report (dup_bp = 10000*dup_tokens div n_tokens).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("n_tokens")
+    )
+    grams = base.where(F.col("n_tokens") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
+                ),
+            )
+        ).alias("p", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    spans = (
+        hits.withColumn("__lag", F.lag("p").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__lag").isNull() | (F.col("p") > F.col("__lag") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__island")
+        .agg((F.max("p") - F.min("p") + k).alias("__len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__len").cast("long").alias("dup_tokens"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(spans, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN "
+                "(10000 * coalesce(dup_tokens, 0)) div n_tokens ELSE 0 END"
+            )
+            .cast("long")
+            .alias("dup_bp"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+    )
