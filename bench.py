@@ -139,6 +139,8 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record first (humans / files redirect the whole stream)...
     print(
         json.dumps(
             {
@@ -147,10 +149,27 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "rows": rows,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    # ...then a compact summary LAST: the driver keeps only the final
+    # ~2000 chars of stdout, so the last line must be a complete JSON
+    # document on its own. Keep it under that budget — include the
+    # per-query timings only if they fit, else just the suite wall.
+    compact = {
+        "metric": "headline-suite-wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(times),
+        "queries": times,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -174,7 +174,19 @@ def centroid_confusion(
 
     Exactness: e6/c6 are exact BIGINTs, dist² sums of their squared
     differences — identical integers on both engines, so the
-    confusion counts are hash-exact against a relational oracle."""
+    confusion counts are hash-exact against a relational oracle.
+
+    Labels must be an integral column: the collected centroids are
+    inlined into SQL text as bare literals, which is only injection-
+    and resolution-safe for ints (a string label would generate
+    identifiers, not values). Enforced up front."""
+    lbl_type = dict(emb.dtypes)[label]
+    if lbl_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"centroid_confusion requires an integral label column; "
+            f"{label!r} is {lbl_type}. Map string labels to dense ints "
+            f"first (e.g. dense_rank over distinct labels)."
+        )
     e = emb.select(
         F.col(label).alias("label"), F.posexplode(v).alias("pos", "__e")
     ).select("label", "pos", F.expr(_E6).cast(_DEC).alias("e6"))

@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Repartition ``df`` to ``factor × defaultParallelism`` iff it
-    currently has fewer partitions than that — otherwise unchanged.
+    """Repartition ``df`` to ``factor × defaultParallelism`` iff its
+    estimated input parallelism is below that — otherwise unchanged.
 
     Call this at the START of a compute-bound operator, on the raw
     source (before persist, so the cached blocks land spread out).
@@ -31,8 +31,22 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
         # no static partition count to inspect; micro-batch sizing is
         # the stream source's job (maxFilesPerTrigger etc.)
         return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    # Estimate the scan's parallelism WITHOUT df.rdd (which converts
+    # the whole plan to an RDD on the driver per call): input-file
+    # count bounds the split count from below, and Catalyst's
+    # optimized-plan size estimate over maxPartitionBytes bounds the
+    # byte-range splitting. Unknown stats come back enormous, which
+    # correctly reads as "plenty of input — leave it alone".
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+        est = max(len(df.inputFiles()), -(-size // max(max_pb, 1)))
+    except Exception:  # non-JVM backends (Spark Connect): be conservative
+        est = target
+    if est < target:
         return df.repartition(target)
     return df

@@ -568,9 +568,12 @@ def tfidf_top_terms(
 
         score_e6 = tf · (2N − 2df + 1) · 10⁶ div (2df + 1)
 
-    is one exact floor division (fits a long up to N ≈ 4·10¹⁰ at
-    tf ≤ 100; beyond that drop the 10⁶ scale or go DECIMAL). Ties
-    break on term asc, so top-k membership is fully deterministic.
+    is one exact floor division. The numerator is computed in
+    DECIMAL(38,0) (like bm25_search's rational idf) so it cannot
+    silently wrap a 64-bit long on a huge corpus (tf·N products pass
+    ~9.2·10¹⁸ around N ≈ 4·10¹⁰ at tf ≤ 100); the quotient itself
+    always fits a long because score_e6 ≤ tf · 2N · 10⁶. Ties break
+    on term asc, so top-k membership is fully deterministic.
 
     Plan shape: explode → (id, term) groupBy for tf (partial agg
     absorbs the fan-out), a vocabulary-sized groupBy for df, an
@@ -593,7 +596,11 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score_e6",
-            F.expr("(tf * (2 * n_docs - 2 * df + 1) * 1000000) DIV (2 * df + 1)"),
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * (2 * n_docs - 2 * df + 1)"
+                " * 1000000 AS DECIMAL(38,0))"
+                " DIV CAST(2 * df + 1 AS DECIMAL(38,0))"
+            ),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

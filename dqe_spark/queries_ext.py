@@ -1983,8 +1983,8 @@ SELECT t.doc_id, top2.gram AS top2_gram, CAST(top2.cnt AS BIGINT) AS top2_cnt,
          AS top2_char_frac,
        CAST(dup3 AS DOUBLE) / CAST(total3 AS DOUBLE) AS dup3_frac
 FROM t
-JOIN top2 ON top2.doc_id = t.doc_id AND top2.rn = 1
-JOIN d3 ON d3.doc_id = t.doc_id
+LEFT JOIN top2 ON top2.doc_id = t.doc_id AND top2.rn = 1
+LEFT JOIN d3 ON d3.doc_id = t.doc_id
 """,
 )
 def text_repetition(spark, sf_dir):

@@ -119,15 +119,31 @@ def build_minhash_store(
 def merge_minhash_increment(
     spark: SparkSession, sf_dir: str, new_docs: DataFrame
 ) -> Path:
-    """Fold new documents into the store: touched bb buckets rewrite as
-    existing ∪ new (distinct), shingle sets append — the same
-    idempotent at-least-once contract as the text-index merge."""
+    """Fold new documents into the store with LAST-WRITE-WINS per
+    doc_id: a re-landed doc's OLD rows are anti-joined out of both the
+    band store and the shingle sidecar before the new rows union in,
+    so re-landing a doc whose text changed leaves no stale band keys
+    and a deterministic shingle set (write order no longer matters;
+    an unchanged re-land is still absorbed bit-identically).
+
+    Cost shape: finding the old rows' buckets needs one column-pruned
+    (doc_id, bb) scan of the band store — read-proportional but
+    map-only; the REWRITE is still only the touched buckets (new keys'
+    buckets ∪ re-landed docs' old buckets) via dynamic partition
+    overwrite. Increments are small by contract, so the incoming
+    doc_id set broadcasts."""
     build_minhash_store(spark, sf_dir, docs=new_docs)
     p = _store_dir(sf_dir)
     inc = _bands_of(shingle_sets(spread(new_docs)))
-    touched = inc.select("bb").distinct()
-    existing = spark.read.parquet(str(p)).join(
-        F.broadcast(touched), "bb", "left_semi"
+    new_ids = new_docs.select("doc_id").distinct()
+    stored = spark.read.parquet(str(p))
+    stale_bb = stored.join(F.broadcast(new_ids), "doc_id", "left_semi").select(
+        "bb"
+    )
+    touched = inc.select("bb").unionByName(stale_bb).distinct()
+    existing = (
+        stored.join(F.broadcast(touched), "bb", "left_semi")
+        .join(F.broadcast(new_ids), "doc_id", "left_anti")
     )
     merged = (
         existing.select("doc_id", "band", "key", "bb")
@@ -146,6 +162,7 @@ def merge_minhash_increment(
     sh_path = p / "_shingles"
     sh = (
         spark.read.parquet(str(sh_path))
+        .join(F.broadcast(new_ids), "doc_id", "left_anti")
         .unionByName(shingle_sets(spread(new_docs)))
         .dropDuplicates(["doc_id"])
         .localCheckpoint(eager=True)

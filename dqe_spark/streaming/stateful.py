@@ -280,7 +280,7 @@ def stream_threshold_alerts(
 
 
 def stream_cusum(
-    metrics: DataFrame, kappa: float = 25.0, h: float = 250.0, k: int = 96
+    metrics: DataFrame, kappa: float = 0.5, h: float = 4.0, k: int = 96
 ) -> DataFrame:
     """Streaming CUSUM drift chart: each point's two-sided drift sums
     over its k-tail, the live twin of operators/anomaly.cusum (same

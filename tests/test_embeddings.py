@@ -66,6 +66,18 @@ def test_centroid_confusion(spark):
     assert got == {(0, 0): 2, (0, 1): 1, (1, 1): 1}
 
 
+def test_centroid_confusion_rejects_string_labels(spark):
+    """String labels would inline as bare identifiers in the generated
+    SQL — refused up front with a clear remedy."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "label string, embedding array<float>"
+    )
+    with pytest.raises(TypeError, match="integral label"):
+        E.centroid_confusion(df)
+
+
 def test_covariance_matrix(spark):
     """Toy covariance: two samples (1,0) and (0,1) give var .25 per
     dim and cross-covariance -.25."""

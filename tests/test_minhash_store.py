@@ -43,6 +43,38 @@ def test_increment_equals_full_build(spark):
     assert _snapshot(spark, p) == want
 
 
+def test_reland_changed_doc_equals_rebuild(spark):
+    """Re-landing a doc whose TEXT CHANGED is last-write-wins: the
+    merged store equals a from-scratch build over the updated corpus —
+    no stale band keys, deterministic shingle set."""
+    from dqe_spark.sources import minhash_store as MS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = MS._store_dir(SF_SMOKE)
+    victim = docs.orderBy("doc_id").first()["doc_id"]
+    changed = docs.where(F.col("doc_id") == victim).withColumn(
+        "text", F.concat(F.lit("entirely rewritten body now "), F.col("text"))
+    )
+    updated = docs.where(F.col("doc_id") != victim).unionByName(changed)
+    try:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)
+        MS.merge_minhash_increment(spark, SF_SMOKE, changed)
+        got_bands = _snapshot(spark, p)
+        got_sh = sorted(
+            (r["doc_id"], tuple(sorted(r["shs"])))
+            for r in spark.read.parquet(str(p / "_shingles")).collect()
+        )
+        MS.build_minhash_store(spark, SF_SMOKE, docs=updated, force=True)
+        assert got_bands == _snapshot(spark, p)
+        want_sh = sorted(
+            (r["doc_id"], tuple(sorted(r["shs"])))
+            for r in spark.read.parquet(str(p / "_shingles")).collect()
+        )
+        assert got_sh == want_sh
+    finally:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)  # restore
+
+
 def test_probe_finds_planted_neardup(spark):
     from dqe_spark.sources import minhash_store as MS
 
