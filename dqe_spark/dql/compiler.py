@@ -354,11 +354,15 @@ class Compiler:
         tagged_hist_rollups: dict[int, DataFrame] | None = None,
         cache_shared_scans: bool = False,
         dense: bool = False,
+        sf_dir: str | None = None,
     ):
         from dqe_spark.functions.registry import default_registry
 
         self.metrics = metrics
         self.events = events
+        # corpus root for document-store functions (bm25); None
+        # disables them with a plan error rather than a crash
+        self.sf_dir = sf_dir
         self.resolutions = resolutions or {}
         self.now_ms = now_ms if now_ms is not None else int(_time.time() * 1000)
         self.registry = registry if registry is not None else default_registry()
@@ -751,6 +755,8 @@ class Compiler:
 
     def _fcall(self, node: A.FCall, start: int, end: int):
         name = node.name
+        if name == "bm25":
+            return self._bm25(node)
         series = [a for a in node.inputs
                   if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
                                     A.Timeshift, A.Var))]
@@ -820,6 +826,14 @@ class Compiler:
             return self._histogram(sub, consts, node)
         if sub.hist_window_ms is not None:
             return self._hist_reduce(sub, name, consts, node)
+
+        # engine extensions surfaced in the language (the reference's
+        # dqe_fun registry proves custom names plumb through; these are
+        # the operator-layer flagships behind first-class syntax)
+        if name == "zscore":
+            return self._zscore(sub, consts, node)
+        if name in ("alert_above", "alert_below"):
+            return self._alert(sub, name, consts, node)
 
         # timed aggregates (src/dqe.erl:63-87)
         if consts and isinstance(consts[-1], (A.TimeUnit, int)) and (
@@ -1038,6 +1052,101 @@ class Compiler:
             df, ("metric",), wms, unparse(node), has_dims=False,
             maybe_multi=sub.maybe_multi,
         )
+
+    # -- engine-extension functions (beyond the reference surface) -----------
+
+    def _zscore(self, sub: SeriesFrame, consts, node) -> SeriesFrame:
+        """zscore(series, k): each point's rolling z-score vs its k
+        PRECEDING points per series — value becomes the z-score (NULL
+        while history is insufficient or variance is zero). Same plan
+        as operators/anomaly.rolling_zscore: one keyed ordered window,
+        O(1)/row sufficient statistics."""
+        if len(consts) != 1 or not isinstance(consts[0], int) or consts[0] < 2:
+            raise PlanError(
+                "zscore(series, k) needs an integer window count >= 2",
+                "not_found_fun", "zscore", arg_types(node.inputs),
+            )
+        if not sub.keys:
+            raise PlanError("zscore needs a keyed series frame")
+        from dqe_spark.operators.anomaly import rolling_zscore
+
+        z = rolling_zscore(
+            sub.df, k=consts[0], keys=sub.keys, ts="ts_ms",
+            keep=("confidence", "metric_parts", "tags"),
+        )
+        df = z.withColumn("value", F.col("zscore")).drop("zscore")
+        return replace(
+            sub, df=df, label=unparse(node), pristine=False, scan_tag_pred=None
+        )
+
+    def _alert(self, sub: SeriesFrame, name: str, consts, node) -> EventsFrame:
+        """alert_above/alert_below(series, threshold, duration):
+        Prometheus-style `expr > t FOR d` firing intervals — one row
+        per interval (series keys..., start_wts, fire_wts, end_wts,
+        n_windows, peak), via operators/alerts.threshold_alerts
+        (gaps-and-islands, single Exchange). `duration` must be a
+        multiple of the series resolution."""
+        if (
+            len(consts) != 2
+            or not isinstance(consts[0], (int, float))
+            or not isinstance(consts[1], (A.TimeUnit, int))
+        ):
+            raise PlanError(
+                f"{name}(series, threshold, duration)",
+                "not_found_fun", name, arg_types(node.inputs),
+            )
+        if not sub.keys:
+            raise PlanError(f"{name} needs a keyed series frame")
+        dur = _dur_ms(consts[1]) if isinstance(consts[1], A.TimeUnit) else consts[1]
+        if dur < sub.res_ms or dur % sub.res_ms != 0:
+            raise PlanError(
+                f"{name} duration {dur}ms must be a multiple of the "
+                f"series resolution {sub.res_ms}ms"
+            )
+        from dqe_spark.operators.alerts import threshold_alerts
+
+        out = threshold_alerts(
+            sub.df,
+            threshold=float(consts[0]),
+            for_windows=dur // sub.res_ms,
+            step_ms=sub.res_ms,
+            series=sub.keys,
+            ts="ts_ms",
+            above=(name == "alert_above"),
+        )
+        return EventsFrame(out, unparse(node))
+
+    def _bm25(self, node: A.FCall) -> EventsFrame:
+        """bm25('query terms', k): top-k ranked retrieval over the
+        document corpus' inverted text index (sources/text_index
+        .bm25_search — bucket-pruned postings, exact rational-idf
+        integer scoring). The query string tokenizes by the index's
+        own token rule; the statement timeframe does not apply (the
+        corpus is not a time series)."""
+        if self.sf_dir is None:
+            raise PlanError("bm25 needs a document corpus (no sf_dir bound)")
+        args = list(node.inputs)
+        if not args or not isinstance(args[0], A.Var):
+            raise PlanError(
+                "bm25('query terms'[, k])",
+                "not_found_fun", "bm25", arg_types(node.inputs),
+            )
+        k = 20
+        if len(args) == 2:
+            if not isinstance(args[1], int) or args[1] < 1:
+                raise PlanError("bm25 k must be a positive integer")
+            k = args[1]
+        elif len(args) > 2:
+            raise PlanError("bm25('query terms'[, k])")
+        from dqe_spark.sources.text_index import TOKEN_DELIM, bm25_search
+
+        terms = [x for x in re.split(TOKEN_DELIM, args[0].name.lower()) if x]
+        if not terms:
+            raise PlanError(f"bm25 query has no indexable terms: {args[0].name!r}")
+        out = bm25_search(
+            self.metrics.sparkSession, self.sf_dir, terms, k=k
+        )
+        return EventsFrame(out, unparse(node))
 
     def _transform(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:
         if name == "derivate" and not consts:

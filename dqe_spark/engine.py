@@ -105,6 +105,7 @@ def plan(
         tagged_rollups=tagged_rollups,
         tagged_hist_rollups=tagged_hist_rollups,
         dense=dense,
+        sf_dir=sf_dir,
     )
     return comp.compile(ast)
 

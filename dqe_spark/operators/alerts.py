@@ -50,20 +50,23 @@ def threshold_alerts(
     """Firing intervals where `value` breaches `threshold` for at least
     `for_windows` consecutive `step_ms` windows.
 
-    Output: (series, start_wts, fire_wts, end_wts, n_windows, peak) —
-    start of the run, the window at which the rule transitions to
+    Output: (series..., start_wts, fire_wts, end_wts, n_windows, peak)
+    — start of the run, the window at which the rule transitions to
     firing (start + (for_windows-1)*step), end of the run, run length,
     and the worst value seen (max when above=True, else min).
+    ``series`` may be one column name or a sequence of key columns
+    (multi-key frames from GROUP BY tags).
     """
+    series_cols = [series] if isinstance(series, str) else list(series)
     cond = F.col(value) > threshold if above else F.col(value) < threshold
     b = df.where(cond)
-    w = Window.partitionBy(series).orderBy(ts)
+    w = Window.partitionBy(*series_cols).orderBy(ts)
     b = b.withColumn(
         "__island", F.col(ts) - F.row_number().over(w) * F.lit(step_ms)
     )
     peak = F.max(value) if above else F.min(value)
     return (
-        b.groupBy(series, "__island")
+        b.groupBy(*series_cols, "__island")
         .agg(
             F.min(ts).alias("start_wts"),
             F.max(ts).alias("end_wts"),
@@ -75,7 +78,9 @@ def threshold_alerts(
             "fire_wts",
             F.col("start_wts") + F.lit((for_windows - 1) * step_ms),
         )
-        .select(series, "start_wts", "fire_wts", "end_wts", "n_windows", "peak")
+        .select(
+            *series_cols, "start_wts", "fire_wts", "end_wts", "n_windows", "peak"
+        )
     )
 
 

@@ -36,12 +36,15 @@ def rolling_zscore(
     ts: str = "wts",
     v: str = "value",
     min_points: int = 4,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(keys..., ts, value, zscore): each point vs its k predecessors.
+    """(keys..., ts, value, [keep...], zscore): each point vs its k
+    predecessors.
 
     Rows with fewer than ``min_points`` predecessors or zero variance
     get NULL zscore (insufficient history, not "not anomalous" —
-    callers decide)."""
+    callers decide). ``keep`` carries extra columns through unchanged
+    (the DQL frontend threads confidence/dims this way)."""
     w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, -1)
     v4 = F.round(F.col(v) * 10000).cast("decimal(27,0)")
     n = F.count(v).over(w)
@@ -56,7 +59,8 @@ def rolling_zscore(
     z = F.when(
         (n >= min_points) & (sd > 0), F.round((F.col(v) - mu) / sd, 4)
     )
-    return df.select(*keys, ts, v, z.alias("zscore"))
+    extra = [c for c in keep if c in df.columns]
+    return df.select(*keys, ts, v, *extra, z.alias("zscore"))
 
 
 def seasonal_deviation(

@@ -758,3 +758,84 @@ def dql_rollup_where_dc_p90_1h(spark, sf_dir):
         use_rollups=True,
     )
     return res.df.select("metric", "ts_ms", "value")
+
+
+# -- engine extensions surfaced in the language (round 5) -------------------
+# The reference's whole product surface is its query language
+# (src/dql_parser.yrl); these prove the flagship beyond-reference
+# operators ride the same frontend: parse -> compile -> the SAME plan
+# the operator-layer twin builds (asserted in tests/test_dql_e2e.py).
+
+from dqe_spark.queries_ext import ORACLES as EXT_ORACLES
+from dqe_spark.queries_ext import _AVG4_W
+
+
+@q(
+    "dql_zscore",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W
+    + """
+, sc AS (
+  SELECT metric, wts, value,
+         CAST(count(value) OVER win AS DOUBLE) AS n,
+         CAST(sum(CAST(round(value * 10000) AS HUGEINT)) OVER win AS DOUBLE) AS s,
+         CAST(sum(CAST(round(value * 10000) AS HUGEINT) * CAST(round(value * 10000) AS HUGEINT)) OVER win AS DOUBLE) AS ss
+  FROM w
+  WINDOW win AS (PARTITION BY metric ORDER BY wts ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT metric, wts,
+       CASE WHEN n >= 4
+             AND sqrt(greatest((n * ss - s * s) / (n * n) / 100000000.0, 0.0)) > 0
+            THEN round((value - s / n / 10000.0)
+                       / sqrt(greatest((n * ss - s * s) / (n * n) / 100000000.0, 0.0)), 4)
+       END AS zscore
+FROM sc
+""",
+)
+def dql_zscore(spark, sf_dir):
+    """`zscore(series, k)` in the language: rolling z-score of every
+    per-minute window vs its 12 predecessors, across ALL glob-matched
+    series — value becomes the score, NULL while history is short or
+    variance zero (dql/compiler._zscore -> operators/anomaly
+    .rolling_zscore, identical plan to anomaly_zscore_1m's unfiltered
+    stage)."""
+    df = _one(
+        spark,
+        f"SELECT zscore(avg('events'.* BUCKET 'events', 1m), 12) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        "metric", F.col("ts_ms").alias("wts"), F.col("value").alias("zscore")
+    )
+
+
+@q("dql_alert_above", EXT_ORACLES["alerts_sustained_5m"])
+def dql_alert_above(spark, sf_dir):
+    """`alert_above(series, threshold, duration)` in the language:
+    Prometheus-style `avg > 50 FOR 15m` firing intervals over 5-minute
+    windows — the DQL twin of alerts_sustained_5m, one row per
+    interval (dql/compiler._alert -> operators/alerts
+    .threshold_alerts; duration must divide into whole windows)."""
+    df = _one(
+        spark,
+        f"SELECT alert_above(avg('events'.* BUCKET 'events', 5m), 50, 15m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        "metric", "start_wts", "fire_wts", "end_wts", "n_windows", "peak"
+    )
+
+
+@q("dql_bm25", EXT_ORACLES["text_bm25_topk"])
+def dql_bm25(spark, sf_dir):
+    """`bm25('query terms', k)` in the language: top-20 ranked
+    retrieval over the document corpus' inverted index — the DQL twin
+    of text_bm25_topk (dql/compiler._bm25 -> sources/text_index
+    .bm25_search; the query string tokenizes by the index's own token
+    rule, the timeframe does not apply to the corpus)."""
+    df = _one(
+        spark, "SELECT bm25('dup hash join', 20) LAST 1d", sf_dir
+    )
+    return df.select("doc_id", "score")

@@ -357,3 +357,87 @@ def test_group_by_product_half_boundary_rounding(spark, duck):
     )
     duck_round = duck.sql("SELECT round(0.00015::DOUBLE, 4)").fetchall()[0][0]
     assert spark_round == 0.0002 and duck_round == 0.0001
+
+
+# -- round-5 language extensions (zscore / alert_above / bm25) ---------------
+
+
+def test_zscore_matches_operator_twin(spark):
+    """zscore() in the language == rolling_zscore over the same
+    windowed frame, row for row (including NULL warmup rows)."""
+    (res,) = engine.run(
+        spark,
+        "SELECT zscore(avg('events'.'click' BUCKET 'events', 1m), 12) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    assert res.kind == "metrics" and res.resolution_ms == 60_000
+    from dqe_spark.operators.anomaly import rolling_zscore
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(
+        load_metrics(spark, SF_SMOKE), 60_000, agg_avg("value"), "value"
+    ).where("metric = 'events.click'")
+    expect = {
+        (r["metric"], r["wts"], r["zscore"])
+        for r in rolling_zscore(w, k=12).collect()
+    }
+    got = {(m, ts, v) for (_n, m, ts, v) in _rows(res)}
+    assert got == expect
+    assert any(v is None for (_m, _t, v) in got)  # warmup rows survive
+
+
+def test_alert_above_matches_operator_twin(spark):
+    """alert_above() == threshold_alerts with for_windows = dur/res;
+    a duration that does not divide the resolution is a plan error."""
+    (res,) = engine.run(
+        spark,
+        "SELECT alert_above(avg('events'.* BUCKET 'events', 5m), 30, 10m) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    assert res.kind == "events"
+    from dqe_spark.operators.alerts import threshold_alerts
+    from dqe_spark.operators.windows import agg_avg, window_agg
+    from dqe_spark.sources.metric_store import load_metrics
+
+    w = window_agg(load_metrics(spark, SF_SMOKE), 300_000, agg_avg("value"), "value")
+    expect = {
+        tuple(r)
+        for r in threshold_alerts(
+            w, threshold=30.0, for_windows=2, step_ms=300_000
+        ).collect()
+    }
+    got = {t[:-1] for t in _rows(res)}  # drop the trailing name column
+    assert got == expect and got  # smoke data sustains 2 windows
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="multiple"):
+        engine.run(
+            spark,
+            "SELECT alert_above(avg('events'.'click' BUCKET 'events', 5m), 10, 7m) "
+            f"BETWEEN {JAN1} AND {FEB1}",
+            SF_SMOKE,
+        )
+
+
+def test_bm25_in_language(spark):
+    """bm25() == sources/text_index.bm25_search with the query string
+    tokenized by the index rule; an unindexable query is a plan error."""
+    (res,) = engine.run(
+        spark, "SELECT bm25('dup hash join', 5) LAST 1d", SF_SMOKE
+    )
+    assert res.kind == "events"
+    from dqe_spark.sources.text_index import bm25_search
+
+    expect = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(spark, SF_SMOKE, ["dup", "hash", "join"], k=5).collect()
+    ]
+    got = [(d, s) for (d, s, _n) in (tuple(r) for r in res.df.collect())]
+    assert sorted(got) == sorted(expect) and len(got) == 5
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="no indexable terms"):
+        engine.run(spark, "SELECT bm25('!!!', 5) LAST 1d", SF_SMOKE)
