@@ -7,6 +7,8 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
+from tests.conftest import SF_SMOKE
+
 
 def test_readme_counts_match_registry():
     from dqe_spark.entry import all_oracles, all_queries
@@ -40,3 +42,39 @@ def test_priority_prefix_is_stable():
         "PRIORITY changed — the driver's checked prefix would rotate; "
         "revert unless the rotation is deliberate (then update this digest)"
     )
+
+
+def test_rows_only_queries_embed_invariants(spark):
+    """The 6 oracle-less registry queries each embed a deterministic
+    self-check COLUMN (round-4 verdict, next-round #5) so the driver's
+    rows-only record changes when quality regresses — these bounds pin
+    the healthy values at smoke scale."""
+    from dqe_spark.entry import all_queries
+
+    qs = all_queries()
+    sf = SF_SMOKE
+
+    # floors reflect each path's honest recall on the near-random
+    # synthetic embeddings: PQ/served re-rank exact over candidates
+    # (high), IVF probes 2/8 cells so cross-cell neighbors are the
+    # standard miss (lower). A broken quantizer drops all to ~0.
+    for name, floor in (
+        ("knn_ivf_kmeans", 3), ("knn_pq", 7), ("knn_ann_served", 6)
+    ):
+        rows = qs[name](spark, sf).collect()
+        assert len(rows) == 10 and "in_exact_top10" in rows[0].asDict()
+        assert sum(r["in_exact_top10"] for r in rows) >= floor, name
+
+    nd = qs["neardup_ivf"](spark, sf).collect()
+    bps = {r["probe_recall_bp"] for r in nd}
+    assert len(bps) == 1  # constant invariant column
+    assert 1000 <= bps.pop() <= 10000  # cross-cell misses allowed, not collapse
+
+    ru = qs["rollup_distinct_users_1d"](spark, sf).collect()
+    assert all(r["exact_users"] is not None for r in ru)
+    assert max(r["err_bp"] for r in ru) <= 1500  # HLL rsd≈5% → ~3σ bound
+
+    pca = qs["emb_pca_project"](spark, sf).collect()
+    bp = {r["var_explained_bp"] for r in pca}
+    assert len(bp) == 1
+    assert 500 <= bp.pop() <= 10000  # top-8 subspace captures real variance
