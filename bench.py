@@ -92,6 +92,12 @@ def main() -> None:
     spark = get_spark("dqe-spark-bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in EXT_HEADLINE if n in qs]
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to a subset (scaling runs
+    # at larger sf dirs time a hand-picked set, not the full suite)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        want = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in want]
 
     # build the physical metric store (partition-pruned scans); ingest
     # is a pipeline step, not a query — excluded from per-query timing

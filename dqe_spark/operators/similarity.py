@@ -558,3 +558,28 @@ def neardup_ivf_pairs(
         .select("id_i", "id_j", F.round(c, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def neardup_hybrid_pairs(
+    df: DataFrame,
+    threshold: float,
+    planes_matrix: list[list[int]],
+    bands: int = 8,
+    n_clusters: int = 8,
+    iters: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicates from the UNION of both candidate generators:
+    learned IVF cells (data-adaptive — tight buckets where the corpus
+    is dense, but misses cross-cell boundary pairs) and SRP signature
+    bands (data-oblivious — angle-uniform recall regardless of the
+    cluster structure). Each generator verifies its own candidates
+    with the same exact rounded cosine, so the distinct union dedups
+    bit-identically; recall is the union of the two recalls at a
+    candidate budget that stays Σ|cell|² + Σ|bucket|² — never
+    all-pairs. This is the boundary-coverage composition the IVF
+    docstring prescribes."""
+    ivf = neardup_ivf_pairs(df, threshold, n_clusters, iters, vec, id_col)
+    srp = neardup_srp_pairs(df, threshold, planes_matrix, bands, vec, id_col)
+    return ivf.unionByName(srp).distinct()

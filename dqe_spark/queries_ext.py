@@ -1477,6 +1477,14 @@ def neardup_ivf(spark, sf_dir):
     not just a pytest (round-4 verdict, next-round #5)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.neardup_ivf_pairs(emb, 0.2)
+    return _with_probe_recall(pairs, emb, 0.2)
+
+
+def _with_probe_recall(pairs, emb, threshold):
+    """Attach probe_recall_bp: recall of `pairs` against the exact
+    neighbor set of 8 fixed probe vectors (8-row broadcast × linear
+    scan — never all-pairs); constant column, so a recall regression
+    changes every recorded row."""
     probes = emb.select(
         F.col("vec_id").alias("pid"), F.col("embedding").alias("pv")
     ).where("pid BETWEEN 1 AND 8")
@@ -1489,7 +1497,7 @@ def neardup_ivf(spark, sf_dir):
             F.greatest("pid", "vec_id").alias("id_j"),
             F.round(c, 6).alias("__cos"),
         )
-        .where(F.col("__cos") >= 0.2)
+        .where(F.col("__cos") >= threshold)
         .select("id_i", "id_j")
         .distinct()
     )
@@ -1504,6 +1512,19 @@ def neardup_ivf(spark, sf_dir):
         )
     )
     return pairs.crossJoin(F.broadcast(recall))
+
+
+@q("neardup_hybrid")  # rows-only: iterative k-means + SRP composition
+def neardup_hybrid(spark, sf_dir):
+    """Near-duplicates from BOTH candidate generators — learned IVF
+    cells ∪ SRP signature bands — exact-verified and deduped
+    (operators/similarity.neardup_hybrid_pairs). The embedded
+    probe_recall_bp must dominate the IVF-only query's: the SRP bands
+    recover the cross-cell boundary pairs IVF misses
+    (tests/test_similarity.py asserts the ordering)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.neardup_hybrid_pairs(emb, 0.2, _SRP_PLANES, bands=8)
+    return _with_probe_recall(pairs, emb, 0.2)
 
 
 _AVG4_W = """

@@ -190,3 +190,20 @@ def test_neardup_ivf_subset_of_exact_with_recall(spark):
     # hold is that learned cells beat random bucketing (recall 1/C)
     # by at least 2x
     assert len(got) >= 2 * len(exact) / 8
+
+
+def test_neardup_hybrid_dominates_ivf_recall(spark):
+    """The IVF ∪ SRP union is a superset of each generator's verified
+    pairs, and its fixed-probe recall is >= the IVF-only recall (SRP
+    bands recover cross-cell boundary pairs)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    hyb = qs["neardup_hybrid"](spark, SF_SMOKE).collect()
+    ivf = qs["neardup_ivf"](spark, SF_SMOKE).collect()
+    hp = {(r["id_i"], r["id_j"]) for r in hyb}
+    ip = {(r["id_i"], r["id_j"]) for r in ivf}
+    assert ip <= hp
+    assert hyb[0]["probe_recall_bp"] >= ivf[0]["probe_recall_bp"]
+    # exactness: every emitted pair is a true near-dup at the threshold
+    assert all(r["cos"] >= 0.2 for r in hyb)
