@@ -82,6 +82,11 @@ EXT_HEADLINE = [
     "multimodal_resize",
     # integer-domain windowed fold (CUSUM drift chart)
     "anomaly_cusum_1m",
+    # round-5 additions: language-frontend overhead on an anomaly
+    # chain, dual-generator near-dup, SemDeDup survivor selection
+    "dql_zscore",
+    "neardup_hybrid",
+    "dedup_semantic_keep",
 ]
 
 

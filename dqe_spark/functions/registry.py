@@ -117,6 +117,15 @@ def describe(registry: FunctionRegistry | None = None) -> list[dict]:
     add("percentile", "histogram-reduction", "percentile(histogram, fraction)",
         C.W.agg_percentile)
 
+    # engine extensions surfaced in the language (compiler-level, like
+    # histogram): anomaly scoring, alert rules, ranked retrieval
+    add("zscore", "extension", "zscore(metric, k)", C.Compiler._zscore)
+    add("alert_above", "extension", "alert_above(metric, threshold, duration)",
+        C.Compiler._alert)
+    add("alert_below", "extension", "alert_below(metric, threshold, duration)",
+        C.Compiler._alert)
+    add("bm25", "extension", "bm25('query terms', k)", C.Compiler._bm25)
+
     for n, fn in sorted(reg.aggregates.items()):
         add(n, "aggregate", f"{n}(metric, time)", fn, builtin=False)
     for n, fn in sorted(reg.transforms.items()):

@@ -583,3 +583,22 @@ def neardup_hybrid_pairs(
     ivf = neardup_ivf_pairs(df, threshold, n_clusters, iters, vec, id_col)
     srp = neardup_srp_pairs(df, threshold, planes_matrix, bands, vec, id_col)
     return ivf.unionByName(srp).distinct()
+
+
+def semantic_survivors(
+    df: DataFrame, pairs: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """SemDeDup-style survivor selection (Abbas et al. 2023,
+    arXiv:2303.09540): given verified near-duplicate pairs with
+    id_i < id_j, keep every row whose id never appears as the HIGHER
+    side of a pair — the deterministic keep-lowest greedy that paper
+    applies inside each cluster. Composes with ANY pair generator
+    (SRP bands for an oracle-replayable run, IVF cells or the hybrid
+    union for recall).
+
+    Scale shape: one distinct over the pair table's id_j column and
+    one anti-join — the drop set is bounded by the duplicate count,
+    which AQE broadcasts when small; no operator here ever touches
+    the vectors again."""
+    drop = pairs.select(F.col("id_j").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -834,6 +834,47 @@ def neardup_srp(spark, sf_dir):
     return similarity.neardup_srp_pairs(e, 0.2, _SRP_PLANES, bands=8)
 
 
+@q(
+    "dedup_semantic_keep",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0
+),
+s AS (SELECT vec_id, v, {_srp_sig_sql('v')} AS sig FROM e),
+bands AS (
+  SELECT vec_id, b.i AS band, (sig >> (4 * b.i)) & 15 AS key
+  FROM s, generate_series(0, 7) b(i)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT c.id_j
+  FROM cand c
+  JOIN e a ON a.vec_id = c.id_i
+  JOIN e b ON b.vec_id = c.id_j
+  WHERE round({_COS}, 6) >= 0.2
+)
+SELECT emb.vec_id, emb.label
+FROM embeddings emb
+WHERE emb.vec_id % 5 = 0
+  AND emb.vec_id NOT IN (SELECT id_j FROM dropped)
+""",
+)
+def dedup_semantic_keep(spark, sf_dir):
+    """SemDeDup survivor set: embeddings that remain after dropping
+    the higher id of every verified SRP near-duplicate pair — the
+    keep-lowest greedy from Abbas et al. 2023, run on the
+    oracle-replayable SRP generator so the SURVIVOR SET ITSELF is
+    hash-exact cross-engine (operators/similarity.semantic_survivors;
+    swap in neardup_hybrid_pairs for recall in production)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    pairs = similarity.neardup_srp_pairs(e, 0.2, _SRP_PLANES, bands=8)
+    return similarity.semantic_survivors(e, pairs).select("vec_id", "label")
+
+
 # (the round-3 frame-sampling STUB entry was superseded by the real
 # Y4M-backed multimodal_frame_sample registered further down)
 
