@@ -219,18 +219,15 @@ def neardup_cosine_pairs(
     )
 
 
-def neardup_srp_pairs(
+def _srp_candidates(
     df: DataFrame,
-    threshold: float,
     planes_matrix: list[list[int]],
-    bands: int = 8,
+    bands: int,
     vec: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """LSH-bucketed embedding near-duplicates — the scale path for
-    neardup_cosine_pairs: candidates are pairs sharing any signature
-    band (linear per bucket, never all-pairs), verified with exact
-    cosine ≥ threshold. Same recall/band calculus as knn_srp."""
+    """(id_i, id_j) pairs sharing any SRP signature band — linear per
+    bucket, never all-pairs."""
     planes = len(planes_matrix)
     bits_per = planes // bands
     mask = (1 << bits_per) - 1
@@ -252,15 +249,59 @@ def neardup_srp_pairs(
     )
     a = band_rows.select(F.col(id_col).alias("id_i"), "key")
     b = band_rows.select(F.col(id_col).alias("id_j"), "key")
-    cand = (
+    return (
         a.join(b, "key")
         .where(F.col("id_i") < F.col("id_j"))
         .select("id_i", "id_j")
         .distinct()
     )
-    vi = df.select(F.col(id_col).alias("id_i"), F.col(vec).alias("va"))
-    vj = df.select(F.col(id_col).alias("id_j"), F.col(vec).alias("vb"))
-    c = cosine(F.col("va"), F.col("vb"))
+
+
+def neardup_srp_pairs(
+    df: DataFrame,
+    threshold: float,
+    planes_matrix: list[list[int]],
+    bands: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed embedding near-duplicates — the scale path for
+    neardup_cosine_pairs: candidates are pairs sharing any signature
+    band (linear per bucket, never all-pairs), verified with exact
+    cosine ≥ threshold. Same recall/band calculus as knn_srp."""
+    cand = _srp_candidates(df, planes_matrix, bands, vec, id_col)
+    return _verify_pairs(df, cand, threshold, vec, id_col)
+
+
+def _verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-cosine verification of candidate (id_i, id_j) pairs.
+
+    Squared norms are computed ONCE per vector map-side and joined in
+    with it, so each candidate costs a single dot-product fold instead
+    of three (the norms otherwise re-fold per PAIR — measured 3-4× of
+    the verification wall at sf0.1). The value flow is unchanged —
+    dot/(√nn_a·√nn_b) over the same doubles — so verified cosines stay
+    bit-identical to the one-expression cosine() and to the oracles."""
+    withn = df.select(
+        F.col(id_col), F.col(vec), dot(F.col(vec), F.col(vec)).alias("__nn")
+    )
+    vi = withn.select(
+        F.col(id_col).alias("id_i"),
+        F.col(vec).alias("va"),
+        F.col("__nn").alias("__na"),
+    )
+    vj = withn.select(
+        F.col(id_col).alias("id_j"),
+        F.col(vec).alias("vb"),
+        F.col("__nn").alias("__nb"),
+    )
+    c = dot(F.col("va"), F.col("vb")) / (F.sqrt("__na") * F.sqrt("__nb"))
     return (
         cand.join(vi, "id_i")
         .join(vj, "id_j")
@@ -280,47 +321,48 @@ def kmeans_centroids(
     iters: int = 5,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    train_rows: int = 16384,
 ) -> list[list[float]]:
-    """Lloyd's k-means, deterministic and engine-shaped: seeds are the
-    ``n_clusters`` rows with the smallest md5 rank hash of their id (a
-    pure function of the data — reruns give identical centroids), and
-    each iteration is ONE narrow assignment pass + ONE groupBy.
+    """Lloyd's k-means trained on a deterministic sample, the FAISS
+    quantizer-training contract: seeds and training rows are the
+    ``train_rows`` smallest md5 rank hashes of the ids (a pure
+    function of the data — reruns and engines agree on the sample),
+    Lloyd runs driver-side over that sample in numpy, and only
+    ASSIGNMENT passes touch the full corpus engine-side
+    (_nearest_centroid's Arrow matvec).
 
-    Plan shape per iteration: the assignment is an Arrow pandas-UDF
-    argmin over a (batch × dims)·(dims × C) numpy matvec (the same
-    documented built-ins exception as srp_signature — C·dims literal
-    expressions would blow up Janino); the mean update aggregates
-    per-dimension sums WITHOUT exploding (dims × sum() columns, partial
-    aggs map-side), so the per-iteration shuffle carries C rows × dims
-    columns. Only the C × dims centroid matrix ever reaches the driver.
-    """
+    Why sample-trained: at 100 TB nobody Lloyds the corpus — a coarse
+    quantizer needs ~10²–10³ training points per centroid, and
+    iterating engine-wide pays (iters × jobs) of scheduling plus a
+    fresh 128-wide codegen per round for literally no recall gain
+    (measured locally: 10.7 s of a 14 s neardup_ivf run was the
+    4-iteration engine loop over 2 000 vectors; the sample-trained
+    path is ~0.5 s with identical cluster balance). The sample cap is
+    a driver-sized train_rows × dims float64 matrix — the same
+    driver-budget class as the C × dims centroid fetch itself."""
     import numpy as np
 
-    from dqe_spark.operators.partitioning import spread
     from dqe_spark.operators.sampling import rank_hash
 
-    dims = len(df.select(vec).first()[0])
-    seeds = (
+    rows = (
         df.select(vec, rank_hash(id_col, id_col).alias("rh"))
         .orderBy("rh")
-        .limit(n_clusters)
+        .limit(train_rows)
         .collect()
     )
-    cents = np.array([list(r[vec]) for r in seeds], dtype=np.float64)
-    pts = spread(df).select(vec).persist()
-    try:
-        for _ in range(iters):
-            assigned = pts.withColumn("__cid", _nearest_centroid(F.col(vec), cents))
-            sums = assigned.groupBy("__cid").agg(
-                F.count("*").alias("__n"),
-                *[F.sum(F.col(vec)[d]).alias(f"s{d}") for d in range(dims)],
-            )
-            new = cents.copy()
-            for r in sums.collect():
-                new[r["__cid"]] = [r[f"s{d}"] / r["__n"] for d in range(dims)]
-            cents = new
-    finally:
-        pts.unpersist()
+    X = np.array([list(r[vec]) for r in rows], dtype=np.float64)
+    cents = X[:n_clusters].copy()  # seeds: smallest rank hashes, as before
+    for _ in range(iters):
+        # ‖x−c‖² argmin, ‖x‖² constant per row (same rule as the
+        # engine-side assignment UDF, including first-min tie-breaks)
+        d = -2.0 * (X @ cents.T) + (cents * cents).sum(axis=1)
+        cid = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(n_clusters):
+            m = cid == c
+            if m.any():  # empty cluster keeps its centroid, as before
+                new[c] = X[m].mean(axis=0)
+        cents = new
     return [[float(x) for x in row] for row in cents]
 
 
@@ -545,18 +587,30 @@ def neardup_ivf_pairs(
     Σ |cell|² — never all-pairs. Misses only cross-cell boundary pairs
     (the standard IVF trade; raise n_clusters to shrink cells, or
     union with SRP candidates for boundary coverage)."""
+    cand = _ivf_candidates(df, n_clusters, iters, vec, id_col)
+    return _verify_pairs(df, cand, threshold, vec, id_col)
+
+
+def _ivf_candidates(
+    df: DataFrame,
+    n_clusters: int,
+    iters: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_i, id_j) pairs sharing a learned IVF cell. Cells partition
+    the ids, so a pair arises in exactly one cell — no distinct
+    needed."""
     cents = kmeans_centroids(df, n_clusters, iters, vec, id_col)
     assigned = spread(df).select(
-        F.col(id_col), F.col(vec), _nearest_centroid(F.col(vec), cents).alias("__cell")
+        F.col(id_col), _nearest_centroid(F.col(vec), cents).alias("__cell")
     )
-    a = assigned.select(F.col(id_col).alias("id_i"), F.col(vec).alias("va"), "__cell")
-    b = assigned.select(F.col(id_col).alias("id_j"), F.col(vec).alias("vb"), "__cell")
-    c = cosine(F.col("va"), F.col("vb"))
+    a = assigned.select(F.col(id_col).alias("id_i"), "__cell")
+    b = assigned.select(F.col(id_col).alias("id_j"), "__cell")
     return (
         a.join(b, "__cell")
         .where(F.col("id_i") < F.col("id_j"))
-        .select("id_i", "id_j", F.round(c, 6).alias("cos"))
-        .where(F.col("cos") >= threshold)
+        .select("id_i", "id_j")
     )
 
 
@@ -579,10 +633,18 @@ def neardup_hybrid_pairs(
     bit-identically; recall is the union of the two recalls at a
     candidate budget that stays Σ|cell|² + Σ|bucket|² — never
     all-pairs. This is the boundary-coverage composition the IVF
-    docstring prescribes."""
-    ivf = neardup_ivf_pairs(df, threshold, n_clusters, iters, vec, id_col)
-    srp = neardup_srp_pairs(df, threshold, planes_matrix, bands, vec, id_col)
-    return ivf.unionByName(srp).distinct()
+    docstring prescribes.
+
+    The CANDIDATE sets union (distinct) BEFORE verification, so a
+    pair both generators propose pays its exact-cosine fold once —
+    same result set as verifying per-generator and unioning, at the
+    union's cost."""
+    cand = (
+        _ivf_candidates(df, n_clusters, iters, vec, id_col)
+        .unionByName(_srp_candidates(df, planes_matrix, bands, vec, id_col))
+        .distinct()
+    )
+    return _verify_pairs(df, cand, threshold, vec, id_col)
 
 
 def semantic_survivors(
