@@ -570,10 +570,19 @@ def knn_pq_adc(
     return exact.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
 
 
+def auto_clusters(df: DataFrame, target_cell: int = 256, floor: int = 8) -> int:
+    """Cluster count for a target cell size: C = max(floor, n/target).
+    A FIXED C makes cells — and the Σ|cell|² candidate budget — grow
+    quadratically with the corpus; scaling C with n keeps candidates
+    ≈ n·target_cell, i.e. LINEAR. One count() job, driver-side."""
+    n = df.count()
+    return max(floor, n // target_cell)
+
+
 def neardup_ivf_pairs(
     df: DataFrame,
     threshold: float,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     iters: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
@@ -586,7 +595,12 @@ def neardup_ivf_pairs(
     recall at the same candidate budget is higher; candidate count is
     Σ |cell|² — never all-pairs. Misses only cross-cell boundary pairs
     (the standard IVF trade; raise n_clusters to shrink cells, or
-    union with SRP candidates for boundary coverage)."""
+    union with SRP candidates for boundary coverage).
+
+    ``n_clusters=None`` sizes C from the corpus (auto_clusters), the
+    setting that keeps the candidate budget linear as data grows."""
+    if n_clusters is None:
+        n_clusters = auto_clusters(df)
     cand = _ivf_candidates(df, n_clusters, iters, vec, id_col)
     return _verify_pairs(df, cand, threshold, vec, id_col)
 
@@ -619,7 +633,7 @@ def neardup_hybrid_pairs(
     threshold: float,
     planes_matrix: list[list[int]],
     bands: int = 8,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     iters: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
@@ -638,7 +652,10 @@ def neardup_hybrid_pairs(
     The CANDIDATE sets union (distinct) BEFORE verification, so a
     pair both generators propose pays its exact-cosine fold once —
     same result set as verifying per-generator and unioning, at the
-    union's cost."""
+    union's cost. ``n_clusters=None`` sizes C from the corpus
+    (auto_clusters) to keep the IVF side's budget linear."""
+    if n_clusters is None:
+        n_clusters = auto_clusters(df)
     cand = (
         _ivf_candidates(df, n_clusters, iters, vec, id_col)
         .unionByName(_srp_candidates(df, planes_matrix, bands, vec, id_col))

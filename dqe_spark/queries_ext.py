@@ -1517,7 +1517,7 @@ def neardup_ivf(spark, sf_dir):
     all-pairs), so a recall regression changes the recorded rows,
     not just a pytest (round-4 verdict, next-round #5)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.neardup_ivf_pairs(emb, 0.2)
+    pairs = similarity.neardup_ivf_pairs(emb, 0.2, n_clusters=None)
     return _with_probe_recall(pairs, emb, 0.2)
 
 
@@ -1564,7 +1564,9 @@ def neardup_hybrid(spark, sf_dir):
     recover the cross-cell boundary pairs IVF misses
     (tests/test_similarity.py asserts the ordering)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.neardup_hybrid_pairs(emb, 0.2, _SRP_PLANES, bands=8)
+    pairs = similarity.neardup_hybrid_pairs(
+        emb, 0.2, _SRP_PLANES, bands=8, n_clusters=None
+    )
     return _with_probe_recall(pairs, emb, 0.2)
 
 
