@@ -376,3 +376,32 @@ def test_windowed_pearson_bounds_and_symmetry(spark, pts):
     assert set(xy) == set(yx)
     for w, r in xy.items():
         assert r is None or (-1.0001 <= r <= 1.0001 and yx[w] == r)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-10**7, max_value=10**7),
+                min_size=1, max_size=200),
+    k=st.integers(min_value=1, max_value=50),
+    k4=st.integers(min_value=0, max_value=100_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_chart_equals_direct_fold(xs, k, k4):
+    """The vectorized prefix-sum identity in anomaly._cusum_chart
+    (sp = P_m − min P over each row's tail) must equal the direct
+    per-row replay of the clamped recurrence, for any int series,
+    tail length, and slack — including the short-tail head rows."""
+    import numpy as np
+
+    from dqe_spark.operators.anomaly import _cusum_chart
+
+    x4 = np.array(xs, dtype=np.int64)
+    sp, sn = _cusum_chart(x4, k4, k)
+    for i in range(len(xs)):
+        tail = xs[max(0, i - k): i + 1]
+        s, n = sum(tail), len(tail)
+        mu = (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+        a = b = 0
+        for x in tail:
+            a = max(0, a + x - mu - k4)
+            b = min(0, b + x - mu + k4)
+        assert sp[i] == a and sn[i] == b, (i, xs, k, k4)
