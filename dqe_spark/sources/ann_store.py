@@ -62,16 +62,23 @@ def ingest_ann(
     force: bool = False,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    source: DataFrame | None = None,
 ) -> Path:
     """Train the coarse quantizer + PQ codebooks and write the
     cell-partitioned index. Deterministic end-to-end (md5-seeded
-    k-means), so re-ingest reproduces the index bit-for-bit."""
+    k-means), so re-ingest reproduces the index bit-for-bit.
+    ``source`` overrides the corpus frame (backfill-then-stream
+    splits, tests); default is the sf_dir embeddings table."""
     from dqe_spark.operators import similarity as S
 
     out = _ann_dir(sf_dir)
     if not force and ann_path(sf_dir) is not None:
         return out
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = (
+        source
+        if source is not None
+        else spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
     cents = S.kmeans_centroids(emb, n_clusters, iters, vec, id_col)
     books = S.pq_codebooks(emb, m_sub, n_codes, iters, vec, id_col)
     coded = S.pq_encode(emb, books, vec, id_col)

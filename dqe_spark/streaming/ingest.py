@@ -370,3 +370,38 @@ def stream_dedup_index_documents(
         docs.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
     )
+
+
+#: landed-vector schema for ANN maintenance streams
+VECS_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stream_ann_vectors(
+    spark: SparkSession,
+    landing_dir: str,
+    sf_dir: str,
+    checkpoint: str,
+    schema: str = VECS_SCHEMA,
+):
+    """Continuous ANN-index maintenance — the vector-store member of
+    the maintenance trio (text index, MinHash store, ANN index): each
+    micro-batch of landed vectors folds into the materialized IVF-PQ
+    index via the SAME merge_ann_increment the batch backfill uses
+    (assign + encode against the FROZEN centroids/codebooks, touched
+    cells rewrite via dynamic partition overwrite, last-write-wins per
+    vec_id). Upsert idempotency makes foreachBatch's at-least-once
+    delivery safe; served kNN (ann_store.knn_pq_probed) always sees
+    the corpus up to the last drained batch. Returns the unstarted
+    writeStream (caller picks the trigger)."""
+    from dqe_spark.sources.ann_store import merge_ann_increment
+
+    vecs = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _merge(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            merge_ann_increment(batch_df.sparkSession, sf_dir, batch_df)
+
+    return (
+        vecs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )

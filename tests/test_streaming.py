@@ -471,3 +471,51 @@ def test_stream_minhash_store_matches_rebuild(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         MS.build_minhash_store(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_stream_ann_vectors_served_knn_sees_streamed(spark):
+    """ANN index built from part of the corpus + the rest STREAMED in:
+    the index holds every vector exactly once (upsert), and served kNN
+    equals the same queries against a batch merge of the same split —
+    the streaming twin IS the batch increment."""
+    from dqe_spark.sources import ann_store as AS
+    from dqe_spark.streaming.ingest import stream_ann_vectors
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cut = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    base, late = emb.where(F.col("vec_id") < cut), emb.where(F.col("vec_id") >= cut)
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamann_"))
+    landing, ckpt = tmp / "landing", tmp / "ckpt"
+    landing.mkdir()
+    qv = emb.where(F.col("vec_id") == 7).select("embedding")
+
+    def snapshot():
+        p = AS.ann_path(SF_SMOKE)
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(str(p / "index")).collect()
+        )
+
+    try:
+        # batch reference: build from base, merge late in one increment
+        AS.ingest_ann(spark, SF_SMOKE, force=True, source=base)
+        AS.merge_ann_increment(spark, SF_SMOKE, late)
+        want = snapshot()
+        want_knn = [tuple(r) for r in AS.knn_pq_probed(spark, SF_SMOKE, qv, 10).collect()]
+
+        # streaming twin: same base build, late vectors arrive as a stream
+        AS.ingest_ann(spark, SF_SMOKE, force=True, source=base)
+        late.write.mode("overwrite").parquet(str(landing))
+        q = (
+            stream_ann_vectors(spark, str(landing), SF_SMOKE, str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert snapshot() == want
+        got_knn = [tuple(r) for r in AS.knn_pq_probed(spark, SF_SMOKE, qv, 10).collect()]
+        assert got_knn == want_knn
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        AS.ingest_ann(spark, SF_SMOKE, force=True)  # restore
