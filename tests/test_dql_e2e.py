@@ -441,3 +441,21 @@ def test_bm25_in_language(spark):
 
     with pytest.raises(PlanError, match="no indexable terms"):
         engine.run(spark, "SELECT bm25('!!!', 5) LAST 1d", SF_SMOKE)
+
+
+def test_zscore_composes_with_group_by(spark):
+    """zscore() keys on whatever series identity the frame carries —
+    here the GROUP BY tag columns — so anomaly scoring composes with
+    tag grouping like any other windowed function."""
+    (res,) = engine.run(
+        spark,
+        "SELECT zscore(avg('events'.'click' FROM 'events' GROUP BY $'host' "
+        f"USING avg, 1m), 12) BETWEEN {JAN1} AND {FEB1}",
+        SF_SMOKE,
+    )
+    rows = res.df.collect()
+    assert rows and "g_host" in res.df.columns
+    hosts = {r["g_host"] for r in rows}
+    assert len(hosts) > 1  # scored per group, not globally
+    vals = [r["value"] for r in rows if r["value"] is not None]
+    assert vals and all(abs(v) < 100 for v in vals)  # z-scale, not raw
