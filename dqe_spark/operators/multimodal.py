@@ -334,3 +334,51 @@ def image_dhashes(
     return spread(df.select("doc_id", "content")).mapInPandas(
         batches, "doc_id long, dhash long, error string"
     )
+
+
+def keyframes(df: DataFrame, threshold: float = 10.0) -> DataFrame:
+    """Scene-change keyframe selection over Y4M videos: frame 0 and
+    every frame whose mean-luma delta vs its predecessor reaches
+    ``threshold`` (the classic frame-difference shot detector — the
+    cheap first pass ahead of expensive per-keyframe embedding /
+    captioning in a multimodal training pipeline).
+
+    Output one row per keyframe: (doc_id, frame_idx, mean_luma,
+    delta_luma, err); delta is NULL on frame 0. Undecodable payloads
+    keep one row with the error, like the other media passes.
+
+    Scale shape: map-only mapInPandas — the frame walk is sequential
+    WITHIN a video (deltas need the previous frame) but videos are
+    independent, so parallelism follows rows; output is bounded by
+    scene changes, not frame count. Means are numpy sums over the
+    uint8 luma plane in float64 — deterministic per frame."""
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+
+    schema = (
+        "doc_id long, frame_idx long, mean_luma double, "
+        "delta_luma double, err string"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    d = mc.decode_y4m(bytes(content))
+                    prev = None
+                    for i, fr in enumerate(d["frames"]):
+                        m = float(fr.astype("float64").mean())
+                        delta = None if prev is None else m - prev
+                        if prev is None or abs(delta) >= threshold:
+                            rows.append((did, i, m, delta, None))
+                        prev = m
+                except mc.MediaDecodeError as e:
+                    rows.append((did, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "mean_luma", "delta_luma", "err"],
+            )
+
+    return spread(df.select("doc_id", "content")).mapInPandas(batches, schema)

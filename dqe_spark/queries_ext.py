@@ -2767,3 +2767,54 @@ def alerts_slo_burn(spark, sf_dir):
         budget_bp=2000,
         threshold_e2=120,
     )
+
+
+@q(
+    "multimodal_keyframes",
+    """
+WITH f AS (
+  SELECT doc_id, f,
+         CAST((doc_id + 5 * f) % 256 AS DOUBLE) AS ml,
+         CASE WHEN f = 0 THEN NULL
+              ELSE CAST((doc_id + 5 * f) % 256
+                        - (doc_id + 5 * (f - 1)) % 256 AS DOUBLE) END AS dl
+  FROM documents, range(15) t(f)
+  WHERE f < (doc_id % 7) + 8
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, ml AS mean_luma,
+       dl AS delta_luma
+FROM f WHERE f = 0 OR abs(dl) >= 10
+""",
+)
+def multimodal_keyframes(spark, sf_dir):
+    """REAL scene-change keyframe selection verified analytically:
+    each doc renders a Y4M stream of constant-luma frames
+    (frame f = (doc_id + 5f) % 256), so deltas are +5 except at the
+    uint8 wrap, where the −251 jump crosses the threshold — the
+    engine must emit exactly frame 0 plus the wrap frames with exact
+    means and deltas (operators/multimodal.keyframes; the cheap
+    frame-difference pass ahead of per-keyframe embedding)."""
+    import numpy as np
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.multimodal import keyframes
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id % 7) + 8
+                frames = [
+                    np.full((4, 6), (int(doc_id) + 5 * f) % 256, dtype=np.uint8)
+                    for f in range(n)
+                ]
+                recs.append((int(doc_id), mc.encode_y4m(frames)))
+            yield pd.DataFrame(recs, columns=["doc_id", "content"])
+
+    bin_df = d.mapInPandas(synth, "doc_id long, content binary")
+    return keyframes(bin_df, threshold=10.0).select(
+        "doc_id", "frame_idx", "mean_luma", "delta_luma"
+    )
