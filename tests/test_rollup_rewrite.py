@@ -269,3 +269,21 @@ def test_shift_rewrite_used_and_matches_raw(spark):
         use_rollups=True,
     )
     assert "rollup_" not in _plan_of(ru3)
+
+
+def test_alert_above_composes_with_rollup_rewrite(spark):
+    """alert_above over an eligible windowed aggregate keeps the
+    rollup rewrite: the rule's upstream scan reads 1h partials, never
+    raw points, and firing intervals equal the raw path exactly —
+    alert rules at 100 TB evaluate against the rollup ladder."""
+    dql = (
+        "SELECT alert_above(avg('events'.* BUCKET 'events', 1h), 30, 2h) "
+        f"BETWEEN {JAN1} AND {FEB1}"
+    )
+    raw = _runs(spark, dql)
+    ru = _runs(spark, dql, use_rollups=True)
+    assert "rollup_3600000ms" in _plan_of(ru)
+    assert "rollup_" not in _plan_of(raw)
+    a = sorted(tuple(r) for r in raw.collect())
+    b = sorted(tuple(r) for r in ru.collect())
+    assert a == b and a  # identical intervals, and some fire
