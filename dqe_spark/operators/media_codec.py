@@ -84,6 +84,28 @@ def decode_wav(data: bytes) -> dict:
     }
 
 
+def decode_wav_samples(data: bytes) -> dict:
+    """RIFF/WAVE payload → raw integer samples of the FIRST channel
+    (deterministic; mixing policy belongs to callers) + rate/width.
+    Returns dict(sample_rate, channels, samples: int numpy array).
+    16-bit → int16 values, 8-bit → centered ints in [-128, 127]."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise MediaDecodeError(f"bad WAV: {e}") from e
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise MediaDecodeError(f"unsupported WAV sample width: {width}")
+    return {"sample_rate": sr, "channels": ch, "samples": samples[::ch]}
+
+
 def encode_wav(samples_i16: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
     """Minimal RIFF/WAVE writer (16-bit PCM) — stdlib ``wave``; the
     encode half of decode_wav for tests and synthetic-media sinks."""

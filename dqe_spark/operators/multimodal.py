@@ -382,3 +382,76 @@ def keyframes(df: DataFrame, threshold: float = 10.0) -> DataFrame:
             )
 
     return spread(df.select("doc_id", "content")).mapInPandas(batches, schema)
+
+
+def audio_activity_segments(
+    df: DataFrame, frame_ms: int = 25, threshold: float = 50.0
+) -> DataFrame:
+    """Voice/sound activity segmentation over WAV audio — the audio
+    analog of keyframes(): frame the first channel into fixed
+    ``frame_ms`` windows, score each by RMS in RAW sample units, and
+    emit one row per maximal run of frames at or above ``threshold``
+    (gaps-and-islands, computed sequentially inside the row's own
+    sample array). The cheap first pass ahead of per-segment ASR /
+    audio embedding in a training pipeline.
+
+    Output: (doc_id, start_ms, end_ms, n_frames, peak_rms, err);
+    end_ms exclusive. A trailing partial frame is dropped (its RMS
+    would be over a different support — callers pad upstream if the
+    tail matters). Undecodable payloads keep one error row.
+
+    Scale shape: map-only mapInPandas; output bounded by activity
+    runs, not sample count. RMS is float64 numpy; for constant-valued
+    frames sqrt of a perfect square is exact, which the analytic
+    oracle exploits."""
+    if frame_ms < 1:
+        raise ValueError(f"frame_ms must be >= 1, got {frame_ms}")
+    import numpy as np
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+
+    schema = (
+        "doc_id long, start_ms long, end_ms long, n_frames long, "
+        "peak_rms double, err string"
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    d = mc.decode_wav_samples(bytes(content))
+                    spf = d["sample_rate"] * frame_ms // 1000
+                    if spf < 1:
+                        raise mc.MediaDecodeError(
+                            f"frame_ms {frame_ms} < one sample at "
+                            f"{d['sample_rate']} Hz"
+                        )
+                    x = d["samples"].astype(np.float64)
+                    nf = len(x) // spf
+                    start = peak = None
+                    for k in range(nf + 1):
+                        active = False
+                        if k < nf:
+                            fr = x[k * spf : (k + 1) * spf]
+                            r = float(np.sqrt(np.mean(fr * fr)))
+                            active = r >= threshold
+                        if active:
+                            peak = r if start is None else max(peak, r)
+                            start = k if start is None else start
+                        elif start is not None:
+                            rows.append(
+                                (did, start * frame_ms, k * frame_ms,
+                                 k - start, peak, None)
+                            )
+                            start = None
+                except mc.MediaDecodeError as e:
+                    rows.append((did, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "start_ms", "end_ms", "n_frames",
+                         "peak_rms", "err"],
+            )
+
+    return spread(df.select("doc_id", "content")).mapInPandas(batches, schema)

@@ -2818,3 +2818,58 @@ def multimodal_keyframes(spark, sf_dir):
     return keyframes(bin_df, threshold=10.0).select(
         "doc_id", "frame_idx", "mean_luma", "delta_luma"
     )
+
+
+@q(
+    "multimodal_audio_segments",
+    """
+WITH fr AS (
+  SELECT doc_id, k, (doc_id + 7 * k) % 100 AS a
+  FROM documents, range(13) t(k)
+  WHERE k < (doc_id % 5) + 8
+), act AS (
+  SELECT doc_id, k, a,
+         k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS isl
+  FROM fr WHERE a >= 50
+)
+SELECT doc_id,
+       CAST(min(k) * 25 AS BIGINT) AS start_ms,
+       CAST((max(k) + 1) * 25 AS BIGINT) AS end_ms,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(max(a) AS DOUBLE) AS peak_rms
+FROM act GROUP BY doc_id, isl
+""",
+)
+def multimodal_audio_segments(spark, sf_dir):
+    """REAL audio activity segmentation verified analytically: each
+    doc renders 16-bit WAV at 8 kHz whose 25 ms frames hold the
+    constant value (doc_id + 7k) % 100, so frame RMS equals that
+    value EXACTLY (sqrt of a perfect square) and the engine must
+    recover precisely the runs of frames >= 50 with their exact
+    peaks (operators/multimodal.audio_activity_segments,
+    media_codec.decode_wav_samples)."""
+    import numpy as np
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.operators.multimodal import audio_activity_segments
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id % 5) + 8
+                spf = 8000 * 25 // 1000  # 200 samples per 25 ms frame
+                x = np.concatenate([
+                    np.full(spf, (int(doc_id) + 7 * k) % 100, dtype=np.int16)
+                    for k in range(n)
+                ])
+                recs.append((int(doc_id), mc.encode_wav(x, 8000)))
+            yield pd.DataFrame(recs, columns=["doc_id", "content"])
+
+    bin_df = d.mapInPandas(synth, "doc_id long, content binary")
+    return audio_activity_segments(bin_df, frame_ms=25, threshold=50.0).select(
+        "doc_id", "start_ms", "end_ms", "n_frames", "peak_rms"
+    )
