@@ -143,3 +143,53 @@ def running_total(
     )
     run = (F.sum("__v").over(w).cast("double") / 100.0).alias("running")
     return base.select(*keys, ts, v, run)
+
+
+def windowed_trend_slope(
+    points: DataFrame,
+    window_ms: int,
+    keys: Sequence[str] = ("metric",),
+    ts: str = "ts_ms",
+    v: str = "value",
+    min_n: int = 3,
+    scale: int = 100,
+    per_ms: int = 1000,
+) -> DataFrame:
+    """OLS trend slope per (series, window) — "how fast is this metric
+    moving right now", the regression complement of derivate's
+    point-to-point deltas (robust to jitter because every point in the
+    window weighs in).
+
+        slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+
+    with t the integer ms offset within the window and y the
+    value·scale integer: all five sufficient statistics are exact
+    DECIMAL sums (map-side partials, one keyed exchange — the
+    windowed_pearson shape), and the single final division runs on
+    doubles both engines derive from identical integers. Reported per
+    ``per_ms`` milliseconds (default: units/second) at 4dp via the
+    cross-engine floor(x·10⁴+0.5) rule; NULL when fewer than
+    ``min_n`` points or zero time-variance (a single distinct ts).
+    Output: (keys..., wts, n, slope)."""
+    wts = (F.col(ts) - (F.col(ts) % F.lit(window_ms))).alias("wts")
+    t = (F.col(ts) % F.lit(window_ms)).cast(_DEC)
+    y = _vint(v, scale)
+    g = (
+        points.select(*keys, wts, t.alias("__t"), y.alias("__y"))
+        .groupBy(*keys, "wts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__t").alias("st"),
+            F.sum("__y").alias("sy"),
+            F.sum(F.col("__t") * F.col("__t")).alias("stt"),
+            F.sum(F.col("__t") * F.col("__y")).alias("sty"),
+        )
+    )
+    n = F.col("n").cast(_DEC)
+    numer = ((n * F.col("sty") - F.col("st") * F.col("sy"))
+             * F.lit(per_ms).cast(_DEC)).cast("double")
+    den = ((n * F.col("stt") - F.col("st") * F.col("st"))
+           * F.lit(scale).cast(_DEC)).cast("double")
+    s4 = F.floor(numer / den * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    keep = (F.col("n") >= min_n) & (den > 0)
+    return g.select(*keys, "wts", "n", F.when(keep, s4).alias("slope"))

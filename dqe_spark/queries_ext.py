@@ -2873,3 +2873,39 @@ def multimodal_audio_segments(spark, sf_dir):
     return audio_activity_segments(bin_df, frame_ms=25, threshold=50.0).select(
         "doc_id", "start_ms", "end_ms", "n_frames", "peak_rms"
     )
+
+
+@q(
+    "trend_slope_1h",
+    _P
+    + """
+, g AS (
+  SELECT metric, (ts_ms // 3600000) * 3600000 AS wts, count(*) AS n,
+         sum(CAST(ts_ms % 3600000 AS HUGEINT)) AS st,
+         sum(CAST(round(value * 100) AS HUGEINT)) AS sy,
+         sum(CAST(ts_ms % 3600000 AS HUGEINT)
+             * CAST(ts_ms % 3600000 AS HUGEINT)) AS stt,
+         sum(CAST(ts_ms % 3600000 AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) AS sty
+  FROM metrics GROUP BY 1, 2
+)
+SELECT metric, wts, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 3 AND (n * stt - st * st) > 0
+            THEN floor(CAST((n * sty - st * sy) * 1000 AS DOUBLE)
+                       / CAST((n * stt - st * st) * 100 AS DOUBLE)
+                       * 10000 + 0.5) / 10000.0
+       END AS slope
+FROM g
+""",
+)
+def trend_slope_1h(spark, sf_dir):
+    """Per-series hourly OLS trend slope (units/second, 4dp) over raw
+    store points — the regression complement of derivate: five exact
+    integer sufficient statistics per (series, hour), one keyed
+    exchange with map-side partials, one final double division both
+    engines derive from identical integers
+    (operators/stats.windowed_trend_slope)."""
+    from dqe_spark.operators.stats import windowed_trend_slope
+    from dqe_spark.sources.metric_store import load_metrics
+
+    return windowed_trend_slope(load_metrics(spark, sf_dir), 3_600_000)
