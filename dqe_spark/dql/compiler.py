@@ -832,6 +832,8 @@ class Compiler:
         # the operator-layer flagships behind first-class syntax)
         if name == "zscore":
             return self._zscore(sub, consts, node)
+        if name == "trend":
+            return self._trend(sub, consts, node)
         if name in ("alert_above", "alert_below"):
             return self._alert(sub, name, consts, node)
 
@@ -1077,6 +1079,37 @@ class Compiler:
         df = z.withColumn("value", F.col("zscore")).drop("zscore")
         return replace(
             sub, df=df, label=unparse(node), pristine=False, scan_tag_pred=None
+        )
+
+    def _trend(self, sub: SeriesFrame, consts, node) -> SeriesFrame:
+        """trend(series, t): per-series OLS slope of the input points
+        within each t-window, in value-units/second — value becomes
+        the slope (NULL under min_n points or zero time-variance).
+        Input values are 4dp series points, so the sufficient
+        statistics accumulate v·10⁴ integers exactly
+        (operators/stats.windowed_trend_slope, scale=10000)."""
+        if len(consts) != 1 or not isinstance(consts[-1], (A.TimeUnit, int)):
+            raise PlanError(
+                "trend(series, time)", "not_found_fun", "trend",
+                arg_types(node.inputs),
+            )
+        if not sub.keys:
+            raise PlanError("trend needs a keyed series frame")
+        wms = self._window_count(sub, consts[-1])
+        from dqe_spark.operators.stats import windowed_trend_slope
+
+        out = windowed_trend_slope(
+            sub.df, wms, keys=sub.keys, ts="ts_ms", scale=10_000,
+            conf="confidence",
+        )
+        df = (
+            out.withColumnRenamed("wts", "ts_ms")
+            .withColumn("value", F.col("slope"))
+            .drop("slope", "n")
+        )
+        return SeriesFrame(
+            df, sub.keys, wms, unparse(node), has_dims=False,
+            maybe_multi=sub.maybe_multi,
         )
 
     def _alert(self, sub: SeriesFrame, name: str, consts, node) -> EventsFrame:

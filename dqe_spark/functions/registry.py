@@ -125,6 +125,7 @@ def describe(registry: FunctionRegistry | None = None) -> list[dict]:
     add("alert_below", "extension", "alert_below(metric, threshold, duration)",
         C.Compiler._alert)
     add("bm25", "extension", "bm25('query terms', k)", C.Compiler._bm25)
+    add("trend", "extension", "trend(metric, time)", C.Compiler._trend)
 
     for n, fn in sorted(reg.aggregates.items()):
         add(n, "aggregate", f"{n}(metric, time)", fn, builtin=False)

@@ -154,6 +154,7 @@ def windowed_trend_slope(
     min_n: int = 3,
     scale: int = 100,
     per_ms: int = 1000,
+    conf: str | None = None,
 ) -> DataFrame:
     """OLS trend slope per (series, window) — "how fast is this metric
     moving right now", the regression complement of derivate's
@@ -170,12 +171,16 @@ def windowed_trend_slope(
     ``per_ms`` milliseconds (default: units/second) at 4dp via the
     cross-engine floor(x·10⁴+0.5) rule; NULL when fewer than
     ``min_n`` points or zero time-variance (a single distinct ts).
-    Output: (keys..., wts, n, slope)."""
+    Output: (keys..., wts, n, slope[, conf]) — ``conf`` names an
+    optional confidence column to carry through as its window mean
+    (the DQL frontend threads the channel this way)."""
     wts = (F.col(ts) - (F.col(ts) % F.lit(window_ms))).alias("wts")
     t = (F.col(ts) % F.lit(window_ms)).cast(_DEC)
     y = _vint(v, scale)
+    extra_cols = [F.col(conf)] if conf else []
+    extra_aggs = [F.avg(conf).alias(conf)] if conf else []
     g = (
-        points.select(*keys, wts, t.alias("__t"), y.alias("__y"))
+        points.select(*keys, wts, t.alias("__t"), y.alias("__y"), *extra_cols)
         .groupBy(*keys, "wts")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -183,6 +188,7 @@ def windowed_trend_slope(
             F.sum("__y").alias("sy"),
             F.sum(F.col("__t") * F.col("__t")).alias("stt"),
             F.sum(F.col("__t") * F.col("__y")).alias("sty"),
+            *extra_aggs,
         )
     )
     n = F.col("n").cast(_DEC)
@@ -192,4 +198,7 @@ def windowed_trend_slope(
            * F.lit(scale).cast(_DEC)).cast("double")
     s4 = F.floor(numer / den * 10000 + F.lit(0.5)).cast("double") / 10000.0
     keep = (F.col("n") >= min_n) & (den > 0)
-    return g.select(*keys, "wts", "n", F.when(keep, s4).alias("slope"))
+    out_extra = [F.col(conf)] if conf else []
+    return g.select(
+        *keys, "wts", "n", F.when(keep, s4).alias("slope"), *out_extra
+    )

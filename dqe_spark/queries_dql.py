@@ -839,3 +839,43 @@ def dql_bm25(spark, sf_dir):
         spark, "SELECT bm25('dup hash join', 20) LAST 1d", sf_dir
     )
     return df.select("doc_id", "score")
+
+
+@q(
+    "dql_trend",
+    "WITH x AS (SELECT 1)"
+    + _AVG4_W
+    + """
+, g AS (
+  SELECT metric, (wts // 3600000) * 3600000 AS hw, count(*) AS n,
+         sum(CAST(wts % 3600000 AS HUGEINT)) AS st,
+         sum(CAST(round(value * 10000) AS HUGEINT)) AS sy,
+         sum(CAST(wts % 3600000 AS HUGEINT)
+             * CAST(wts % 3600000 AS HUGEINT)) AS stt,
+         sum(CAST(wts % 3600000 AS HUGEINT)
+             * CAST(round(value * 10000) AS HUGEINT)) AS sty
+  FROM w GROUP BY 1, 2
+)
+SELECT metric, hw AS wts,
+       CASE WHEN n >= 3 AND (n * stt - st * st) > 0
+            THEN floor(CAST((n * sty - st * sy) * 1000 AS DOUBLE)
+                       / CAST((n * stt - st * st) * 10000 AS DOUBLE)
+                       * 10000 + 0.5) / 10000.0
+       END AS slope
+FROM g
+""",
+)
+def dql_trend(spark, sf_dir):
+    """`trend(series, t)` in the language: hourly OLS slope of each
+    series' per-minute averages, units/second — value becomes the
+    slope (dql/compiler._trend -> operators/stats
+    .windowed_trend_slope at the 4dp series scale)."""
+    df = _one(
+        spark,
+        f"SELECT trend(avg('events'.* BUCKET 'events', 1m), 1h) "
+        f"BETWEEN {JAN1} AND {FEB1}",
+        sf_dir,
+    )
+    return df.select(
+        "metric", F.col("ts_ms").alias("wts"), F.col("value").alias("slope")
+    )
