@@ -87,6 +87,10 @@ EXT_HEADLINE = [
     "dql_zscore",
     "neardup_hybrid",
     "dedup_semantic_keep",
+    # round-5 late additions: regression aggregate, real media passes
+    "trend_slope_1h",
+    "multimodal_keyframes",
+    "multimodal_audio_segments",
 ]
 
 
