@@ -757,6 +757,10 @@ class Compiler:
         name = node.name
         if name == "bm25":
             return self._bm25(node)
+        if name == "neardup":
+            return self._neardup(node)
+        if name == "dedup":
+            return self._dedup(node)
         series = [a for a in node.inputs
                   if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
                                     A.Timeshift, A.Var))]
@@ -1179,6 +1183,92 @@ class Compiler:
         out = bm25_search(
             self.metrics.sparkSession, self.sf_dir, terms, k=k
         )
+        return EventsFrame(out, unparse(node))
+
+    def _neardup(self, node: A.FCall) -> EventsFrame:
+        """neardup(threshold): verified near-duplicate embedding pairs
+        (id_i, id_j, cos ≥ threshold) over the bound corpus — the
+        language surface of the LSH dedup flagship (operators/
+        similarity.neardup_srp_pairs). Uses the PINNED 32-plane/8-band
+        SRP shape so the whole pipeline is oracle-replayable
+        (signatures, banding, verify — same matrix the DuckDB twin
+        inlines); production callers chasing recall/scale swap in
+        planes_matrix=None (auto_planes) or the hybrid generator. The
+        statement timeframe does not apply (the corpus is not a time
+        series)."""
+        if self.sf_dir is None:
+            raise PlanError("neardup needs an embedding corpus (no sf_dir bound)")
+        args = list(node.inputs)
+        if len(args) != 1 or not isinstance(args[0], (int, float)) or isinstance(args[0], A.TimeUnit):
+            raise PlanError(
+                "neardup(threshold)",
+                "not_found_fun", "neardup", arg_types(node.inputs),
+            )
+        t = float(args[0])
+        if not 0.0 <= t <= 1.0:
+            raise PlanError(f"neardup threshold {t!r} must be within 0..1")
+        from dqe_spark.operators.similarity import (
+            neardup_srp_pairs,
+            rademacher_planes,
+        )
+        from dqe_spark.sources.metric_store import load_table
+
+        emb = load_table(self.metrics.sparkSession, self.sf_dir, "embeddings")
+        out = neardup_srp_pairs(emb, t, rademacher_planes(32, 64), bands=8)
+        return EventsFrame(out, unparse(node))
+
+    def _dedup(self, node: A.FCall) -> EventsFrame:
+        """dedup('exact') / dedup('semantic'[, threshold]): corpus
+        deduplication in the language. 'exact' groups byte-identical
+        documents (md5 fingerprint → keep-lowest id + copy count,
+        operators/dedup.dedup_exact — one hash-groupBy, map-side
+        combined). 'semantic' returns the SemDeDup survivor set of the
+        embedding corpus (keep-lowest greedy over verified SRP
+        near-dup pairs, operators/similarity.semantic_survivors) at
+        the given cosine threshold (default 0.2), on the pinned
+        oracle-replayable SRP shape. The statement timeframe does not
+        apply (corpora are not time series)."""
+        if self.sf_dir is None:
+            raise PlanError("dedup needs a document corpus (no sf_dir bound)")
+        args = list(node.inputs)
+        if not args or not isinstance(args[0], A.Var):
+            raise PlanError(
+                "dedup('exact'|'semantic'[, threshold])",
+                "not_found_fun", "dedup", arg_types(node.inputs),
+            )
+        mode = args[0].name.lower()
+        spark = self.metrics.sparkSession
+        from dqe_spark.sources.metric_store import load_table
+
+        if mode == "exact":
+            if len(args) != 1:
+                raise PlanError("dedup('exact') takes no further arguments")
+            from dqe_spark.operators.dedup import dedup_exact
+
+            out = dedup_exact(load_table(spark, self.sf_dir, "documents"))
+        elif mode == "semantic":
+            t = 0.2
+            if len(args) == 2:
+                if not isinstance(args[1], (int, float)) or isinstance(
+                    args[1], A.TimeUnit
+                ) or not 0.0 <= float(args[1]) <= 1.0:
+                    raise PlanError("dedup('semantic', threshold in 0..1)")
+                t = float(args[1])
+            elif len(args) > 2:
+                raise PlanError("dedup('semantic'[, threshold])")
+            from dqe_spark.operators.similarity import (
+                neardup_srp_pairs,
+                rademacher_planes,
+                semantic_survivors,
+            )
+
+            emb = load_table(spark, self.sf_dir, "embeddings")
+            pairs = neardup_srp_pairs(emb, t, rademacher_planes(32, 64), bands=8)
+            out = semantic_survivors(emb, pairs)
+        else:
+            raise PlanError(
+                f"dedup mode {mode!r}: expected 'exact' or 'semantic'"
+            )
         return EventsFrame(out, unparse(node))
 
     def _transform(self, sub: SeriesFrame, name: str, consts, node) -> SeriesFrame:

@@ -126,6 +126,9 @@ def describe(registry: FunctionRegistry | None = None) -> list[dict]:
         C.Compiler._alert)
     add("bm25", "extension", "bm25('query terms', k)", C.Compiler._bm25)
     add("trend", "extension", "trend(metric, time)", C.Compiler._trend)
+    add("neardup", "extension", "neardup(threshold)", C.Compiler._neardup)
+    add("dedup", "extension", "dedup('exact'|'semantic'[, threshold])",
+        C.Compiler._dedup)
 
     for n, fn in sorted(reg.aggregates.items()):
         add(n, "aggregate", f"{n}(metric, time)", fn, builtin=False)

@@ -266,6 +266,14 @@ def cusum(
     """
     k4 = int(round(kappa * 10000))
     h4 = int(round(h * 10000))
+    # NULL values are dropped up front so both impls see the same
+    # null-free series: without this, impl="sql"'s collect_list drops
+    # NULLs from window frames while impl="arrow"'s
+    # floor(NaN).astype(int64) is undefined (INT64_MIN on most
+    # platforms), silently corrupting the chart — and even a non-NaN
+    # treatment would disagree on frame extents (rowsBetween counts
+    # physical rows). A chart has no meaningful S± at a missing point.
+    df = df.where(F.col(v).isNotNull())
     if impl == "arrow":
         import pandas as pd
 

@@ -40,7 +40,23 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     # byte-range splitting. Unknown stats come back enormous, which
     # correctly reads as "plenty of input — leave it alone".
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        plan = df._jdf.queryExecution().optimizedPlan()
+        # A frame downstream of a shuffle (join/agg/window/sort/explicit
+        # repartition) or read from the block cache already has
+        # spark.sql.shuffle.partitions / cached-RDD partitions — the
+        # byte-size heuristic below under-counts those (post-shuffle
+        # stats can be tiny) and would insert a REDUNDANT exchange, so
+        # short-circuit: spread() only ever widens raw scans.
+        head = plan.toString()
+        if any(
+            tok in head
+            for tok in (
+                "Join", "Aggregate", "Window", "Repartition", "Sort",
+                "InMemoryRelation",
+            )
+        ):
+            return df
+        size = int(plan.stats().sizeInBytes())
         max_pb = int(
             spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
         )

@@ -219,6 +219,38 @@ def neardup_cosine_pairs(
     )
 
 
+def srp_band_keys(
+    vec: Column, planes_matrix: list[list[int]], bands: int
+) -> Column:
+    """Per-band SRP keys as array<long>: band b's key packs sign bits
+    of planes [b·r, (b+1)·r) little-endian (r = planes/bands) —
+    bit-identical to slicing the single packed signature, but with NO
+    64-bit cap on total planes (each BAND is capped at 63 bits, so the
+    matrix can be as wide as band-scaling ever needs). One Arrow
+    matvec per batch, same exactness argument as srp_signature."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = len(planes_matrix)
+    bits_per = planes // bands
+    if bits_per > 63:
+        raise ValueError(f"band width {bits_per} bits > 63 (long key)")
+    M = np.array(planes_matrix, dtype=np.float64).T  # dims × planes
+    w = 1 << np.arange(bits_per, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def keys(vecs):
+        A = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if A.size == 0:
+            return pd.Series([], dtype="object")
+        bits = (A @ M >= 0).astype(np.int64)  # rows × planes
+        B = bits[:, : bands * bits_per].reshape(len(A), bands, bits_per)
+        return pd.Series(list(B @ w))  # rows × bands
+
+    return keys(vec)
+
+
 def _srp_candidates(
     df: DataFrame,
     planes_matrix: list[list[int]],
@@ -227,40 +259,57 @@ def _srp_candidates(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id_i, id_j) pairs sharing any SRP signature band — linear per
-    bucket, never all-pairs."""
-    planes = len(planes_matrix)
-    bits_per = planes // bands
-    mask = (1 << bits_per) - 1
-    sig = spread(df).select(
-        F.col(id_col), F.col(vec), srp_signature(F.col(vec), planes_matrix).alias("__sig")
+    bucket, never all-pairs. Joins on (band, key) from srp_band_keys,
+    which yields the SAME candidate set as the historical packed-long
+    banding for any width, and supports planes > 63."""
+    keyed = spread(df).select(
+        F.col(id_col),
+        F.posexplode(srp_band_keys(F.col(vec), planes_matrix, bands)).alias(
+            "band", "key"
+        ),
     )
-    band_rows = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.shiftright(F.col("__sig"), b * bits_per)
-                    .bitwiseAND(mask)
-                    .bitwiseOR(F.lit(b << 32))  # disambiguate band index
-                    for b in range(bands)
-                ]
-            )
-        ).alias("key"),
-    )
-    a = band_rows.select(F.col(id_col).alias("id_i"), "key")
-    b = band_rows.select(F.col(id_col).alias("id_j"), "key")
+    a = keyed.select(F.col(id_col).alias("id_i"), "band", "key")
+    b = keyed.select(F.col(id_col).alias("id_j"), "band", "key")
     return (
-        a.join(b, "key")
+        a.join(b, ["band", "key"])
         .where(F.col("id_i") < F.col("id_j"))
         .select("id_i", "id_j")
         .distinct()
     )
 
 
+def auto_planes(
+    df: DataFrame,
+    bands: int = 8,
+    target_bucket: int = 256,
+    vec: str = "embedding",
+    min_bits: int = 2,
+    max_bits: int = 48,
+) -> list[list[int]]:
+    """SRP plane matrix sized for a target band-bucket population:
+    bits/band = ⌈log₂(n / target_bucket)⌉, planes = bands · bits.
+
+    The SRP analog of auto_clusters: a FIXED band width leaves bucket
+    population ≈ n/2ᵇⁱᵗˢ, so the Σ|bucket|² candidate budget grows
+    QUADRATICALLY with the corpus; scaling bits with log₂(n) pins the
+    expected bucket at target_bucket, keeping candidates
+    ≈ bands · n · target_bucket — linear (PERF.md names this the last
+    fixed-parameter scale trap). Deterministic: the matrix is the same
+    published rademacher_planes constant at the computed width, so any
+    engine replaying the formula gets identical signatures. One
+    count() + one first() (dims probe), driver-side."""
+    import math
+
+    n = df.count()
+    dims = len(df.select(vec).first()[0])
+    bits = max(min_bits, min(max_bits, math.ceil(math.log2(max(2, n / target_bucket)))))
+    return rademacher_planes(planes=bands * bits, dims=dims)
+
+
 def neardup_srp_pairs(
     df: DataFrame,
     threshold: float,
-    planes_matrix: list[list[int]],
+    planes_matrix: list[list[int]] | None = None,
     bands: int = 8,
     vec: str = "embedding",
     id_col: str = "vec_id",
@@ -268,7 +317,13 @@ def neardup_srp_pairs(
     """LSH-bucketed embedding near-duplicates — the scale path for
     neardup_cosine_pairs: candidates are pairs sharing any signature
     band (linear per bucket, never all-pairs), verified with exact
-    cosine ≥ threshold. Same recall/band calculus as knn_srp."""
+    cosine ≥ threshold. Same recall/band calculus as knn_srp.
+
+    ``planes_matrix=None`` sizes the band width from the corpus
+    (auto_planes) — the setting that keeps the candidate budget linear
+    as data grows; pass an explicit matrix to pin a replayable shape."""
+    if planes_matrix is None:
+        planes_matrix = auto_planes(df, bands, vec=vec)
     cand = _srp_candidates(df, planes_matrix, bands, vec, id_col)
     return _verify_pairs(df, cand, threshold, vec, id_col)
 
@@ -351,6 +406,18 @@ def kmeans_centroids(
         .collect()
     )
     X = np.array([list(r[vec]) for r in rows], dtype=np.float64)
+    if n_clusters > X.shape[0]:
+        # the sample can't seed more centroids than it has rows; clamp
+        # LOUDLY so the caller's candidate-budget math isn't silently
+        # off (auto_clusters caps at train_rows to avoid landing here)
+        import warnings
+
+        warnings.warn(
+            f"kmeans_centroids: n_clusters={n_clusters} > training "
+            f"sample of {X.shape[0]} rows; clamping to {X.shape[0]}",
+            stacklevel=2,
+        )
+        n_clusters = X.shape[0]
     cents = X[:n_clusters].copy()  # seeds: smallest rank hashes, as before
     for _ in range(iters):
         # ‖x−c‖² argmin, ‖x‖² constant per row (same rule as the
@@ -570,13 +637,25 @@ def knn_pq_adc(
     return exact.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
 
 
-def auto_clusters(df: DataFrame, target_cell: int = 256, floor: int = 8) -> int:
+def auto_clusters(
+    df: DataFrame,
+    target_cell: int = 256,
+    floor: int = 8,
+    max_clusters: int = 16384,
+) -> int:
     """Cluster count for a target cell size: C = max(floor, n/target).
     A FIXED C makes cells — and the Σ|cell|² candidate budget — grow
     quadratically with the corpus; scaling C with n keeps candidates
-    ≈ n·target_cell, i.e. LINEAR. One count() job, driver-side."""
+    ≈ n·target_cell, i.e. LINEAR. One count() job, driver-side.
+
+    Capped at ``max_clusters`` (= kmeans_centroids' default training
+    sample): beyond it the sample-trained Lloyd can't supply distinct
+    seeds, so an uncapped C would silently return fewer centroids than
+    advertised. At the cap the linear budget still holds through
+    n ≈ max_clusters·target_cell (~4.2M vectors at defaults); past
+    that, raise train_rows alongside max_clusters."""
     n = df.count()
-    return max(floor, n // target_cell)
+    return min(max(floor, n // target_cell), max_clusters)
 
 
 def neardup_ivf_pairs(
@@ -631,9 +710,9 @@ def _ivf_candidates(
 def neardup_hybrid_pairs(
     df: DataFrame,
     threshold: float,
-    planes_matrix: list[list[int]],
+    planes_matrix: list[list[int]] | None = None,
     bands: int = 8,
-    n_clusters: int | None = 8,
+    n_clusters: int | None = None,
     iters: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
@@ -652,10 +731,15 @@ def neardup_hybrid_pairs(
     The CANDIDATE sets union (distinct) BEFORE verification, so a
     pair both generators propose pays its exact-cosine fold once —
     same result set as verifying per-generator and unioning, at the
-    union's cost. ``n_clusters=None`` sizes C from the corpus
-    (auto_clusters) to keep the IVF side's budget linear."""
+    union's cost. BOTH generators default to corpus-sized parameters:
+    ``n_clusters=None`` → auto_clusters (linear IVF budget) and
+    ``planes_matrix=None`` → auto_planes (linear SRP budget) — the
+    pair of knobs that keeps the whole candidate budget linear as
+    data grows; pass explicit values to pin replayable shapes."""
     if n_clusters is None:
         n_clusters = auto_clusters(df)
+    if planes_matrix is None:
+        planes_matrix = auto_planes(df, bands, vec=vec)
     cand = (
         _ivf_candidates(df, n_clusters, iters, vec, id_col)
         .unionByName(_srp_candidates(df, planes_matrix, bands, vec, id_col))

@@ -879,3 +879,51 @@ def dql_trend(spark, sf_dir):
     return df.select(
         "metric", F.col("ts_ms").alias("wts"), F.col("value").alias("slope")
     )
+
+
+from dqe_spark.queries_ext import _COS as _DCOS  # noqa: E402
+from dqe_spark.queries_ext import _srp_sig_sql as _DSIG  # noqa: E402
+
+
+@q(
+    "dql_neardup",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (SELECT vec_id, v, {_DSIG('v')} AS sig FROM e),
+bands AS (
+  SELECT vec_id, b.i AS band, (sig >> (4 * b.i)) & 15 AS key
+  FROM s, generate_series(0, 7) b(i)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_i, c.id_j, round({_DCOS}, 6) AS cos
+FROM cand c
+JOIN e a ON a.vec_id = c.id_i
+JOIN e b ON b.vec_id = c.id_j
+WHERE round({_DCOS}, 6) >= 0.2
+""",
+)
+def dql_neardup(spark, sf_dir):
+    """`neardup(0.2)` in the language: verified near-duplicate
+    embedding pairs over the WHOLE corpus — the DQL surface of the
+    LSH dedup flagship (dql/compiler._neardup -> operators/similarity
+    .neardup_srp_pairs on the pinned oracle-replayable 32/8 SRP
+    shape; production swaps planes_matrix=None for the auto-scaled
+    band width)."""
+    df = _one(spark, "SELECT neardup(0.2) LAST 1d", sf_dir)
+    return df.select("id_i", "id_j", "cos")
+
+
+@q("dql_dedup", EXT_ORACLES["dedup_exact"])
+def dql_dedup(spark, sf_dir):
+    """`dedup('exact')` in the language: byte-identical document
+    groups (fingerprint, keep-lowest id, copy count) — the DQL twin
+    of dedup_exact (dql/compiler._dedup -> operators/dedup
+    .dedup_exact; one hash-groupBy, map-side combined)."""
+    df = _one(spark, "SELECT dedup('exact') LAST 1d", sf_dir)
+    return df.select("fp", "keep_id", "n_copies")

@@ -750,6 +750,44 @@ def rollup_p90_1h(spark, sf_dir):
     return hist_rollup_percentile(h, 3_600_000, 0.9).select("metric", "wts", "value")
 
 
+def _cluster_prop_sql(rounds: int = 12) -> str:
+    """Iteration-bounded min-label propagation oracle tail (replaces a
+    recursive-CTE transitive closure whose O(Σ|cluster|²) reach table
+    wedged DuckDB past sf0.01 — PERF.md). Each round takes the min of
+    (own label, neighbor labels, label-of-label), all MATERIALIZED so
+    multi-referenced CTEs never inline exponentially; the label table
+    stays |docs| rows per round. Exact-or-loud: a fixpoint of this
+    operator over SYMMETRIC edges is constant per component (= the
+    component min), and if the last two rounds differ anywhere a
+    sentinel (-1,-1) row is emitted, which can never match the engine —
+    the oracle either equals the true closure or fails the compare."""
+    ctes = ["l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM documents)"]
+    for i in range(rounds):
+        ctes.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT l.id,
+         least(l.lab, coalesce(m.mlab, l.lab), coalesce(j.lab, l.lab)) AS lab
+  FROM l{i} l
+  LEFT JOIN (SELECT e.a AS id, min(x.lab) AS mlab
+             FROM edges e JOIN l{i} x ON x.id = e.b GROUP BY e.a) m
+    ON m.id = l.id
+  LEFT JOIN l{i} j ON j.id = l.lab
+)"""
+        )
+    last, prev = f"l{rounds}", f"l{rounds - 1}"
+    return (
+        ", "
+        + "\n, ".join(ctes)
+        + f"""
+SELECT id AS doc_id, CAST(lab AS BIGINT) AS cluster_id FROM {last}
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS cluster_id
+WHERE EXISTS (SELECT 1 FROM {last} a JOIN {prev} b ON a.id = b.id
+              WHERE a.lab <> b.lab)
+"""
+    )
+
+
 @q(
     "dedup_clusters",
     _SIMHASH_CTE
@@ -758,25 +796,18 @@ def rollup_p90_1h(spark, sf_dir):
   SELECT a.doc_id AS id_i, b.doc_id AS id_j
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-), nodes AS (
-  SELECT doc_id AS id FROM documents
 ), edges AS (
   SELECT id_i AS a, id_j AS b FROM pairs
   UNION SELECT id_j, id_i FROM pairs
-), reach AS (
-  WITH RECURSIVE r(src, dst) AS (
-    SELECT id, id FROM nodes
-    UNION
-    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
-  ) SELECT * FROM r
-)
-SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
-""",
+)"""
+    + _cluster_prop_sql(),
 )
 def dedup_clusters(spark, sf_dir):
     """Cluster assignment over SimHash near-dup pairs: distributed
-    min-label propagation vs the oracle's recursive-CTE transitive
-    closure — the keep-one-per-cluster step of a dedup pipeline."""
+    min-label propagation vs the oracle's iteration-bounded label
+    propagation with a convergence sentinel (exact at any sf it
+    converges at; loud mismatch otherwise) — the keep-one-per-cluster
+    step of a dedup pipeline."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_neardup_pairs(d, max_hamming=3).select("id_i", "id_j")
     return dedup.dedup_clusters(d, pairs)
@@ -1565,7 +1596,7 @@ def neardup_hybrid(spark, sf_dir):
     (tests/test_similarity.py asserts the ordering)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.neardup_hybrid_pairs(
-        emb, 0.2, _SRP_PLANES, bands=8, n_clusters=None
+        emb, 0.2, planes_matrix=None, bands=8, n_clusters=None
     )
     return _with_probe_recall(pairs, emb, 0.2)
 
@@ -2909,3 +2940,43 @@ def trend_slope_1h(spark, sf_dir):
     from dqe_spark.sources.metric_store import load_metrics
 
     return windowed_trend_slope(load_metrics(spark, sf_dir), 3_600_000)
+
+
+@q("rollup_distinct_users_1d_serve")  # rows-only: HLL estimates are
+# approximate by design. This is the PRODUCTION twin of
+# rollup_distinct_users_1d: same sketch-served answer WITHOUT the
+# embedded exact-countDistinct diagnostic, so the serving plan never
+# touches raw events (plan-guarded in tests/test_serving_paths.py;
+# accuracy is pinned by the diagnostic twin's err_bp invariant).
+def rollup_distinct_users_1d_serve(spark, sf_dir):
+    """Distinct users per event_type per DAY served purely from the
+    hourly HLL sketch partials — hll_union_agg over KB-sized sketches,
+    cost independent of point count, NO raw-events scan (the shape a
+    100 TB caller uses per serve; the diagnostic twin re-scans raw
+    data only to record its self-check)."""
+    from dqe_spark.sources.rollup import distinct_rollup_agg, load_distinct_rollup
+
+    sk = load_distinct_rollup(spark, sf_dir, 3_600_000)
+    return distinct_rollup_agg(sk, 86_400_000)
+
+
+@q("knn_ann_serve")  # rows-only: index built by deterministic k-means
+# (iterative, not SQL-expressible). PRODUCTION twin of knn_ann_served:
+# same probed-cell ADC + exact re-rank WITHOUT the in_exact_top10
+# diagnostic, so serving never pays the exact linear probe over the
+# raw corpus (plan-guarded in tests/test_serving_paths.py).
+def knn_ann_serve(spark, sf_dir):
+    """kNN served purely from the materialized ANN index store: the
+    query vector arrives as a literal (one bounded driver-side fetch —
+    production callers BRING the query vector), probed cells are
+    parquet partitions, codes-only ADC scan, exact re-rank from the
+    STORED vectors — the raw embeddings table never appears in the
+    serving plan (sources/ann_store.knn_pq_probed)."""
+    from dqe_spark.sources import ann_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 7).select("embedding").first()
+    qv = spark.createDataFrame(
+        [(list(qrow[0]),)], "embedding array<float>"
+    )
+    return ann_store.knn_pq_probed(spark, sf_dir, qv, 10)

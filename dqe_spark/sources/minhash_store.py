@@ -140,10 +140,14 @@ def merge_minhash_increment(
     stale_bb = stored.join(F.broadcast(new_ids), "doc_id", "left_semi").select(
         "bb"
     )
-    touched = inc.select("bb").unionByName(stale_bb).distinct()
-    existing = (
-        stored.join(F.broadcast(touched), "bb", "left_semi")
-        .join(F.broadcast(new_ids), "doc_id", "left_anti")
+    # touched buckets collected driver-side — bounded by N_KEY_BUCKETS
+    # (64 ints), never by data volume
+    touched_bb = sorted(
+        r["bb"]
+        for r in inc.select("bb").unionByName(stale_bb).distinct().collect()
+    )
+    existing = stored.where(F.col("bb").isin(touched_bb)).join(
+        F.broadcast(new_ids), "doc_id", "left_anti"
     )
     merged = (
         existing.select("doc_id", "band", "key", "bb")
@@ -159,6 +163,16 @@ def merge_minhash_increment(
         .partitionBy("bb")
         .parquet(str(p))
     )
+    # Dynamic partition overwrite only rewrites partitions PRESENT in
+    # the output: a touched bucket whose merged frame has zero rows
+    # (the re-landed doc was its only occupant and the new text hashes
+    # elsewhere) would otherwise keep its stale band keys on disk —
+    # breaking the equals-rebuild contract. Delete those explicitly
+    # (merged is checkpointed, so nothing re-reads the stale files).
+    present = {r["bb"] for r in merged.select("bb").distinct().collect()}
+    for b in touched_bb:
+        if b not in present:
+            shutil.rmtree(p / f"bb={b}", ignore_errors=True)
     sh_path = p / "_shingles"
     sh = (
         spark.read.parquet(str(sh_path))
@@ -234,9 +248,15 @@ def purge_doc_ids(
     p = _store_dir(sf_dir)
     ids = F.broadcast(doc_ids.select("doc_id").distinct())
     bands = spark.read.parquet(str(p))
-    touched = bands.join(ids, "doc_id", "left_semi").select("bb").distinct()
+    touched_bb = sorted(
+        r["bb"]
+        for r in bands.join(ids, "doc_id", "left_semi")
+        .select("bb")
+        .distinct()
+        .collect()
+    )  # driver-side, bounded by N_KEY_BUCKETS
     kept = (
-        bands.join(F.broadcast(touched), "bb", "left_semi")
+        bands.where(F.col("bb").isin(touched_bb))
         .join(ids, "doc_id", "left_anti")
         .select("doc_id", "band", "key", "bb")
         .localCheckpoint(eager=True)
@@ -249,6 +269,14 @@ def purge_doc_ids(
         .partitionBy("bb")
         .parquet(str(p))
     )
+    # same empty-touched-bucket hole as merge_minhash_increment: a
+    # bucket fully occupied by purged docs yields no output partition,
+    # so dynamic overwrite never rewrites it — delete it explicitly or
+    # the purged doc could still surface as a candidate
+    present = {r["bb"] for r in kept.select("bb").distinct().collect()}
+    for b in touched_bb:
+        if b not in present:
+            shutil.rmtree(p / f"bb={b}", ignore_errors=True)
     sh_path = p / "_shingles"
     sh = (
         spark.read.parquet(str(sh_path))

@@ -80,12 +80,17 @@ def main() -> None:
         "event_id": span[("events", "event_id")],
         "user_id": span[("events", "user_id")],
     })
+    # customers without orders can push max(c_custkey) past
+    # max(o_custkey); shifting BOTH custkey columns by the larger span
+    # keeps copies' customer key ranges disjoint (a smaller shift would
+    # overlap consecutive copies and fan out every customer join)
+    cust_span = max(span[("orders", "o_custkey")], span[("customer", "c_custkey")])
     replicate("orders", {
         "o_orderkey": span[("orders", "o_orderkey")],
-        "o_custkey": span[("orders", "o_custkey")],
+        "o_custkey": cust_span,
     })
     replicate("lineitem", {"l_orderkey": span[("orders", "o_orderkey")]})
-    replicate("customer", {"c_custkey": span[("orders", "o_custkey")]})
+    replicate("customer", {"c_custkey": cust_span})
     replicate("documents", {"doc_id": span[("documents", "doc_id")]},
               text_suffix=True)
     replicate("embeddings", {"vec_id": span[("embeddings", "vec_id")]})

@@ -459,3 +459,64 @@ def test_zscore_composes_with_group_by(spark):
     assert len(hosts) > 1  # scored per group, not globally
     vals = [r["value"] for r in rows if r["value"] is not None]
     assert vals and all(abs(v) < 100 for v in vals)  # z-scale, not raw
+
+
+def test_neardup_in_language(spark):
+    """neardup(t) == neardup_srp_pairs on the pinned 32/8 SRP shape
+    over the whole embedding corpus; a threshold outside 0..1 is a
+    plan error."""
+    (res,) = engine.run(spark, "SELECT neardup(0.2) LAST 1d", SF_SMOKE)
+    assert res.kind == "events"
+    from dqe_spark.operators.similarity import (
+        neardup_srp_pairs,
+        rademacher_planes,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    expect = sorted(
+        (r["id_i"], r["id_j"], r["cos"])
+        for r in neardup_srp_pairs(
+            emb, 0.2, rademacher_planes(32, 64), bands=8
+        ).collect()
+    )
+    got = sorted((r["id_i"], r["id_j"], r["cos"]) for r in res.df.collect())
+    assert got == expect and got
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="0..1"):
+        engine.run(spark, "SELECT neardup(1.5) LAST 1d", SF_SMOKE)
+
+
+def test_dedup_in_language(spark):
+    """dedup('exact') == operators/dedup.dedup_exact on documents;
+    dedup('semantic') == SemDeDup survivors over the pinned SRP pairs;
+    an unknown mode is a plan error."""
+    (res,) = engine.run(spark, "SELECT dedup('exact') LAST 1d", SF_SMOKE)
+    from dqe_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = sorted(tuple(r) for r in dedup_exact(docs).collect())
+    got = sorted(
+        tuple(r)
+        for r in res.df.select("fp", "keep_id", "n_copies").collect()
+    )
+    assert got == expect
+
+    (sem,) = engine.run(spark, "SELECT dedup('semantic', 0.2) LAST 1d", SF_SMOKE)
+    from dqe_spark.operators.similarity import (
+        neardup_srp_pairs,
+        rademacher_planes,
+        semantic_survivors,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pairs = neardup_srp_pairs(emb, 0.2, rademacher_planes(32, 64), bands=8)
+    want = sorted(
+        r["vec_id"] for r in semantic_survivors(emb, pairs).collect()
+    )
+    assert sorted(r["vec_id"] for r in sem.df.collect()) == want
+
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="expected 'exact' or 'semantic'"):
+        engine.run(spark, "SELECT dedup('fuzzy') LAST 1d", SF_SMOKE)

@@ -98,6 +98,48 @@ def test_probe_finds_planted_neardup(spark):
         MS.build_minhash_store(spark, SF_SMOKE, force=True)  # restore
 
 
+def test_reland_vacating_sole_bucket_leaves_no_stale_keys(spark):
+    """Dynamic partition overwrite only rewrites bb partitions PRESENT
+    in the output — so when a re-landed doc was the ONLY occupant of an
+    old bucket and its new text hashes elsewhere, that bucket has zero
+    merged rows and would silently keep its stale band keys unless the
+    store deletes empty touched partitions explicitly. Single-doc
+    corpus makes every old bucket sole-occupant, forcing the hole."""
+    from dqe_spark.sources import minhash_store as MS
+
+    p = MS._store_dir(SF_SMOKE)
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+    try:
+        MS.build_minhash_store(spark, SF_SMOKE, docs=v1, force=True)
+        old = {(r["band"], r["key"]) for r in spark.read.parquet(str(p)).collect()}
+        MS.merge_minhash_increment(spark, SF_SMOKE, v2)
+        got = _snapshot(spark, p)
+        MS.build_minhash_store(spark, SF_SMOKE, docs=v2, force=True)
+        assert got == _snapshot(spark, p)
+        # the scenario actually exercised the hole: no v1 band key
+        # survives in the merged store
+        assert not (old & {(b, k) for _, b, k in got})
+
+        # purge has the same hole: removing the sole occupant of a
+        # bucket must delete the partition, not skip it
+        MS.build_minhash_store(spark, SF_SMOKE, docs=v1.unionByName(v2.withColumn("doc_id", F.lit(2))), force=True)
+        MS.purge_doc_ids(spark, SF_SMOKE, v1.select("doc_id"))
+        got2 = _snapshot(spark, p)
+        MS.build_minhash_store(
+            spark, SF_SMOKE, docs=v2.withColumn("doc_id", F.lit(2)), force=True
+        )
+        assert got2 == _snapshot(spark, p)
+    finally:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)  # restore
+
+
 def test_purge_equals_rebuild_without_docs(spark):
     """Purging ids from BOTH doc stores equals rebuilding each from the
     filtered corpus, and purged docs vanish from search results."""

@@ -53,7 +53,8 @@ def test_describe_catalog():
     # and counted separately so the parity claim stays checkable
     assert len([r for r in rows if r["class"] != "extension"]) == 45
     assert {r["name"] for r in rows if r["class"] == "extension"} == {
-        "zscore", "alert_above", "alert_below", "bm25", "trend"
+        "zscore", "alert_above", "alert_below", "bm25", "trend",
+        "neardup", "dedup",
     }
     names = {(r["name"], r["class"]) for r in rows}
     for n in C.AGGR_PLAIN:
