@@ -91,6 +91,14 @@ EXT_HEADLINE = [
     "trend_slope_1h",
     "multimodal_keyframes",
     "multimodal_audio_segments",
+    # round-6 additions: diagnostics-free serving twins (the per-serve
+    # cost a production caller pays), DQL dedup/near-dup frontends,
+    # baseline-JPEG entropy decode
+    "rollup_distinct_users_1d_serve",
+    "knn_ann_serve",
+    "dql_neardup",
+    "dql_dedup",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -10,9 +10,10 @@ fully decodable from the standard library + numpy:
     8-bit gray / RGB / RGBA, non-interlaced.
   * BMP  (image/bmp)  — ``struct`` parse of BITMAPINFOHEADER; 24-bpp
     uncompressed bottom-up pixel rows.
-  * JPEG (image/jpeg) — marker scan for SOF0/SOF2 frame headers gives
-    real width/height (full entropy decode is out of scope — that part
-    still raises, honestly).
+  * JPEG (image/jpeg) — FULL baseline entropy decode in numpy
+    (operators/jpeg_codec: Huffman MCU scan, restarts, dequantize,
+    IDCT, chroma upsample, YCbCr→RGB); progressive (SOF2) and
+    arithmetic-coded payloads still raise, honestly.
 
 These run inside mapInPandas batches (operators/multimodal.py), so the
 decode is per-executor, Arrow-batched, and never touches the driver.
@@ -39,6 +40,7 @@ __all__ = [
     "decode_wav",
     "decode_png",
     "decode_bmp",
+    "decode_jpeg",
     "jpeg_dimensions",
     "decode_media",
     "MediaDecodeError",
@@ -289,12 +291,26 @@ def decode_bmp(data: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
-# JPEG (frame header only — honest partial decode)
+# JPEG
+
+def decode_jpeg(data: bytes) -> dict:
+    """Full baseline-JPEG entropy decode (operators/jpeg_codec: DQT/DHT
+    parse, Huffman MCU scan with restarts, dequantize, IDCT, chroma
+    upsample, YCbCr→RGB) → the decode_png dict shape with real pixels.
+    Progressive (SOF2) and arithmetic-coded payloads raise
+    MediaDecodeError per row — still honest about what's undecodable."""
+    from dqe_spark.operators import jpeg_codec
+
+    try:
+        return jpeg_codec.decode_jpeg(data)
+    except jpeg_codec.MediaDecodeError as e:
+        raise MediaDecodeError(str(e)) from e
+
 
 def jpeg_dimensions(data: bytes) -> dict:
     """Width/height from the SOF0/SOF1/SOF2 frame header (the marker
-    scan every image tool performs). Pixel decode needs a full huffman/
-    DCT implementation — out of scope, so ``pixels`` stays absent."""
+    scan every image tool performs) — the METADATA-ONLY fast path;
+    decode_jpeg does the full pixel decode for baseline payloads."""
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeError("bad JPEG SOI")
     pos = 2
@@ -335,7 +351,7 @@ _DECODERS = {
     "audio/wav": decode_wav,
     "image/png": decode_png,
     "image/bmp": decode_bmp,
-    "image/jpeg": jpeg_dimensions,
+    "image/jpeg": decode_jpeg,
 }
 
 

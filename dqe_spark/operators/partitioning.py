@@ -40,23 +40,22 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     # byte-range splitting. Unknown stats come back enormous, which
     # correctly reads as "plenty of input — leave it alone".
     try:
-        plan = df._jdf.queryExecution().optimizedPlan()
-        # A frame downstream of a shuffle (join/agg/window/sort/explicit
-        # repartition) or read from the block cache already has
-        # spark.sql.shuffle.partitions / cached-RDD partitions — the
-        # byte-size heuristic below under-counts those (post-shuffle
-        # stats can be tiny) and would insert a REDUNDANT exchange, so
-        # short-circuit: spread() only ever widens raw scans.
-        head = plan.toString()
-        if any(
-            tok in head
-            for tok in (
-                "Join", "Aggregate", "Window", "Repartition", "Sort",
-                "InMemoryRelation",
-            )
-        ):
+        import re
+
+        qe = df._jdf.queryExecution()
+        # A frame downstream of a SHUFFLE (agg/sort-merge join/window/
+        # explicit repartition) or read from the block cache already
+        # has spark.sql.shuffle.partitions / cached-RDD partitions —
+        # the byte-size heuristic below under-counts those (post-
+        # shuffle stats can be tiny) and would insert a REDUNDANT
+        # exchange. Check the PHYSICAL plan for a shuffle Exchange
+        # specifically: BroadcastExchange does NOT repartition its
+        # probe side (a broadcast semi-join over a one-file scan still
+        # needs the widening), so it must not short-circuit.
+        phys = qe.sparkPlan().toString()
+        if re.search(r"(?<!Broadcast)Exchange", phys) or "InMemoryTableScan" in phys:
             return df
-        size = int(plan.stats().sizeInBytes())
+        size = int(qe.optimizedPlan().stats().sizeInBytes())
         max_pb = int(
             spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
         )

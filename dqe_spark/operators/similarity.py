@@ -158,22 +158,21 @@ def knn_srp(
     full scan into a selective filter (bucket the stored table by band
     keys for file-level pruning at deployment). Probability a true
     neighbor at cosine θ shares a band: 1−(1−(1−θ̂)^r)^b — tune
-    planes/bands per recall target. Output (vec_id, cos)."""
-    planes = len(planes_matrix)
-    bits_per = planes // bands
-    mask = (1 << bits_per) - 1
-    corpus = spread(df).withColumn("__sig", srp_signature(F.col(vec), planes_matrix))
+    planes/bands per recall target. Band keys come from srp_band_keys
+    (bit-identical to the historical packed-long banding, pinned in
+    tests/test_similarity.py) so matrices wider than 63 planes work
+    here too. Output (vec_id, cos)."""
+    corpus = spread(df).withColumn(
+        "__keys", srp_band_keys(F.col(vec), planes_matrix, bands)
+    )
     q = query.select(
         F.col(vec).alias("__q"),
-        srp_signature(F.col(vec), planes_matrix).alias("__qsig"),
+        srp_band_keys(F.col(vec), planes_matrix, bands).alias("__qkeys"),
     )
     joined = corpus.crossJoin(F.broadcast(q))
     band_match = None
     for b in range(bands):
-        cond = (
-            F.shiftright(F.col("__sig"), b * bits_per).bitwiseAND(mask)
-            == F.shiftright(F.col("__qsig"), b * bits_per).bitwiseAND(mask)
-        )
+        cond = F.col("__keys")[b] == F.col("__qkeys")[b]
         band_match = cond if band_match is None else (band_match | cond)
     scored = joined.where(band_match).select(
         F.col(id_col), F.round(cosine(F.col(vec), F.col("__q")), 6).alias("cos")
@@ -281,7 +280,7 @@ def _srp_candidates(
 def auto_planes(
     df: DataFrame,
     bands: int = 8,
-    target_bucket: int = 256,
+    target_bucket: int = 128,
     vec: str = "embedding",
     min_bits: int = 2,
     max_bits: int = 48,
@@ -294,10 +293,15 @@ def auto_planes(
     QUADRATICALLY with the corpus; scaling bits with log₂(n) pins the
     expected bucket at target_bucket, keeping candidates
     ≈ bands · n · target_bucket — linear (PERF.md names this the last
-    fixed-parameter scale trap). Deterministic: the matrix is the same
-    published rademacher_planes constant at the computed width, so any
-    engine replaying the formula gets identical signatures. One
-    count() + one first() (dims probe), driver-side."""
+    fixed-parameter scale trap; measured there: 10× vectors → pinned
+    candidates 100×, auto ≈ 10×). target_bucket=128 makes the
+    computed width coincide with the historical pinned 32-plane/8-band
+    shape exactly at n = 2048-ish corpora, so the default changes
+    nothing at registry scale and kicks in as data grows.
+    Deterministic: the matrix is the same published rademacher_planes
+    constant at the computed width, so any engine replaying the
+    formula gets identical signatures. One count() + one first()
+    (dims probe), driver-side."""
     import math
 
     n = df.count()

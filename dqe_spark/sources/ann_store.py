@@ -157,10 +157,12 @@ def merge_ann_increment(
     old_cells = idx0.join(
         F.broadcast(inc.select(id_col)), id_col, "left_semi"
     ).select("cell")
-    touched = inc.select("cell").union(old_cells).distinct()
-    existing = (
-        idx0.join(F.broadcast(touched), "cell", "left_semi")
-        .join(F.broadcast(inc.select(id_col)), id_col, "left_anti")
+    # touched cells collected driver-side — bounded by n_clusters
+    touched = sorted(
+        r["cell"] for r in inc.select("cell").union(old_cells).distinct().collect()
+    )
+    existing = idx0.where(F.col("cell").isin(touched)).join(
+        F.broadcast(inc.select(id_col)), id_col, "left_anti"
     )
     merged = (
         existing.unionByName(inc.select(*existing.columns))
@@ -174,6 +176,15 @@ def merge_ann_increment(
         .partitionBy("cell")
         .parquet(str(p / "index"))
     )
+    # dynamic overwrite skips partitions with no output rows: an upsert
+    # that MOVES a cell's only occupant elsewhere must still clear the
+    # old cell dir or its stale row keeps being served (same hole as
+    # minhash_store.merge_minhash_increment)
+    present = {r["cell"] for r in merged.select("cell").distinct().collect()}
+    for c in touched:
+        if c not in present:
+            shutil.rmtree(p / "index" / f"cell={c}", ignore_errors=True)
+    spark.catalog.refreshByPath(str(p / "index"))
     return p
 
 
@@ -262,9 +273,15 @@ def purge_vector_ids(
     id_col = meta["id_col"]
     ids_b = F.broadcast(ids.selectExpr(f"{ids.columns[0]} AS {id_col}").distinct())
     idx = spark.read.parquet(str(p / "index"))
-    touched = idx.join(ids_b, id_col, "left_semi").select("cell").distinct()
+    touched = sorted(
+        r["cell"]
+        for r in idx.join(ids_b, id_col, "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )  # driver-side, bounded by n_clusters
     kept = (
-        idx.join(F.broadcast(touched), "cell", "left_semi")
+        idx.where(F.col("cell").isin(touched))
         .join(ids_b, id_col, "left_anti")
         .localCheckpoint(eager=True)
     )
@@ -276,6 +293,13 @@ def purge_vector_ids(
         .partitionBy("cell")
         .parquet(str(p / "index"))
     )
+    # purging a cell's entire population yields no output partition —
+    # dynamic overwrite would skip it and keep serving the purged rows;
+    # clear such cells explicitly (same hole as minhash_store)
+    present = {r["cell"] for r in kept.select("cell").distinct().collect()}
+    for c in touched:
+        if c not in present:
+            shutil.rmtree(p / "index" / f"cell={c}", ignore_errors=True)
     # rewritten files replace the session's cached listing for the path
     spark.catalog.refreshByPath(str(p / "index"))
     return p

@@ -42,15 +42,33 @@ def _shift(table: pa.Table, col: str, off: int) -> pa.Table:
     return table.set_column(i, table.schema.field(col), shifted)
 
 
-def replicate(name: str, keys: dict[str, int], text_suffix: bool = False) -> None:
+def replicate(
+    name: str,
+    keys: dict[str, int],
+    text_suffix: bool = False,
+    ts_jitter_col: str | None = None,
+) -> None:
     """Write 10 copies of `name`, shifting each listed key column by
-    copy_index * span so key spaces never collide across copies."""
+    copy_index * span so key spaces never collide across copies.
+    ``ts_jitter_col`` shifts that timestamp by copy_index MILLISECONDS:
+    without it every copy lands on IDENTICAL timestamps, making
+    first/last-style aggregates (arg_min/arg_max on ts) ill-defined —
+    engines legitimately disagree on which of 10 equal-ts points is
+    "first" (found by the round-6 sf1 oracle sweep). A few ms keeps
+    every point in its original window for all practical purposes
+    while restoring unique per-series timestamps."""
     src = pq.read_table(SRC / f"{name}.parquet")
     parts = []
     for c in range(COPIES):
         t = src
         for col, span in keys.items():
             t = _shift(t, col, c * span)
+        if ts_jitter_col is not None and c > 0:
+            i = t.schema.get_field_index(ts_jitter_col)
+            jittered = pc.add(
+                t.column(ts_jitter_col), pa.scalar(c, pa.duration("ms"))
+            )
+            t = t.set_column(i, t.schema.field(ts_jitter_col), jittered)
         if text_suffix and c > 0:
             i = t.schema.get_field_index("text")
             txt = pc.binary_join_element_wise(
@@ -59,6 +77,24 @@ def replicate(name: str, keys: dict[str, int], text_suffix: bool = False) -> Non
             t = t.set_column(i, t.schema.field("text"), txt)
         parts.append(t)
     out = pa.concat_tables(parts)
+    if ts_jitter_col is not None:
+        # The engine works at MILLISECOND resolution (ts_ms): originals
+        # less than COPIES ms apart in one series make jittered copies
+        # collide at the same ms with different values, so first/last/
+        # lag-style aggregates would again be ill-defined. Drop the
+        # later-event_id row of any (event_type, ms) collision —
+        # deterministic, removes a handful of rows out of a million.
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", out)
+        out = con.sql(
+            f"""
+            SELECT * FROM t QUALIFY row_number() OVER (
+              PARTITION BY event_type, epoch_ns({ts_jitter_col}) // 1000000
+              ORDER BY event_id) = 1
+            """
+        ).arrow().cast(out.schema)
     pq.write_table(out, DST / f"{name}.parquet", row_group_size=1 << 20)
     print(f"{name}: {src.num_rows} -> {out.num_rows}")
 
@@ -79,7 +115,7 @@ def main() -> None:
     replicate("events", {
         "event_id": span[("events", "event_id")],
         "user_id": span[("events", "user_id")],
-    })
+    }, ts_jitter_col="ts")
     # customers without orders can push max(c_custkey) past
     # max(o_custkey); shifting BOTH custkey columns by the larger span
     # keeps copies' customer key ranges disjoint (a smaller shift would

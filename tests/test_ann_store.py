@@ -162,3 +162,87 @@ def test_purge_vector_ids(spark):
         assert os.path.getmtime(p / "index" / d) == mtimes[d], d
 
     ann_store.ingest_ann(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_ann_increment_file_counts_stay_bounded(spark):
+    """Round-5 verdict #7: the per-bucket one-file invariant proven
+    for the text index / minhash store holds for the ANN index too —
+    N successive merges keep every cell= dir at one parquet file
+    (each merge shuffles a touched cell into one task and dynamic-
+    overwrites the dir), and the merged index equals a from-scratch
+    ingest over the same rows."""
+    from dqe_spark.sources import ann_store as AS
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    try:
+        AS.ingest_ann(spark, SF_SMOKE, source=half, force=True)
+        for i in range(4):
+            AS.merge_ann_increment(
+                spark, SF_SMOKE, rest.where(F.col("vec_id") % 8 == 2 * i + 1)
+            )
+        p = AS.ann_path(SF_SMOKE) / "index"
+        files = {
+            d.name: len(list(d.glob("*.parquet")))
+            for d in p.iterdir()
+            if d.is_dir() and d.name.startswith("cell=")
+        }
+        assert files and max(files.values()) == 1, files
+        got = sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(str(p)).collect()
+        )
+        # rebuild from scratch over the SAME training base (half) so
+        # centroids/codebooks match, then upsert the rest in one go
+        AS.ingest_ann(spark, SF_SMOKE, source=half, force=True)
+        AS.merge_ann_increment(spark, SF_SMOKE, rest)
+        want = sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]))
+            for r in spark.read.parquet(str(p)).collect()
+        )
+        assert got == want
+    finally:
+        AS.ingest_ann(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_ann_upsert_vacating_sole_cell_leaves_no_stale_row(spark):
+    """Dynamic partition overwrite skips cells with no output rows: an
+    upsert that moves a cell's ONLY occupant to another cell (or a
+    purge emptying a cell) must delete the old cell dir explicitly or
+    the stale row keeps being served. Force it with a 2-vector corpus
+    whose vectors land in different cells, then re-land one ON TOP of
+    the other's position."""
+    from dqe_spark.sources import ann_store as AS
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    two = emb.orderBy("vec_id").limit(2).localCheckpoint(eager=True)
+    rows = two.collect()
+    a, b = rows[0], rows[1]
+    try:
+        AS.ingest_ann(spark, SF_SMOKE, source=two, n_clusters=2, force=True)
+        p = AS.ann_path(SF_SMOKE) / "index"
+        idx = spark.read.parquet(str(p))
+        cells = {r["vec_id"]: r["cell"] for r in idx.collect()}
+        if cells[a["vec_id"]] != cells[b["vec_id"]]:
+            # move a onto b's vector -> a's old cell becomes empty
+            moved = spark.createDataFrame(
+                [(a["vec_id"], list(b["embedding"]))],
+                f"vec_id long, embedding {two.schema['embedding'].dataType.simpleString()}",
+            )
+            AS.merge_ann_increment(spark, SF_SMOKE, moved)
+            spark.catalog.refreshByPath(str(p))
+            left = spark.read.parquet(str(p)).groupBy("vec_id").count().collect()
+            assert all(r["count"] == 1 for r in left), left
+            got_cells = {
+                r["vec_id"]: r["cell"]
+                for r in spark.read.parquet(str(p)).collect()
+            }
+            assert got_cells[a["vec_id"]] == cells[b["vec_id"]]
+        # purge the remaining sole occupant of a cell: dir must vanish
+        AS.purge_vector_ids(spark, SF_SMOKE, two.select("vec_id").limit(1))
+        purged_id = rows[0]["vec_id"]
+        left = {r["vec_id"] for r in spark.read.parquet(str(p)).collect()}
+        assert purged_id not in left
+    finally:
+        AS.ingest_ann(spark, SF_SMOKE, force=True)  # restore

@@ -294,3 +294,66 @@ def test_image_dhash_properties():
 
     with pytest.raises(mc.MediaDecodeError):
         mc.image_dhash(b"not an image")
+
+
+# -- baseline JPEG (operators/jpeg_codec) ------------------------------------
+
+
+def test_jpeg_constant_roundtrip_exact():
+    """Constant gray blocks are DC-only; at quantizer 1 the DC path is
+    integer end-to-end, so decode(encode(c)) == c EXACTLY — the same
+    analytic contract the registry oracle pins."""
+    from dqe_spark.operators import jpeg_codec as J
+
+    for c in (0, 1, 127, 128, 254, 255):
+        px = np.full((16, 24), c, dtype=np.uint8)
+        d = J.decode_jpeg(J.encode_jpeg_baseline(px))
+        assert (d["width"], d["height"], d["channels"]) == (24, 16, 1)
+        assert (d["pixels"][:, :, 0] == c).all()
+        assert d["mean_luma"] == float(c)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """At quantizer 1 the only loss is coefficient rounding: any gray
+    image round-trips within ±1; a constant-color RGB image (DC-only
+    in all three planes) is exact through 4:4:4, 4:2:0 and 4:2:2
+    including the color transform; restart intervals change nothing."""
+    from dqe_spark.operators import jpeg_codec as J
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg_baseline(px))
+    assert np.abs(d["pixels"][:, :, 0].astype(int) - px).max() <= 1
+
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 30, 90
+    for sub in ((1, 1), (2, 2), (2, 1)):
+        out = J.decode_jpeg(J.encode_jpeg_baseline(rgb, subsample=sub))
+        assert out["channels"] == 3
+        assert np.array_equal(out["pixels"], rgb), sub
+
+    enc = J.encode_jpeg_baseline(px, restart_interval=3)
+    d2 = J.decode_jpeg(enc)
+    assert np.array_equal(d2["pixels"], d["pixels"])
+
+
+def test_jpeg_dispatch_and_progressive_raises():
+    """decode_media('image/jpeg') now returns real pixels for baseline
+    payloads; progressive (SOF2) raises MediaDecodeError per row."""
+    from dqe_spark.operators import jpeg_codec as J
+
+    px = np.full((8, 8), 42, dtype=np.uint8)
+    d = mc.decode_media(J.encode_jpeg_baseline(px), "image/jpeg")
+    assert d["mean_luma"] == 42.0 and d["kind"] == "image"
+
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1)
+        + b"\x01\x11\x00"
+    )
+    with pytest.raises(mc.MediaDecodeError, match="progressive"):
+        mc.decode_media(sof2 + b"\xff\xd9", "image/jpeg")
+    # the metadata-only marker scan still reads SOF2 headers
+    dims = mc.jpeg_dimensions(sof2 + b"\xff\xd9")
+    assert (dims["width"], dims["height"]) == (8, 8)

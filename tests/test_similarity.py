@@ -207,3 +207,51 @@ def test_neardup_hybrid_dominates_ivf_recall(spark):
     assert hyb[0]["probe_recall_bp"] >= ivf[0]["probe_recall_bp"]
     # exactness: every emitted pair is a true near-dup at the threshold
     assert all(r["cos"] >= 0.2 for r in hyb)
+
+
+def test_srp_band_keys_match_packed_signature(spark):
+    """The (band, key) generator (srp_band_keys — no 63-plane cap)
+    must produce EXACTLY the band values the historical packed-long
+    path derives by shifting srp_signature: band b of the packed sig
+    == element b of the key array, for the pinned 32/8 shape. This is
+    the bit-identity claim that lets _srp_candidates change physical
+    form without moving any oracle hash."""
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    planes = S.rademacher_planes(32, 64)
+    bands, bits = 8, 4
+    mask = (1 << bits) - 1
+    both = emb.select(
+        "vec_id",
+        S.srp_signature(F.col("embedding"), planes).alias("sig"),
+        S.srp_band_keys(F.col("embedding"), planes, bands).alias("keys"),
+    ).collect()
+    assert both
+    for r in both:
+        for b in range(bands):
+            assert ((r["sig"] >> (b * bits)) & mask) == r["keys"][b]
+
+
+def test_auto_planes_deterministic_and_sized(spark):
+    """auto_planes is a pure function of (n, dims): same corpus →
+    same matrix; width follows bands·⌈log₂(n/target)⌉ with the
+    documented floor; and a too-wide band is rejected by
+    srp_band_keys (long-key bound)."""
+    import math
+
+    import pytest
+
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = emb.count()
+    m1 = S.auto_planes(emb, bands=8)
+    m2 = S.auto_planes(emb, bands=8)
+    assert m1 == m2
+    bits = max(2, min(48, math.ceil(math.log2(max(2, n / 128)))))
+    assert len(m1) == 8 * bits and len(m1[0]) == 64
+    with pytest.raises(ValueError, match="> 63"):
+        S.srp_band_keys(
+            F.col("embedding"), S.rademacher_planes(128, 64), bands=2
+        )

@@ -269,3 +269,43 @@ def test_cusum_detects_level_shift(spark):
     assert not [i for i in alarms if i < 50]
     # both sides bounded: S+ nonneg, S- nonpos
     assert all(r.cusum_pos >= 0 and r.cusum_neg <= 0 for r in out)
+
+
+def test_cusum_sql_impl_matches_arrow_under_forced_spill(spark):
+    """Round-5 verdict #8: the documented spill-safe impl="sql"
+    fallback must stay bit-identical to the Arrow prefix-sum path —
+    including when the Catalyst window actually SPILLS. Force the
+    spill path with a tiny ExternalAppendOnlyUnsafeRowArray threshold
+    on one long single series (one partition holds every row, window
+    frame k=96), then hash-compare full outputs; also pin the NULL
+    contract: null-valued points are dropped identically by both."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.anomaly import cusum
+
+    rows = [
+        (
+            "m",
+            i * 60_000,
+            None if i % 97 == 13 else float((i * i) % 500) / 7.0 + (100.0 if i > 2000 else 0.0),
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "metric string, wts long, value double")
+    arrow = sorted(
+        tuple(r) for r in cusum(df, kappa=0.5, h=4.0, k=96, impl="arrow").collect()
+    )
+    old = spark.conf.get("spark.sql.windowExec.buffer.spill.threshold", None)
+    try:
+        spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "16")
+        sql = sorted(
+            tuple(r)
+            for r in cusum(df, kappa=0.5, h=4.0, k=96, impl="sql").collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+        else:
+            spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", old)
+    assert len(arrow) == len(sql) == 4000 - len([r for r in rows if r[2] is None])
+    assert arrow == sql
