@@ -2976,10 +2976,7 @@ def knn_ann_serve(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 7).select("embedding").first()
-    qv = spark.createDataFrame(
-        [(list(qrow[0]),)], "embedding array<float>"
-    )
-    return ann_store.knn_pq_probed(spark, sf_dir, qv, 10)
+    return ann_store.knn_pq_probed(spark, sf_dir, list(qrow[0]), 10)
 
 
 @q(

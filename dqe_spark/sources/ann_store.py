@@ -200,7 +200,7 @@ def load_ann(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict] | None:
 def knn_pq_probed(
     spark: SparkSession,
     sf_dir: str,
-    query: DataFrame,
+    query,
     k: int,
     probes: int = 3,
     rerank: int = 50,
@@ -208,7 +208,13 @@ def knn_pq_probed(
     """Serve a kNN query from the materialized index: probe the
     nearest ``probes`` cells (partition pruning), ADC-score their
     codes, exact-re-rank the top ``rerank``. Builds the index on first
-    use. Output (vec_id, adc) ascending (exact L2² after re-rank)."""
+    use. Output (vec_id, adc) ascending (exact L2² after re-rank).
+
+    ``query`` is either a 1-row DataFrame carrying the vector column
+    or a plain list/tuple/ndarray — the PRODUCTION shape: a serving
+    caller brings the query vector as a VALUE, so the plan contains
+    only index-store scans (no source-table subtree, no extra fetch
+    job; the literal becomes a broadcast 1-row frame)."""
     import numpy as np
 
     ingest_ann(spark, sf_dir)
@@ -217,7 +223,16 @@ def knn_pq_probed(
     C = np.asarray(meta["centroids"], dtype=np.float64)
     B = np.asarray(meta["codebooks"], dtype=np.float64)  # m × C × sub
     sub = B.shape[2]
-    qv = np.asarray(query.select(vec).first()[0], dtype=np.float64)
+    if isinstance(query, (list, tuple, np.ndarray)):
+        qv = np.asarray(query, dtype=np.float64)
+        qc = spark.range(1).select(
+            F.array(*[F.lit(float(x)) for x in qv])
+            .cast("array<double>")
+            .alias("__q")
+        )
+    else:
+        qv = np.asarray(query.select(vec).first()[0], dtype=np.float64)
+        qc = query.select(F.col(vec).alias("__q"))
 
     cell_d = ((C - qv) ** 2).sum(axis=1)
     probed = [int(c) for c in np.argsort(cell_d, kind="stable")[:probes]]
@@ -237,7 +252,6 @@ def knn_pq_probed(
     pruned = idx.where(F.col("cell").isin(probed))
     scored = pruned.select(F.col(id_col), F.round(adc, 6).alias("adc"))
     cand = scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(rerank)
-    qc = query.select(F.col(vec).alias("__q"))
     l2 = F.aggregate(
         F.zip_with(
             F.col(vec),
