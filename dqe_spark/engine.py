@@ -220,6 +220,7 @@ def collect(
     use_rollups: bool = False,
     debug: bool = False,
     slow_ms: int | None = DEBUG_SLOW_MS,
+    trace_id: str | None = None,
 ) -> list[tuple[Result, list]]:
     """Materialize every statement — the reference's dqe:run/2 shape:
     plan, execute, funnel, with an optional query timeout and the
@@ -231,11 +232,36 @@ def collect(
 
     debug=True always writes a plan artifact; otherwise one is written
     when the query runs longer than slow_ms (reference behavior:
-    src/dqe.erl:288-305; slow_ms=None disables)."""
+    src/dqe.erl:288-305; slow_ms=None disables).
+
+    trace_id opens a query span (plans/span.py — the reference's
+    dqe_span surface, src/dqe.erl:181-230: tag the query text and
+    statement count, log the same preparation/execution milestones);
+    None keeps tracing a strict no-op, as in the reference."""
     import time as _time_mod
 
+    from dqe_spark.plans import span as _span
+
     t0 = _time_mod.monotonic()
-    results = plan(spark, dql, sf_dir, now_ms, use_rollups)
+    _span.start("query", trace_id)
+    _span.tag("query", dql)
+    try:
+        results = plan(spark, dql, sf_dir, now_ms, use_rollups)
+        _span.tag("parts", len(results))
+        # the reference logs this milestone verbatim (sic,
+        # src/dqe.erl:202 — kept identical for artifact parity)
+        _span.log("preperation done")
+        return _collect_traced(
+            spark, dql, results, t0, timeout_s, debug, slow_ms, _span,
+            _time_mod,
+        )
+    finally:
+        _span.stop()
+
+
+def _collect_traced(
+    spark, dql, results, t0, timeout_s, debug, slow_ms, _span, _time_mod
+) -> list[tuple[Result, list]]:
     if timeout_s is None:
         out = [(r, r.df.collect()) for r in results]
     else:
@@ -261,12 +287,15 @@ def collect(
         if "err" in box:
             raise box["err"]
         out = box["rows"]
+    _span.log("query done")  # src/dqe.erl:230
     elapsed_ms = int((_time_mod.monotonic() - t0) * 1000)
+    _span.tag("elapsed_ms", elapsed_ms)
     if debug or (slow_ms is not None and elapsed_ms > slow_ms):
         _debug_artifact(results, dql, elapsed_ms)
     for r, rows in out:
         if r.globs and len(rows) == 0:
             raise GlobNotFound(r.globs[0])
     if all(len(rows) == 0 for _, rows in out):
+        _span.tag("result", "no metrics")  # src/dqe.erl:196
         raise NoResults()
     return out

@@ -127,3 +127,59 @@ def test_debug_utilities(spark, tmp_path):
     observed, obs = with_observation(df.withColumnRenamed("avg_value", "value"))
     n = observed.count()
     assert obs.get["rows"] == n
+
+
+def test_query_spans(spark, tmp_path):
+    """plans/span.py mirrors dqe_span (reference src/dqe_span.erl:1-19,
+    call sites src/dqe.erl:181-230): trace_id=None is a strict no-op;
+    a traced collect records the query tag, statement count, the two
+    lifecycle logs in order, and a duration; no_results tags the span
+    like the reference; nested spans attach as children; dump() writes
+    the JSON artifact."""
+    import json
+
+    import pytest
+
+    from dqe_spark import engine
+    from dqe_spark.plans import span as S
+    from tests.conftest import SF_SMOKE
+
+    n0 = len(S.finished())
+    engine.collect(
+        spark, "SELECT avg('events'.'click' BUCKET 'events', 1m) LAST 30d",
+        SF_SMOKE, now_ms=1706745600000,
+    )
+    assert len(S.finished()) == n0  # untraced: nothing recorded
+
+    engine.collect(
+        spark, "SELECT avg('events'.'click' BUCKET 'events', 1m) LAST 30d",
+        SF_SMOKE, now_ms=1706745600000, trace_id="t-123",
+    )
+    spans = S.finished("t-123")
+    assert len(spans) == 1
+    sp = spans[0]
+    assert sp["name"] == "query" and sp["tags"]["parts"] == 1
+    assert "avg" in sp["tags"]["query"]
+    assert [l["text"] for l in sp["logs"]] == ["preperation done", "query done"]
+    assert sp["duration_ms"] is not None and sp["tags"]["elapsed_ms"] >= 0
+
+    # failure path: no_results tags the span before raising
+    with pytest.raises(engine.NoResults):
+        engine.collect(
+            spark,
+            "SELECT avg('events'.'click' BUCKET 'events', 1m) LAST 30d",
+            SF_SMOKE, now_ms=1106745600000, trace_id="t-err",
+        )
+    (err_span,) = S.finished("t-err")
+    assert err_span["tags"].get("result") == "no metrics"
+
+    # nesting + artifact
+    with S.span("outer", "t-nest"):
+        S.tag("k", 1)
+        with S.span("inner", None):  # inherits the trace
+            S.log("step")
+    (nested,) = S.finished("t-nest")
+    assert nested["children"][0]["name"] == "inner"
+    assert nested["children"][0]["trace_id"] == "t-nest"
+    p = S.dump(str(tmp_path / "spans.json"), "t-nest")
+    assert json.loads(p.read_text())[0]["name"] == "outer"
