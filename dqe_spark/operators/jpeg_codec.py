@@ -1,23 +1,33 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) codec in pure numpy.
+"""JPEG (ITU-T T.81) codec in pure numpy — baseline AND progressive.
 
-The container has no PIL/libjpeg, so this closes the last
-NotImplementedError media path (media_codec.jpeg_dimensions gave header
-dims only): a real entropy decoder — marker parse, DQT/DHT tables,
-Huffman-coded MCU scan with byte unstuffing and restart markers,
-dequantize, dezigzag, 8×8 IDCT, chroma upsampling, YCbCr→RGB — plus the
-matching encoder used to build test fixtures and synthetic-media sinks.
+The container has no PIL/libjpeg, so this closes the media path that
+media_codec.jpeg_dimensions only metadata-scanned: a real entropy
+decoder — marker parse, DQT/DHT tables, Huffman-coded scans with byte
+unstuffing and restart markers, dequantize, dezigzag, 8×8 IDCT, chroma
+upsampling, YCbCr→RGB — plus matching encoders used to build test
+fixtures and synthetic-media sinks.
 
-Supported on decode: SOF0/SOF1 (baseline / extended sequential), 8-bit
-precision, 1- or 3-component scans, any sampling factors ≤ 4, 8/16-bit
-quantization tables, restart intervals. Progressive (SOF2) and the
-arithmetic/hierarchical SOFs raise MediaDecodeError per row — honest,
-like the rest of media_codec.
+Decode supports:
+  * SOF0/SOF1 — baseline / extended sequential, 1- or 3-component
+    interleaved scans, any sampling factors ≤ 4, restart intervals;
+  * SOF2 — PROGRESSIVE: multiple scans refining a persistent
+    per-component coefficient store, with spectral selection (Ss/Se),
+    successive approximation (Ah/Al) for both DC and AC (including
+    the AC refinement correction-bit algorithm, T.81 G.1.2.3), EOB
+    runs (EOBn), non-interleaved per-component block walks, and
+    restart markers resetting predictors and the EOB run;
+  * 8/16-bit quantization tables, tables redefined between scans.
+Arithmetic-coded, hierarchical, and 12-bit payloads raise
+MediaDecodeError per row — honest, like the rest of media_codec.
 
 Determinism: the IDCT runs in float64 with a fixed orthonormal basis
 matrix and half-up rounding (floor(x+0.5)), so decoded pixels are
 bit-identical everywhere; constant-color fixtures round-trip EXACTLY
 (a constant block is DC-only, and the DC path is integer end-to-end at
-quantizer 1), which is what the analytic oracles pin.
+quantizer 1), which is what the analytic oracles pin. A progressive
+encode carries the SAME quantized coefficients as the baseline encode
+of the same pixels, so the two decodes must be bit-identical — the
+round-trip test that keeps both scan machines honest.
 
 Row-at-a-time byte parsing is acceptable here for the same reason as
 media_codec: decode cost is dominated by payload bytes, and the
@@ -34,7 +44,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg_baseline"]
+__all__ = ["decode_jpeg", "encode_jpeg_baseline", "encode_jpeg_progressive"]
 
 #: zigzag[i] = natural (row-major) index of the i-th coefficient in
 #: zigzag scan order (T.81 figure A.6)
@@ -106,12 +116,25 @@ def _flat_table(symbols: list[int]) -> tuple[list[int], bytes]:
     gets a code of length ⌈log₂(n+1)⌉ — legal (incomplete tree, no
     all-ones code), trivially correct, and self-describing in DHT, so
     the decoder needs no out-of-band convention. Compression is not
-    the point of the fixture encoder."""
+    the point of the fixture encoders."""
     n = len(symbols)
     length = max(2, int(np.ceil(np.log2(n + 1))))
     bits = [0] * 16
     bits[length - 1] = n
     return bits, bytes(symbols)
+
+
+def _fixture_tables() -> tuple:
+    """(dc_bits, dc_syms, ac_bits, ac_syms) shared by both encoders.
+    DC: categories 0..11. AC: EOBn symbols (r<<4 for r 0..14 — EOB0 is
+    the plain EOB, the rest batch progressive EOB runs), ZRL, and
+    every (run, size) pair."""
+    dc_bits, dc_syms = _flat_table(list(range(12)))
+    ac_syms = [r << 4 for r in range(15)] + [0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits, ac_syms_b = _flat_table(ac_syms)
+    return dc_bits, dc_syms, ac_bits, ac_syms_b
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +183,29 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
+    def expect_restart(self) -> None:
+        """Consume an RSTn marker at the current (byte-aligned) point."""
+        self.byte_align()
+        d = self.data
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or not (0xD0 <= d[self.pos + 1] <= 0xD7)
+        ):
+            raise MediaDecodeError("missing JPEG restart marker")
+        self.pos += 2
+
+    def skip_to_marker(self) -> int:
+        """Scan forward past any pad bytes to the next real marker;
+        returns the position OF the 0xFF byte."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                return p
+            p += 1
+        raise MediaDecodeError("JPEG scan ran past end of data")
+
 
 class _MarkerReached(Exception):
     def __init__(self, marker):
@@ -182,23 +228,213 @@ def _extend(v: int, s: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# decode
+# decode — scan machines
+
+
+def _block_baseline(r, coef, dc_t, ac_t, pred, cid) -> None:
+    s = _decode_symbol(r, dc_t)
+    diff = _extend(r.receive(s), s) if s else 0
+    pred[cid] += diff
+    coef[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(r, ac_t)
+        rr, ss = rs >> 4, rs & 15
+        if ss == 0:
+            if rr == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise MediaDecodeError("AC run past block")
+        coef[ZIGZAG[k]] = _extend(r.receive(ss), ss)
+        k += 1
+
+
+def _block_ac_first(r, coef, ac_t, ss, se, al, box) -> None:
+    """Progressive AC, first scan of the band (Ah=0): run-length plus
+    EOBn runs; values arrive at magnitude scale 2^Al."""
+    if box["eob"] > 0:
+        box["eob"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, ac_t)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr == 15:
+                k += 16
+                continue
+            box["eob"] = (1 << rr) - 1
+            if rr:
+                box["eob"] += r.receive(rr)
+            break
+        k += rr
+        if k > se:
+            raise MediaDecodeError("AC run past spectral band")
+        coef[ZIGZAG[k]] = _extend(r.receive(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(r, coef, z, p1, m1) -> None:
+    if r.read_bit():
+        if (coef[z] & p1) == 0:  # Al bit not set yet
+            coef[z] += p1 if coef[z] > 0 else m1
+
+
+def _block_ac_refine(r, coef, ac_t, ss, se, al, box) -> None:
+    """Progressive AC refinement (Ah=Al+1 → Al): correction bits for
+    already-nonzero coefficients, newly-significant ±2^Al insertions,
+    EOB runs that still carry corrections (T.81 G.1.2.3 / the
+    classic jdphuff structure)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if box["eob"] == 0:
+        while k <= se:
+            rs = _decode_symbol(r, ac_t)
+            rr, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if rr < 15:
+                    # EOBn covers n blocks INCLUDING this one; the
+                    # correction pass below consumes this block's
+                    # remainder and decrements
+                    box["eob"] = 1 << rr
+                    if rr:
+                        box["eob"] += r.receive(rr)
+                    break  # EOB-run correction pass below
+                # rr == 15 → ZRL: run of 16 zero-HISTORY positions
+            else:
+                if s != 1:
+                    raise MediaDecodeError("bad AC-refinement size")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    _refine_nonzero(r, coef, z, p1, m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if box["eob"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                _refine_nonzero(r, coef, z, p1, m1)
+            k += 1
+        box["eob"] -= 1
+
+
+def _decode_scan(
+    data, start, scan, frame_geo, coefs, quant, huff, ri, progressive,
+    ss, se, ah, al,
+) -> int:
+    """Decode one scan's entropy data; returns the stream position of
+    the next marker. ``scan`` carries the in-scan components (with
+    their td/ta and grid geometry); coefficient stores persist across
+    scans for progressive frames."""
+    r = _BitReader(data, start)
+    pred = {c["id"]: 0 for c in scan}
+    box = {"eob": 0}
+    interleaved = len(scan) > 1
+
+    def block_of(c, by, bx):
+        return coefs[c["id"]][by, bx]
+
+    def tables(c):
+        dc_t = huff.get((0, c["td"]))
+        ac_t = huff.get((1, c["ta"]))
+        return dc_t, ac_t
+
+    def decode_unit_blocks(blocks):
+        for c, by, bx in blocks:
+            dc_t, ac_t = tables(c)
+            coef = block_of(c, by, bx)
+            if not progressive:
+                if dc_t is None or ac_t is None:
+                    raise MediaDecodeError("missing DHT for scan")
+                _block_baseline(r, coef, dc_t, ac_t, pred, c["id"])
+            elif ss == 0 and ah == 0:  # DC, first scan
+                if dc_t is None:
+                    raise MediaDecodeError("missing DC DHT for scan")
+                s = _decode_symbol(r, dc_t)
+                diff = _extend(r.receive(s), s) if s else 0
+                pred[c["id"]] += diff
+                coef[0] = pred[c["id"]] << al
+            elif ss == 0:  # DC refinement: one raw bit per block
+                if r.read_bit():
+                    coef[0] |= 1 << al
+            elif ah == 0:
+                if ac_t is None:
+                    raise MediaDecodeError("missing AC DHT for scan")
+                _block_ac_first(r, coef, ac_t, ss, se, al, box)
+            else:
+                if ac_t is None:
+                    raise MediaDecodeError("missing AC DHT for scan")
+                _block_ac_refine(r, coef, ac_t, ss, se, al, box)
+
+    try:
+        if interleaved:
+            mcux, mcuy = frame_geo["mcux"], frame_geo["mcuy"]
+            total = mcux * mcuy
+            done = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = [
+                        (c, my * c["v"] + by, mx * c["h"] + bx)
+                        for c in scan
+                        for by in range(c["v"])
+                        for bx in range(c["h"])
+                    ]
+                    decode_unit_blocks(blocks)
+                    done += 1
+                    if ri and done % ri == 0 and done < total:
+                        r.expect_restart()
+                        pred = {c["id"]: 0 for c in scan}
+                        box["eob"] = 0
+        else:
+            (c,) = scan
+            bw, bh = c["bw"], c["bh"]  # REAL block grid, not MCU-padded
+            total = bw * bh
+            done = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    decode_unit_blocks([(c, by, bx)])
+                    done += 1
+                    if ri and done % ri == 0 and done < total:
+                        r.expect_restart()
+                        pred = {c["id"]: 0 for c in scan}
+                        box["eob"] = 0
+    except _MarkerReached as m:
+        raise MediaDecodeError(
+            f"unexpected marker 0x{m.marker:02x} inside JPEG scan"
+        ) from None
+    return r.skip_to_marker()
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Full baseline-JPEG decode → pixels + metadata (same dict shape
-    as media_codec.decode_png: kind/width/height/channels/pixels/
-    mean_luma). Raises MediaDecodeError for progressive (SOF2),
-    arithmetic-coded, 12-bit, and malformed payloads."""
+    """Full JPEG decode (baseline SOF0/SOF1 and progressive SOF2) →
+    pixels + metadata (same dict shape as media_codec.decode_png:
+    kind/width/height/channels/pixels/mean_luma). Raises
+    MediaDecodeError for arithmetic-coded, hierarchical, 12-bit, and
+    malformed payloads."""
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeError("bad JPEG SOI")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None
+    progressive = False
     ri = 0
+    coefs: dict[int, np.ndarray] | None = None
+    frame_geo: dict = {}
+    any_scan = False
     pos = 2
-    scan_pos = None
-    scan_comps = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise MediaDecodeError(f"expected marker at {pos}")
@@ -210,8 +446,7 @@ def decode_jpeg(data: bytes) -> dict:
             continue  # standalone
         (seglen,) = struct.unpack_from(">H", data, pos)
         seg = data[pos + 2 : pos + seglen]
-        body_end = pos + seglen
-        pos = body_end
+        pos += seglen
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -235,20 +470,16 @@ def decode_jpeg(data: bytes) -> dict:
                 syms = seg[p + 17 : p + 17 + n]
                 huff[(tc, th)] = _build_decode_table(bits, syms)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise MediaDecodeError(f"unsupported JPEG precision {prec}")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise MediaDecodeError(
-                "progressive JPEG (SOF2) not supported — baseline "
-                "sequential only"
-            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
@@ -257,96 +488,70 @@ def decode_jpeg(data: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise MediaDecodeError("JPEG SOS before SOF")
+            comps = frame["comps"]
+            if coefs is None:
+                w, h = frame["w"], frame["h"]
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                frame_geo = {"mcux": mcux, "mcuy": mcuy,
+                             "hmax": hmax, "vmax": vmax}
+                for c in comps:
+                    # real (non-interleaved) block grid of the component
+                    cw = -(-w * c["h"] // hmax)
+                    ch = -(-h * c["v"] // vmax)
+                    c["bw"] = -(-cw // 8)
+                    c["bh"] = -(-ch // 8)
+                coefs = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), np.int64
+                    )
+                    for c in comps
+                }
             ns = seg[0]
-            scan_comps = []
+            scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_comps.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
-            scan_pos = body_end
-            break  # entropy-coded data follows
-    if frame is None or scan_pos is None:
+                (c,) = [c for c in comps if c["id"] == cs]
+                scan.append({**c, "td": tt >> 4, "ta": tt & 15})
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(
+                data, pos, scan, frame_geo, coefs, quant, huff, ri,
+                progressive, ss, se, ah, al,
+            )
+            any_scan = True
+        # else: APPn/COM/DNL — skipped
+    if frame is None or not any_scan:
         raise MediaDecodeError("JPEG missing SOF/SOS")
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # scan order follows SOS component order
-    order = []
-    for sc in scan_comps:
-        (c,) = [c for c in comps if c["id"] == sc["cs"]]
-        order.append({**c, **sc})
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        for c in comps
-    }
-    pred = {c["id"]: 0 for c in comps}
-    r = _BitReader(data, scan_pos)
+    hmax, vmax = frame_geo["hmax"], frame_geo["vmax"]
     Tt = _T.T
-    mcu_done = 0
-    my = mx = 0
-    while my < mcuy:
-        try:
-            for c in order:
-                q = quant.get(c["tq"])
-                if q is None:
-                    raise MediaDecodeError(f"missing DQT {c['tq']}")
-                dc_t = huff.get((0, c["td"]))
-                ac_t = huff.get((1, c["ta"]))
-                if dc_t is None or ac_t is None:
-                    raise MediaDecodeError("missing DHT for scan")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coef = np.zeros(64, dtype=np.int64)
-                        s = _decode_symbol(r, dc_t)
-                        diff = _extend(r.receive(s), s) if s else 0
-                        pred[c["id"]] += diff
-                        coef[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(r, ac_t)
-                            rr, ss = rs >> 4, rs & 15
-                            if ss == 0:
-                                if rr == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise MediaDecodeError("AC run past block")
-                            coef[ZIGZAG[k]] = _extend(r.receive(ss), ss)
-                            k += 1
-                        block = (coef * q).reshape(8, 8).astype(np.float64)
-                        px = Tt @ block @ _T + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu_done += 1
-            mx += 1
-            if mx == mcux:
-                mx = 0
-                my += 1
-            if ri and mcu_done % ri == 0 and my < mcuy:
-                # expect a restart marker; predictors reset
-                r.byte_align()
-                if r.data[r.pos] != 0xFF or not (
-                    0xD0 <= r.data[r.pos + 1] <= 0xD7
-                ):
-                    raise MediaDecodeError("missing JPEG restart marker")
-                r.pos += 2
-                pred = {c["id"]: 0 for c in comps}
-        except _MarkerReached as m:
-            raise MediaDecodeError(
-                f"unexpected marker 0x{m.marker:02x} inside JPEG scan"
-            ) from None
     out_planes = []
     for c in comps:
-        p = planes[c["id"]]
+        q = quant.get(c["tq"])
+        if q is None:
+            raise MediaDecodeError(f"missing DQT {c['tq']}")
+        grid = coefs[c["id"]]
+        by_n, bx_n = grid.shape[0], grid.shape[1]
+        plane = np.empty((by_n * 8, bx_n * 8), np.float64)
+        qm = q.reshape(8, 8).astype(np.float64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                block = grid[by, bx].reshape(8, 8).astype(np.float64) * qm
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    Tt @ block @ _T + 128.0
+                )
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
-            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         pixels = np.clip(_half_up(out_planes[0]), 0, 255).astype(np.uint8)
         pixels = pixels[:, :, None]
@@ -370,13 +575,13 @@ def decode_jpeg(data: bytes) -> dict:
         "width": w,
         "height": h,
         "channels": nch,
-        "pixels": pixels if nch > 1 else pixels[:, :, 0][:, :, None],
+        "pixels": pixels,
         "mean_luma": float(color.mean()),
     }
 
 
 # ---------------------------------------------------------------------------
-# encode (fixture/sink half — baseline sequential, self-describing DHT)
+# shared encoder plumbing
 
 
 def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -404,6 +609,8 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
         self.acc = (self.acc << length) | (code & ((1 << length) - 1))
         self.nbits += length
         while self.nbits >= 8:
@@ -423,9 +630,92 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _encode_block(
-    w: _BitWriter, coef_zz: np.ndarray, pred: int, dc_t: dict, ac_t: dict
-) -> int:
+def _prepare_coefs(
+    pixels: np.ndarray,
+    quant: np.ndarray | None,
+    subsample: tuple[int, int],
+):
+    """Shared front half of both encoders: color transform, chroma
+    box-downsample, MCU padding, forward DCT, quantization, zigzag.
+    Returns (coefs per component: dict[(by,bx)] → zigzag int64[64],
+    factors, geometry dict, quant natural + zigzag, gray flag)."""
+    if quant is None:
+        quant = np.ones(64, dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64).reshape(64)
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2 or px.shape[2] == 1
+    sv, sh = subsample if not gray else (1, 1)
+    if gray:
+        planes = [px.reshape(px.shape[0], px.shape[1]).astype(np.float64)]
+        factors = [(1, 1)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(px)
+        if sv > 1 or sh > 1:
+            def box(p):
+                p = _pad_to_blocks(p, sv, sh)
+                return p.reshape(
+                    p.shape[0] // sv, sv, p.shape[1] // sh, sh
+                ).mean(axis=(1, 3))
+            cb, cr = box(cb), box(cr)
+        planes = [y, cb, cr]
+        factors = [(sv, sh), (1, 1), (1, 1)]
+    h, w = px.shape[0], px.shape[1]
+    vmax = max(f[0] for f in factors)
+    hmax = max(f[1] for f in factors)
+    mcuy = -(-h // (8 * vmax))
+    mcux = -(-w // (8 * hmax))
+    qnat = quant
+    qzz = qnat[ZIGZAG]
+    coefs = []
+    for p, (fv, fh) in zip(planes, factors):
+        padded = _pad_to_blocks(p, mcuy * fv * 8, mcux * fh * 8)[
+            : mcuy * fv * 8, : mcux * fh * 8
+        ]
+        H, W = padded.shape
+        c = {}
+        for y0 in range(0, H, 8):
+            for x0 in range(0, W, 8):
+                blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                F = _T @ blk @ _T.T
+                qd = _half_up(F / qnat.reshape(8, 8)).astype(np.int64)
+                c[(y0 // 8, x0 // 8)] = qd.reshape(64)[ZIGZAG]
+        coefs.append(c)
+    geo = {"w": w, "h": h, "mcux": mcux, "mcuy": mcuy,
+           "hmax": hmax, "vmax": vmax, "gray": gray}
+    return coefs, factors, geo, qnat, qzz
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _headers(
+    sof_marker: int, geo, factors, qzz, restart_interval: int
+) -> bytearray:
+    dc_bits, dc_syms, ac_bits, ac_syms = _fixture_tables()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qzz))
+    ncomp = 1 if geo["gray"] else 3
+    sof = struct.pack(">BHHB", 8, geo["h"], geo["w"], ncomp)
+    for i, (fv, fh) in enumerate(factors):
+        sof += bytes([i + 1, (fh << 4) | fv, 0])
+    out += _seg(sof_marker, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_syms)
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_syms)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def _sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _encode_block_full(w, coef_zz, pred, dc_t, ac_t) -> int:
     dc = int(coef_zz[0])
     diff = dc - pred
     s = _category(diff)
@@ -472,93 +762,25 @@ def encode_jpeg_baseline(
     ``subsample=(v, h)`` box-downsamples the chroma planes (2, 2) =
     4:2:0. Huffman tables are fixed-length canonical tables emitted in
     DHT (self-describing — any T.81 decoder reads them)."""
-    if quant is None:
-        quant = np.ones(64, dtype=np.int64)
-    quant = np.asarray(quant, dtype=np.int64).reshape(64)
-    px = np.asarray(pixels, dtype=np.uint8)
-    gray = px.ndim == 2 or px.shape[2] == 1
-    sv, sh = subsample if not gray else (1, 1)
-    if gray:
-        planes = [px.reshape(px.shape[0], px.shape[1]).astype(np.float64)]
-        factors = [(1, 1)]
-    else:
-        y, cb, cr = _rgb_to_ycbcr(px)
-        if sv > 1 or sh > 1:
-            def box(p):
-                p = _pad_to_blocks(p, sv, sh)
-                return p.reshape(
-                    p.shape[0] // sv, sv, p.shape[1] // sh, sh
-                ).mean(axis=(1, 3))
-            cb, cr = box(cb), box(cr)
-        planes = [y, cb, cr]
-        factors = [(sv, sh), (1, 1), (1, 1)]
-    h, w = px.shape[0], px.shape[1]
-    vmax = max(f[0] for f in factors)
-    hmax = max(f[1] for f in factors)
-    mcuy = -(-h // (8 * vmax))
-    mcux = -(-w // (8 * hmax))
-    # pad each plane to its MCU grid
-    padded = []
-    for p, (fv, fh) in zip(planes, factors):
-        padded.append(_pad_to_blocks(p, mcuy * fv * 8, mcux * fh * 8)[
-            : mcuy * fv * 8, : mcux * fh * 8
-        ])
-    qnat = quant
-    qzz = np.empty(64, dtype=np.int64)
-    qzz[:] = qnat[ZIGZAG]
-    # forward DCT + quantize per plane, blockwise
-    coefs = []  # per plane: (by, bx) -> zigzag int64[64]
-    for p, (fv, fh) in zip(padded, factors):
-        H, W = p.shape
-        c = {}
-        for y0 in range(0, H, 8):
-            for x0 in range(0, W, 8):
-                blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                F = _T @ blk @ _T.T
-                qd = _half_up(F / qnat.reshape(8, 8)).astype(np.int64)
-                c[(y0 // 8, x0 // 8)] = qd.reshape(64)[ZIGZAG]
-        coefs.append(c)
-    # tables: DC categories 0..11, AC symbols = EOB + ZRL + (run,size)
-    dc_bits, dc_syms = _flat_table(list(range(12)))
-    ac_syms_list = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
-    ac_bits, ac_syms = _flat_table(ac_syms_list)
+    coefs, factors, geo, _qnat, qzz = _prepare_coefs(pixels, quant, subsample)
+    dc_bits, dc_syms, ac_bits, ac_syms = _fixture_tables()
     dc_t = _build_encode_table(dc_bits, dc_syms)
     ac_t = _build_encode_table(ac_bits, ac_syms)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qzz))
-    ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for i, (fv, fh) in enumerate(factors):
-        sof += bytes([i + 1, (fh << 4) | fv, 0])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_syms)
-    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_syms)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-
+    out = _headers(0xC0, geo, factors, qzz, restart_interval)
+    ncomp = 1 if geo["gray"] else 3
+    out += _sos(list(range(1, ncomp + 1)), 0, 63, 0, 0)
     bw = _BitWriter()
     pred = [0] * ncomp
     mcu_done = 0
     rst = 0
-    total = mcuy * mcux
-    for my in range(mcuy):
-        for mx in range(mcux):
+    total = geo["mcuy"] * geo["mcux"]
+    for my in range(geo["mcuy"]):
+        for mx in range(geo["mcux"]):
             for ci, (fv, fh) in enumerate(factors):
                 for by in range(fv):
                     for bx in range(fh):
                         zz = coefs[ci][(my * fv + by, mx * fh + bx)]
-                        pred[ci] = _encode_block(bw, zz, pred[ci], dc_t, ac_t)
+                        pred[ci] = _encode_block_full(bw, zz, pred[ci], dc_t, ac_t)
             mcu_done += 1
             if (
                 restart_interval
@@ -571,5 +793,204 @@ def encode_jpeg_baseline(
                 pred = [0] * ncomp
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture half): DC first (Al=1) → DC refine →
+# per-component AC first (Al=1, EOB runs) → per-component AC refine
+
+
+class _ACRefineState:
+    """Pending EOB run + its buffered correction bits (jcphuff BE)."""
+
+    def __init__(self, w: _BitWriter, ac_t: dict):
+        self.w = w
+        self.ac_t = ac_t
+        self.eob_run = 0
+        self.bits: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eob_run > 0:
+            n = self.eob_run
+            nb = n.bit_length() - 1
+            code, ln = self.ac_t[nb << 4]
+            self.w.write(code, ln)
+            if nb:
+                self.w.write(n - (1 << nb), nb)
+            self.eob_run = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+
+def _encode_ac_first(st: _ACRefineState, zz, ss, se, al) -> None:
+    w, ac_t = st.w, st.ac_t
+    # AC point transform is on the MAGNITUDE: sign · (|v| >> Al)
+    vals = [int(zz[k]) >> al if int(zz[k]) >= 0 else -((-int(zz[k])) >> al)
+            for k in range(64)]
+    last_nz = 0
+    for k in range(se, ss - 1, -1):
+        if vals[k]:
+            last_nz = k
+            break
+    if all(vals[k] == 0 for k in range(ss, se + 1)):
+        st.eob_run += 1
+        if st.eob_run == 0x7FFF:
+            st.flush_eobrun()
+        return
+    st.flush_eobrun()
+    run = 0
+    for k in range(ss, last_nz + 1):
+        v = vals[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_t[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_t[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < se:
+        st.eob_run += 1
+        if st.eob_run == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _encode_ac_refine(st: _ACRefineState, zz, ss, se, al) -> None:
+    """jcphuff encode_mcu_AC_refine structure: correction bits buffer
+    (BE) rides along zero-history runs and EOB runs."""
+    w, ac_t = st.w, st.ac_t
+    absv = [abs(int(zz[k])) >> al for k in range(64)]
+    eob = 0  # last newly-significant position
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eob = k
+    run = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:
+            # already-significant: correction bit, does NOT break runs
+            pending.append(abs(int(zz[k])) >> al & 1)
+            continue
+        # newly significant (t == 1)
+        while run > 15 and k <= eob:
+            st.flush_eobrun()
+            code, ln = ac_t[0xF0]
+            w.write(code, ln)
+            run -= 16
+            for b in pending:
+                w.write(b, 1)
+            pending = []
+        st.flush_eobrun()
+        code, ln = ac_t[(run << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if int(zz[k]) > 0 else 0, 1)
+        for b in pending:
+            w.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        st.eob_run += 1
+        st.bits.extend(pending)
+        if st.eob_run == 0x7FFF:
+            st.flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) with a 2 + 2-per-component
+    scan script exercising the full progressive machinery: interleaved
+    first DC scan at Al=1, DC refinement (raw bits), per-component AC
+    spectral band 1..63 at Al=1 (EOB-run batched), per-component AC
+    refinement to Al=0 (correction bits). The quantized coefficients
+    are IDENTICAL to encode_jpeg_baseline's, so both payloads must
+    decode to bit-identical pixels — the fixture contract
+    tests/test_multimodal.py pins."""
+    coefs, factors, geo, _qnat, qzz = _prepare_coefs(pixels, quant, subsample)
+    dc_bits, dc_syms, ac_bits, ac_syms = _fixture_tables()
+    dc_t = _build_encode_table(dc_bits, dc_syms)
+    ac_t = _build_encode_table(ac_bits, ac_syms)
+    out = _headers(0xC2, geo, factors, qzz, 0)
+    ncomp = 1 if geo["gray"] else 3
+    comp_ids = list(range(1, ncomp + 1))
+    mcuy, mcux = geo["mcuy"], geo["mcux"]
+
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos(comp_ids, 0, 0, 0, 1)
+    w = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fv, fh) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        dc = int(coefs[ci][(my * fv + by, mx * fh + bx)][0])
+                        # T.81: the DC point transform is an ARITHMETIC
+                        # right shift of the signed value (unlike AC's
+                        # magnitude shift)
+                        v = dc >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _category(diff)
+                        code, ln = dc_t[s]
+                        w.write(code, ln)
+                        if s:
+                            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    w.flush()
+    out += w.out
+
+    # scan 2: DC refinement Ah=1 → Al=0 (raw bits, interleaved)
+    out += _sos(comp_ids, 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fv, fh) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        dc = int(coefs[ci][(my * fv + by, mx * fh + bx)][0])
+                        w.write(dc & 1, 1)
+    w.flush()
+    out += w.out
+
+    # per-component AC scans (non-interleaved, raster over the REAL
+    # block grid of the component)
+    for ci, (fv, fh) in enumerate(factors):
+        cw = -(-geo["w"] * fh // geo["hmax"])
+        ch = -(-geo["h"] * fv // geo["vmax"])
+        bw_n, bh_n = -(-cw // 8), -(-ch // 8)
+        # scan: AC 1..63 first pass at Al=1
+        out += _sos([ci + 1], 1, 63, 0, 1)
+        w = _BitWriter()
+        st = _ACRefineState(w, ac_t)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                _encode_ac_first(st, coefs[ci][(by, bx)], 1, 63, 1)
+        st.flush_eobrun()
+        w.flush()
+        out += w.out
+        # scan: AC refinement Ah=1 → Al=0
+        out += _sos([ci + 1], 1, 63, 1, 0)
+        w = _BitWriter()
+        st = _ACRefineState(w, ac_t)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                _encode_ac_refine(st, coefs[ci][(by, bx)], 1, 63, 0)
+        st.flush_eobrun()
+        w.flush()
+        out += w.out
+
     out += b"\xff\xd9"
     return bytes(out)

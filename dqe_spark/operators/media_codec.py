@@ -10,10 +10,11 @@ fully decodable from the standard library + numpy:
     8-bit gray / RGB / RGBA, non-interlaced.
   * BMP  (image/bmp)  — ``struct`` parse of BITMAPINFOHEADER; 24-bpp
     uncompressed bottom-up pixel rows.
-  * JPEG (image/jpeg) — FULL baseline entropy decode in numpy
-    (operators/jpeg_codec: Huffman MCU scan, restarts, dequantize,
-    IDCT, chroma upsample, YCbCr→RGB); progressive (SOF2) and
-    arithmetic-coded payloads still raise, honestly.
+  * JPEG (image/jpeg) — FULL entropy decode in numpy, baseline AND
+    progressive (operators/jpeg_codec: Huffman scans with spectral
+    selection / successive approximation / EOB runs, restarts,
+    dequantize, IDCT, chroma upsample, YCbCr→RGB); arithmetic-coded,
+    hierarchical and 12-bit payloads still raise, honestly.
 
 These run inside mapInPandas batches (operators/multimodal.py), so the
 decode is per-executor, Arrow-batched, and never touches the driver.
@@ -294,10 +295,12 @@ def decode_bmp(data: bytes) -> dict:
 # JPEG
 
 def decode_jpeg(data: bytes) -> dict:
-    """Full baseline-JPEG entropy decode (operators/jpeg_codec: DQT/DHT
-    parse, Huffman MCU scan with restarts, dequantize, IDCT, chroma
-    upsample, YCbCr→RGB) → the decode_png dict shape with real pixels.
-    Progressive (SOF2) and arithmetic-coded payloads raise
+    """Full JPEG entropy decode, baseline AND progressive
+    (operators/jpeg_codec: DQT/DHT parse, Huffman scans — SOF2's
+    spectral selection, successive approximation and EOB runs
+    included — restarts, dequantize, IDCT, chroma upsample,
+    YCbCr→RGB) → the decode_png dict shape with real pixels.
+    Arithmetic-coded/hierarchical/12-bit payloads raise
     MediaDecodeError per row — still honest about what's undecodable."""
     from dqe_spark.operators import jpeg_codec
 

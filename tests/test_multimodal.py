@@ -337,23 +337,62 @@ def test_jpeg_roundtrip_error_bounds():
     assert np.array_equal(d2["pixels"], d["pixels"])
 
 
-def test_jpeg_dispatch_and_progressive_raises():
-    """decode_media('image/jpeg') now returns real pixels for baseline
-    payloads; progressive (SOF2) raises MediaDecodeError per row."""
+def test_jpeg_dispatch_and_unsupported_raises():
+    """decode_media('image/jpeg') returns real pixels for baseline AND
+    progressive payloads; genuinely undecodable frame types
+    (arithmetic-coded SOF9) raise MediaDecodeError per row."""
     from dqe_spark.operators import jpeg_codec as J
 
     px = np.full((8, 8), 42, dtype=np.uint8)
     d = mc.decode_media(J.encode_jpeg_baseline(px), "image/jpeg")
     assert d["mean_luma"] == 42.0 and d["kind"] == "image"
+    dp = mc.decode_media(J.encode_jpeg_progressive(px), "image/jpeg")
+    assert dp["mean_luma"] == 42.0
 
+    sof9 = (
+        b"\xff\xd8"
+        + b"\xff\xc9"
+        + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1)
+        + b"\x01\x11\x00"
+    )
+    with pytest.raises(mc.MediaDecodeError, match="unsupported"):
+        mc.decode_media(sof9 + b"\xff\xd9", "image/jpeg")
+    # the metadata-only marker scan reads any SOF header
     sof2 = (
         b"\xff\xd8"
         + b"\xff\xc2"
         + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1)
         + b"\x01\x11\x00"
     )
-    with pytest.raises(mc.MediaDecodeError, match="progressive"):
-        mc.decode_media(sof2 + b"\xff\xd9", "image/jpeg")
-    # the metadata-only marker scan still reads SOF2 headers
     dims = mc.jpeg_dimensions(sof2 + b"\xff\xd9")
     assert (dims["width"], dims["height"]) == (8, 8)
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """SOF2 decode: the progressive encoder carries the SAME quantized
+    coefficients as the baseline encoder (DC Al=1 + refinement, AC
+    spectral band at Al=1 with EOB runs + the correction-bit
+    refinement pass), so both payloads must decode bit-identically —
+    one equality pins the whole progressive scan machine in both
+    directions."""
+    from dqe_spark.operators import jpeg_codec as J
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_progressive(gray))["pixels"],
+        J.decode_jpeg(J.encode_jpeg_baseline(gray))["pixels"],
+    )
+    rgb = rng.integers(0, 256, size=(22, 27, 3), dtype=np.uint8)
+    for sub in ((1, 1), (2, 2), (2, 1)):
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg_progressive(rgb, subsample=sub))["pixels"],
+            J.decode_jpeg(J.encode_jpeg_baseline(rgb, subsample=sub))["pixels"],
+        ), sub
+    # coarse quantization maximizes zero runs (EOB-run batching) and
+    # sparse newly-significant refinements
+    q = np.full(64, 24, np.int64)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_progressive(rgb, quant=q, subsample=(2, 2)))["pixels"],
+        J.decode_jpeg(J.encode_jpeg_baseline(rgb, quant=q, subsample=(2, 2)))["pixels"],
+    )
