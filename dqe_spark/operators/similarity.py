@@ -158,22 +158,52 @@ def knn_srp(
     full scan into a selective filter (bucket the stored table by band
     keys for file-level pruning at deployment). Probability a true
     neighbor at cosine θ shares a band: 1−(1−(1−θ̂)^r)^b — tune
-    planes/bands per recall target. Band keys come from srp_band_keys
-    (bit-identical to the historical packed-long banding, pinned in
-    tests/test_similarity.py) so matrices wider than 63 planes work
-    here too. Output (vec_id, cos)."""
-    corpus = spread(df).withColumn(
-        "__keys", srp_band_keys(F.col(vec), planes_matrix, bands)
+    planes/bands per recall target. Physical form is width-dependent
+    (bit-identical either way, pinned in tests/test_similarity.py):
+    ≤ 63 planes ride the packed-long srp_signature (one int64 Arrow
+    column; band compares are JVM shift/mask against LITERAL query
+    band keys — the round-6 array-key rewrite cost ~1.3× here, so the
+    cheap encoding is restored where legal), wider matrices use
+    srp_band_keys (array<long>, no 63-bit cap). The 1-row query's
+    keys are computed driver-side with the exact same numpy matvec
+    the Arrow UDF runs, removing a whole query-side ArrowEvalPython
+    stage from the serve path. Output (vec_id, cos)."""
+    import numpy as np
+
+    planes = len(planes_matrix)
+    bits = planes // bands
+    # driver-side query band keys: identical matvec + sign rule as the
+    # corpus-side UDF (srp_signature/srp_band_keys), on the 1-row query
+    qv = np.asarray(query.select(vec).first()[0], dtype=np.float64)
+    qbits = (qv @ np.array(planes_matrix, dtype=np.float64).T >= 0).astype(
+        np.int64
     )
-    q = query.select(
-        F.col(vec).alias("__q"),
-        srp_band_keys(F.col(vec), planes_matrix, bands).alias("__qkeys"),
-    )
-    joined = corpus.crossJoin(F.broadcast(q))
-    band_match = None
-    for b in range(bands):
-        cond = F.col("__keys")[b] == F.col("__qkeys")[b]
-        band_match = cond if band_match is None else (band_match | cond)
+    w = 1 << np.arange(bits, dtype=np.int64)
+    qkeys = [int(qbits[b * bits : (b + 1) * bits] @ w) for b in range(bands)]
+    q = query.select(F.col(vec).alias("__q"))
+    joined = None
+    if planes <= 63:
+        mask = (1 << bits) - 1
+        corpus = spread(df).withColumn(
+            "__sig", srp_signature(F.col(vec), planes_matrix)
+        )
+        joined = corpus.crossJoin(F.broadcast(q))
+        band_match = None
+        for b in range(bands):
+            cond = (
+                F.shiftright(F.col("__sig"), b * bits).bitwiseAND(F.lit(mask))
+                == F.lit(qkeys[b])
+            )
+            band_match = cond if band_match is None else (band_match | cond)
+    else:
+        corpus = spread(df).withColumn(
+            "__keys", srp_band_keys(F.col(vec), planes_matrix, bands)
+        )
+        joined = corpus.crossJoin(F.broadcast(q))
+        band_match = None
+        for b in range(bands):
+            cond = F.col("__keys")[b] == F.lit(qkeys[b])
+            band_match = cond if band_match is None else (band_match | cond)
     scored = joined.where(band_match).select(
         F.col(id_col), F.round(cosine(F.col(vec), F.col("__q")), 6).alias("cos")
     )
@@ -258,15 +288,39 @@ def _srp_candidates(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id_i, id_j) pairs sharing any SRP signature band — linear per
-    bucket, never all-pairs. Joins on (band, key) from srp_band_keys,
-    which yields the SAME candidate set as the historical packed-long
-    banding for any width, and supports planes > 63."""
-    keyed = spread(df).select(
-        F.col(id_col),
-        F.posexplode(srp_band_keys(F.col(vec), planes_matrix, bands)).alias(
-            "band", "key"
-        ),
-    )
+    bucket, never all-pairs. Band keys are bit-identical across both
+    physical forms (pinned in tests/test_similarity.py): ≤ 63 planes
+    pack into one int64 srp_signature and explode via JVM shift/mask
+    (the cheap Arrow encoding); wider matrices take srp_band_keys
+    (array<long>, no 63-bit cap)."""
+    planes = len(planes_matrix)
+    if planes <= 63:
+        bits = planes // bands
+        mask = (1 << bits) - 1
+        keyed = (
+            spread(df)
+            .withColumn("__sig", srp_signature(F.col(vec), planes_matrix))
+            .select(
+                F.col(id_col),
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftright(F.col("__sig"), b * bits).bitwiseAND(
+                                F.lit(mask)
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("band", "key"),
+            )
+        )
+    else:
+        keyed = spread(df).select(
+            F.col(id_col),
+            F.posexplode(srp_band_keys(F.col(vec), planes_matrix, bands)).alias(
+                "band", "key"
+            ),
+        )
     a = keyed.select(F.col(id_col).alias("id_i"), "band", "key")
     b = keyed.select(F.col(id_col).alias("id_j"), "band", "key")
     return (
