@@ -1189,13 +1189,17 @@ class Compiler:
         """neardup(threshold): verified near-duplicate embedding pairs
         (id_i, id_j, cos ≥ threshold) over the bound corpus — the
         language surface of the LSH dedup flagship (operators/
-        similarity.neardup_srp_pairs). Uses the PINNED 32-plane/8-band
-        SRP shape so the whole pipeline is oracle-replayable
-        (signatures, banding, verify — same matrix the DuckDB twin
-        inlines); production callers chasing recall/scale swap in
-        planes_matrix=None (auto_planes) or the hybrid generator. The
-        statement timeframe does not apply (the corpus is not a time
-        series)."""
+        similarity.neardup_srp_pairs). Runs at the AUTO-SCALED band
+        width (auto_planes: bits/band = ⌈log₂(n/128)⌉) — the setting
+        that keeps the candidate budget linear as the corpus grows;
+        the round-6 pinned 32/8 shape was the n²/2^bits quadratic
+        trap reachable from the language front door (round-6 verdict
+        #2). Still fully oracle-replayable: the width formula is
+        deterministic in n and the plane matrix is the published
+        md5-parity constant at that width, so the DuckDB twin replays
+        bits, matrix, signatures, banding AND verify from the corpus
+        count alone (queries_dql._AUTO_SRP_SQL). The statement
+        timeframe does not apply (the corpus is not a time series)."""
         if self.sf_dir is None:
             raise PlanError("neardup needs an embedding corpus (no sf_dir bound)")
         args = list(node.inputs)
@@ -1207,14 +1211,11 @@ class Compiler:
         t = float(args[0])
         if not 0.0 <= t <= 1.0:
             raise PlanError(f"neardup threshold {t!r} must be within 0..1")
-        from dqe_spark.operators.similarity import (
-            neardup_srp_pairs,
-            rademacher_planes,
-        )
+        from dqe_spark.operators.similarity import neardup_srp_pairs
         from dqe_spark.sources.metric_store import load_table
 
         emb = load_table(self.metrics.sparkSession, self.sf_dir, "embeddings")
-        out = neardup_srp_pairs(emb, t, rademacher_planes(32, 64), bands=8)
+        out = neardup_srp_pairs(emb, t, planes_matrix=None, bands=8)
         return EventsFrame(out, unparse(node))
 
     def _dedup(self, node: A.FCall) -> EventsFrame:
@@ -1225,9 +1226,11 @@ class Compiler:
         combined). 'semantic' returns the SemDeDup survivor set of the
         embedding corpus (keep-lowest greedy over verified SRP
         near-dup pairs, operators/similarity.semantic_survivors) at
-        the given cosine threshold (default 0.2), on the pinned
-        oracle-replayable SRP shape. The statement timeframe does not
-        apply (corpora are not time series)."""
+        the given cosine threshold (default 0.2), on the AUTO-SCALED
+        oracle-replayable SRP shape (auto_planes — same linear
+        candidate-budget rationale and same width-replaying oracle as
+        neardup(); round-6 verdict #2). The statement timeframe does
+        not apply (corpora are not time series)."""
         if self.sf_dir is None:
             raise PlanError("dedup needs a document corpus (no sf_dir bound)")
         args = list(node.inputs)
@@ -1258,12 +1261,11 @@ class Compiler:
                 raise PlanError("dedup('semantic'[, threshold])")
             from dqe_spark.operators.similarity import (
                 neardup_srp_pairs,
-                rademacher_planes,
                 semantic_survivors,
             )
 
             emb = load_table(spark, self.sf_dir, "embeddings")
-            pairs = neardup_srp_pairs(emb, t, rademacher_planes(32, 64), bands=8)
+            pairs = neardup_srp_pairs(emb, t, planes_matrix=None, bands=8)
             out = semantic_survivors(emb, pairs)
         else:
             raise PlanError(

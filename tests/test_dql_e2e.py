@@ -462,25 +462,56 @@ def test_zscore_composes_with_group_by(spark):
 
 
 def test_neardup_in_language(spark):
-    """neardup(t) == neardup_srp_pairs on the pinned 32/8 SRP shape
-    over the whole embedding corpus; a threshold outside 0..1 is a
-    plan error."""
+    """neardup(t) == neardup_srp_pairs at the AUTO-SCALED band width
+    (planes_matrix=None → auto_planes) over the whole embedding
+    corpus — the round-6 verdict's ask: the language front door must
+    ride the linear candidate budget, not the pinned 32/8 shape. Also
+    pins the CANDIDATE BUDGET itself: the language path generates
+    exactly _srp_candidates(auto_planes)'s pair set. A threshold
+    outside 0..1 is a plan error."""
     (res,) = engine.run(spark, "SELECT neardup(0.2) LAST 1d", SF_SMOKE)
     assert res.kind == "events"
-    from dqe_spark.operators.similarity import (
-        neardup_srp_pairs,
-        rademacher_planes,
-    )
+    import dqe_spark.operators.similarity as S
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     expect = sorted(
         (r["id_i"], r["id_j"], r["cos"])
-        for r in neardup_srp_pairs(
-            emb, 0.2, rademacher_planes(32, 64), bands=8
+        for r in S.neardup_srp_pairs(
+            emb, 0.2, planes_matrix=None, bands=8
         ).collect()
     )
     got = sorted((r["id_i"], r["id_j"], r["cos"]) for r in res.df.collect())
     assert got == expect and got
+    # candidate budget: the compiler path must feed the SAME candidate
+    # set the auto-width operator generates (width is a pure function
+    # of n, so both sides derive identical matrices)
+    auto = S.auto_planes(emb, bands=8)
+    n = emb.count()
+    import math
+
+    assert len(auto) == 8 * max(2, min(48, math.ceil(math.log2(max(2, n / 128)))))
+    cand_auto = {
+        (r["id_i"], r["id_j"])
+        for r in S._srp_candidates(emb, auto, 8).collect()
+    }
+    cand_dql_verified = {(i, j) for (i, j, _c) in got}
+    assert cand_dql_verified <= cand_auto
+    # and the compiler really passes planes_matrix=None (auto), not a
+    # pinned matrix — captured at the operator boundary
+    seen = {}
+    real = S.neardup_srp_pairs
+
+    def spy(df, threshold, planes_matrix=None, bands=8, **kw):
+        seen["planes_matrix"] = planes_matrix
+        seen["bands"] = bands
+        return real(df, threshold, planes_matrix, bands, **kw)
+
+    S.neardup_srp_pairs = spy
+    try:
+        engine.run(spark, "SELECT neardup(0.2) LAST 1d", SF_SMOKE)
+    finally:
+        S.neardup_srp_pairs = real
+    assert seen == {"planes_matrix": None, "bands": 8}
     from dqe_spark.dql.compiler import PlanError
 
     with pytest.raises(PlanError, match="0..1"):
@@ -489,7 +520,8 @@ def test_neardup_in_language(spark):
 
 def test_dedup_in_language(spark):
     """dedup('exact') == operators/dedup.dedup_exact on documents;
-    dedup('semantic') == SemDeDup survivors over the pinned SRP pairs;
+    dedup('semantic') == SemDeDup survivors over the auto-width SRP
+    pairs (planes_matrix=None);
     an unknown mode is a plan error."""
     (res,) = engine.run(spark, "SELECT dedup('exact') LAST 1d", SF_SMOKE)
     from dqe_spark.operators.dedup import dedup_exact
@@ -505,12 +537,11 @@ def test_dedup_in_language(spark):
     (sem,) = engine.run(spark, "SELECT dedup('semantic', 0.2) LAST 1d", SF_SMOKE)
     from dqe_spark.operators.similarity import (
         neardup_srp_pairs,
-        rademacher_planes,
         semantic_survivors,
     )
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    pairs = neardup_srp_pairs(emb, 0.2, rademacher_planes(32, 64), bands=8)
+    pairs = neardup_srp_pairs(emb, 0.2, planes_matrix=None, bands=8)
     want = sorted(
         r["vec_id"] for r in semantic_survivors(emb, pairs).collect()
     )
