@@ -99,7 +99,19 @@ EXT_HEADLINE = [
     "dql_neardup",
     "dql_dedup",
     "multimodal_jpeg_decode",
+    # round-7 addition: SemDeDup through the language at auto width
+    "dql_dedup_semantic",
 ]
+
+#: Pure-scan control: timed right after warmup AND again after the
+#: whole suite. Host noise (page cache, GC, co-tenants) inflates the
+#: same code 1.5-2x between runs on this box (PERF.md round-6 gate
+#: notes; the round-6 driver record was ~2x inflated on half the suite
+#: while byte-identical code measured flat) — the control pair makes
+#: that drift VISIBLE in the record itself: a judge normalizes
+#: per-query times by the control before calling anything a
+#: regression.
+CONTROL = "get_points"
 
 
 def main() -> None:
@@ -146,19 +158,39 @@ def main() -> None:
 
     # median of 3 reps per query: single-shot timings on a shared box
     # swing ±30% (GC, page cache, compile); the median reflects the
-    # plan's actual cost. Each rep is full end-to-end (plan + execute
-    # + collect) — nothing is cached between reps beyond the JVM.
+    # plan's actual cost. Best-of-reps is recorded alongside — medians
+    # absorb *symmetric* noise but drift hits them too, while bests
+    # are stable on an idle box (round-6 verdict ask #3). Each rep is
+    # full end-to-end (plan + execute + collect) — nothing is cached
+    # between reps beyond the JVM.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    times: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for name in names:
+
+    def timed(name: str):
         samples = []
+        out = []
         for _ in range(reps):
             t0 = time.perf_counter()
             out = qs[name](spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
-        times[name] = round(sorted(samples)[len(samples) // 2], 3)
-        rows[name] = len(out)
+        med = round(sorted(samples)[len(samples) // 2], 3)
+        return med, round(min(samples), 3), len(out)
+
+    control0 = timed(CONTROL)[0] if CONTROL in qs else None
+
+    times: dict[str, float] = {}
+    best: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        times[name], best[name], rows[name] = timed(name)
+
+    control1 = timed(CONTROL)[0] if CONTROL in qs else None
+    # the drift of the box over the run, on byte-identical pure-scan
+    # work: ~1.0 = trustworthy record; >1.3 = host-noise inflated
+    spread = (
+        round(max(control0, control1) / max(min(control0, control1), 1e-9), 2)
+        if control0 is not None
+        else None
+    )
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -171,27 +203,36 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "best": best,
                 "rows": rows,
+                "control": [control0, control1],
+                "control_spread": spread,
                 "sf": sf_val,
             }
         )
     )
     # ...then a compact summary LAST: the driver keeps only the final
     # ~2000 chars of stdout, so the last line must be a complete JSON
-    # document on its own. Keep it under that budget — include the
-    # per-query timings only if they fit, else just the suite wall.
-    compact = {
+    # document on its own. Keep it under that budget — per-query
+    # [median, best] pairs if they fit, else medians only, else just
+    # the suite wall (control numbers always ride along).
+    base = {
         "metric": "headline-suite-wall",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(times),
-        "queries": times,
+        "control": [control0, control1],
+        "control_spread": spread,
     }
-    line = json.dumps(compact)
-    if len(line) > 1900:
-        compact.pop("queries")
-        line = json.dumps(compact)
+    for payload in (
+        {"queries": {n: [times[n], best[n]] for n in times}},
+        {"queries": times},
+        {},
+    ):
+        line = json.dumps({**base, **payload})
+        if len(line) <= 1900:
+            break
     print(line)
     spark.stop()
 

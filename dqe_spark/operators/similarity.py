@@ -427,6 +427,29 @@ def _verify_pairs(
 # Learned IVF: deterministic DataFrame-native k-means coarse quantizer
 # ---------------------------------------------------------------------------
 
+#: The k-means/assignment space is quantized to this fixed-point grid
+#: (2⁻²⁰ steps — far below float32 embedding noise, so recall is
+#: untouched). On the grid every Lloyd statistic is an exact dyadic
+#: rational in float64: dot terms are i·j·2⁻⁴⁰ with |i·j| ≤ 2⁴⁰,
+#: 64-dim sums stay under 2⁴⁶, and 16384-row per-dim mean numerators
+#: under 2³⁴ — all < 2⁵³, so EVERY partial sum is exactly
+#: representable and summation ORDER cannot matter. That is what
+#: makes the whole quantizer a pure, engine-independent function of
+#: the data: numpy's pairwise sums, Spark's fold order and DuckDB's
+#: arbitrary-order SUM() all land on the same bits, so the
+#: knn_ivf_kmeans oracle replays seeds, 5 Lloyd rounds, assignments
+#: and probes exactly (round-6 verdict next #4).
+_QSCALE = float(1 << 20)
+
+
+def _quantize(A):
+    """floor(x·2²⁰ + 0.5)/2²⁰ — the shared cross-engine rounding rule
+    (floor(x+0.5), not banker's round, matching the 4dp engine-wide
+    convention); exact in float64 for |x| < 2³²."""
+    import numpy as np
+
+    return np.floor(A * _QSCALE + 0.5) / _QSCALE
+
 
 def kmeans_centroids(
     df: DataFrame,
@@ -438,11 +461,13 @@ def kmeans_centroids(
 ) -> list[list[float]]:
     """Lloyd's k-means trained on a deterministic sample, the FAISS
     quantizer-training contract: seeds and training rows are the
-    ``train_rows`` smallest md5 rank hashes of the ids (a pure
-    function of the data — reruns and engines agree on the sample),
-    Lloyd runs driver-side over that sample in numpy, and only
-    ASSIGNMENT passes touch the full corpus engine-side
-    (_nearest_centroid's Arrow matvec).
+    ``train_rows`` smallest md5 rank hashes of the ids (ties broken
+    by id — a pure function of the data; reruns and engines agree on
+    the sample), Lloyd runs driver-side over that sample in numpy in
+    the 2⁻²⁰ quantized space (_quantize — exact order-independent
+    sums, so the loop is bit-replayable by the DuckDB oracle), and
+    only ASSIGNMENT passes touch the full corpus engine-side
+    (_nearest_centroid's Arrow matvec, same quantized space).
 
     Why sample-trained: at 100 TB nobody Lloyds the corpus — a coarse
     quantizer needs ~10²–10³ training points per centroid, and
@@ -458,12 +483,12 @@ def kmeans_centroids(
     from dqe_spark.operators.sampling import rank_hash
 
     rows = (
-        df.select(vec, rank_hash(id_col, id_col).alias("rh"))
-        .orderBy("rh")
+        df.select(F.col(id_col), F.col(vec), rank_hash(id_col, id_col).alias("rh"))
+        .orderBy("rh", id_col)
         .limit(train_rows)
         .collect()
     )
-    X = np.array([list(r[vec]) for r in rows], dtype=np.float64)
+    X = _quantize(np.array([list(r[vec]) for r in rows], dtype=np.float64))
     if n_clusters > X.shape[0]:
         # the sample can't seed more centroids than it has rows; clamp
         # LOUDLY so the caller's candidate-budget math isn't silently
@@ -486,18 +511,24 @@ def kmeans_centroids(
         for c in range(n_clusters):
             m = cid == c
             if m.any():  # empty cluster keeps its centroid, as before
-                new[c] = X[m].mean(axis=0)
+                # exact sum (grid values, headroom proven above) /
+                # count, re-quantized to the grid — both engines run
+                # the identical IEEE divide + floor(x·2²⁰+0.5)
+                new[c] = _quantize(X[m].mean(axis=0))
         cents = new
     return [[float(x) for x in row] for row in cents]
 
 
 def _nearest_centroid(vec: Column, cents) -> Column:
-    """Argmin-distance cluster id for each row, Arrow-batched."""
+    """Argmin-distance cluster id for each row, Arrow-batched, in the
+    shared 2⁻²⁰ quantized space (exact distances → the assignment is
+    a pure function of the data, replayed by the knn_ivf_kmeans
+    oracle; first-min tie-break == ORDER BY dist, cid)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    M = np.asarray(cents, dtype=np.float64)  # C × dims
+    M = np.asarray(cents, dtype=np.float64)  # C × dims, already on-grid
     sq = (M * M).sum(axis=1)  # ‖c‖² per centroid
 
     @pandas_udf("int")
@@ -505,6 +536,7 @@ def _nearest_centroid(vec: Column, cents) -> Column:
         A = np.array([np.asarray(v, dtype=np.float64) for v in vs])
         if A.size == 0:
             return pd.Series([], dtype="int32")
+        A = _quantize(A)
         # ‖a−c‖² = ‖a‖² − 2a·c + ‖c‖²; ‖a‖² is constant per row
         d = -2.0 * (A @ M.T) + sq
         return pd.Series(np.argmin(d, axis=1).astype("int32"))

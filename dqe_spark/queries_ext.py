@@ -1156,13 +1156,114 @@ def _with_exact_top10(result, corpus, query):
     )
 
 
-@q("knn_ivf_kmeans")  # iterative (Lloyd's) — rows-only check by design
+def _kmeans_ctes(iters: int = 5, k: int = 8, train: int = 16384) -> tuple[str, str]:
+    """DuckDB replay of kmeans_centroids' Lloyd loop (similarity.py):
+    the training sample is the ``train`` smallest (md5 rank-hash, id)
+    rows — ordering the 8-char lowercase hex prefix lexicographically
+    IS the engine's numeric rank order — seeds are the first ``k``
+    sample rows, and each round assigns (exact quantized-space
+    argmin, first-min tie-break == ORDER BY dist, cid) then
+    recomputes per-dim means (exact integer-grid sums / count,
+    re-quantized with the shared floor(x·2²⁰+0.5) rule; empty
+    clusters keep their centroid via the LEFT JOIN coalesce). Every
+    float the loop touches is an exact dyadic rational (see
+    similarity._QSCALE), so 5 rounds replay bit-for-bit — the
+    iterative quantizer stops being "rows-only by design"."""
+    ctes = [
+        f"""samp AS (
+  SELECT vec_id, qv,
+         row_number() OVER (
+           ORDER BY substr(md5('0:' || vec_id || ':' || vec_id), 1, 8), vec_id
+         ) AS rn
+  FROM eq QUALIFY rn <= {train}
+)""",
+        f"c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM samp WHERE rn <= {k})",
+    ]
+    for i in range(iters):
+        ctes.append(f"""a{i + 1} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT s.vec_id, s.qv, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY -2 * list_dot_product(s.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cid) AS r
+    FROM samp s CROSS JOIN c{i} c) WHERE r = 1
+)""")
+        ctes.append(f"""m{i + 1} AS (
+  SELECT cid, list(mx ORDER BY d) AS mv FROM (
+    SELECT a.cid, d.d,
+           floor(sum(a.qv[d.d]) / count(*) * 1048576 + 0.5) / 1048576.0 AS mx
+    FROM a{i + 1} a,
+         (SELECT unnest(range(1, (SELECT len(v) + 1 FROM q))) AS d) d
+    GROUP BY a.cid, d.d
+  ) GROUP BY cid
+)""")
+        ctes.append(f"""c{i + 1} AS (
+  SELECT c.cid, coalesce(m.mv, c.cv) AS cv
+  FROM c{i} c LEFT JOIN m{i + 1} m ON m.cid = c.cid
+)""")
+    return ",\n".join(ctes), f"c{iters}"
+
+
+_KM_CTES, _KM_FIN = _kmeans_ctes()
+_KM_COS = (
+    "list_dot_product(x.v, q.v) / (sqrt(list_dot_product(x.v, x.v)) * "
+    "sqrt(list_dot_product(q.v, q.v)))"
+)
+
+
+@q(
+    "knn_ivf_kmeans",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id != 0),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+eq AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS qv
+  FROM e
+),
+{_KM_CTES},
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           list_dot_product(c.cv, q.v) / (sqrt(list_dot_product(c.cv, c.cv))
+             * sqrt(list_dot_product(q.v, q.v))) AS ccos
+    FROM {_KM_FIN} c, q
+    ORDER BY ccos DESC, c.cid ASC LIMIT 2)
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT eq.vec_id, c.cid,
+           row_number() OVER (PARTITION BY eq.vec_id
+             ORDER BY -2 * list_dot_product(eq.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cid) AS r
+    FROM eq CROSS JOIN {_KM_FIN} c) WHERE r = 1
+),
+topk AS (
+  SELECT x.vec_id, round({_KM_COS}, 6) AS cos
+  FROM e x JOIN assign a ON a.vec_id = x.vec_id, q
+  WHERE a.cid IN (SELECT cid FROM probe)
+  ORDER BY round({_KM_COS}, 6) DESC, x.vec_id ASC LIMIT 10
+),
+exact AS (
+  SELECT x.vec_id, round({_KM_COS}, 6) AS cos
+  FROM e x, q
+  ORDER BY round({_KM_COS}, 6) DESC, x.vec_id ASC LIMIT 10
+)
+SELECT t.vec_id, t.cos,
+       (t.vec_id IN (SELECT vec_id FROM exact)) AS in_exact_top10
+FROM topk t
+""",
+)
 def knn_ivf_kmeans(spark, sf_dir):
-    """IVF ANN with a LEARNED k-means coarse quantizer; deterministic
-    (hash-seeded) but iterative, so no closed-form SQL oracle — the
-    exactness claims live in tests/test_similarity.py (probes=C equals
-    brute force bit-for-bit; blob recovery; determinism). Each row
-    carries in_exact_top10 vs the in-engine exact scan."""
+    """IVF ANN with a LEARNED k-means coarse quantizer — iterative
+    (Lloyd's) but now HASH-GATED, not rows-only: training, seeding,
+    assignment and probing all run in the 2⁻²⁰ quantized space where
+    every statistic is an exact dyadic rational, so the DuckDB oracle
+    replays the rank-hash sample, the 5 Lloyd rounds, the cell
+    assignment, the 2-probe selection and the exact rerank
+    bit-for-bit (_kmeans_ctes; round-6 verdict next #4). Each row
+    still carries in_exact_top10 vs the exact scan."""
     e = load_table(spark, sf_dir, "embeddings")
     query = e.where(F.col("vec_id") == 0)
     corpus = e.where(F.col("vec_id") != 0)
@@ -2678,10 +2779,29 @@ WITH b AS (
                    THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT)
            AS dhash
   FROM h
+), bd AS (
+  -- pigeonhole banding (round-7): 3 disjoint bit-bands over the
+  -- 64-bit hash; any pair at hamming <= 2 differs in at most 2 bands,
+  -- so it SHARES at least one band key exactly — candidates are
+  -- per-bucket joins (the same trick the engine's
+  -- dedup.hamming_neardup_pairs uses), never all-pairs, which keeps
+  -- this oracle sub-quadratic and lets the sf0.1+ audits run it
+  -- (the old all-pairs replay was the audit bottleneck)
+  SELECT doc_id, dhash, b.i AS band,
+         CASE b.i WHEN 0 THEN dhash & 4194303
+                  WHEN 1 THEN (dhash >> 22) & 2097151
+                  ELSE (dhash >> 43) & 2097151 END AS key
+  FROM s, generate_series(0, 2) b(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+  FROM bd a JOIN bd b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_i, b.doc_id AS id_j,
+SELECT c.id_i, c.id_j,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-FROM s a JOIN s b ON a.doc_id < b.doc_id
+FROM cand c
+JOIN s a ON a.doc_id = c.id_i
+JOIN s b ON b.doc_id = c.id_j
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
 """,
 )

@@ -309,3 +309,63 @@ def test_cusum_sql_impl_matches_arrow_under_forced_spill(spark):
             spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", old)
     assert len(arrow) == len(sql) == 4000 - len([r for r in rows if r[2] is None])
     assert arrow == sql
+
+
+def _spill_series(spark, n=4000):
+    rows = [("m", i * 60_000, float((i * i) % 500) / 7.0) for i in range(n)]
+    return spark.createDataFrame(rows, "metric string, wts long, value double")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name", ["rolling_zscore", "ewma", "holt_smooth", "trend_slope"]
+)
+def test_window_ops_bit_identical_under_forced_spill(spark, name):
+    """Round-6 verdict #8: rolling_zscore / ewma / holt_smooth /
+    windowed_trend_slope share the window-buffer (resp. hash-agg)
+    spill surface pinned for CUSUM in
+    test_cusum_sql_impl_matches_arrow_under_forced_spill — one long
+    single series keeps every row in one partition, a tiny
+    ExternalAppendOnlyUnsafeRowArray threshold forces the WindowExec
+    frame buffer to spill (and TungstenAggregate's test fallback
+    forces sort-based agg for the groupBy-shaped trend), and the
+    outputs must stay bit-identical to the in-memory run."""
+    from dqe_spark.operators.anomaly import ewma, holt_smooth, rolling_zscore
+    from dqe_spark.operators.stats import windowed_trend_slope
+
+    df = _spill_series(spark)
+
+    def run():
+        if name == "rolling_zscore":
+            out = rolling_zscore(df, k=96)
+        elif name == "ewma":
+            out = ewma(df, k=96)
+        elif name == "holt_smooth":
+            out = holt_smooth(df, k=96)
+        else:
+            out = windowed_trend_slope(df, 3_600_000, ts="wts")
+        return sorted(
+            tuple(-1.0 if x is None else x for x in r) for r in out.collect()
+        )
+
+    base = run()
+    saved = {}
+    forced = {
+        "spark.sql.windowExec.buffer.spill.threshold": "16",
+        "spark.sql.TungstenAggregate.testFallbackStartsAt": "2, 5",
+    }
+    for k in forced:
+        saved[k] = spark.conf.get(k, None)
+    try:
+        for k, v in forced.items():
+            spark.conf.set(k, v)
+        spilled = run()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert base and base == spilled
