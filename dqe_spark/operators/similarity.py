@@ -646,6 +646,10 @@ def pq_encode(
         A = np.array([np.asarray(v, dtype=np.float64) for v in vs])
         if A.size == 0:
             return pd.Series([], dtype="object")
+        # same 2⁻²⁰ quantized space as _nearest_centroid: exact
+        # distances → the code assignment is a pure function of the
+        # data, replayed by the knn_pq oracle
+        A = _quantize(A)
         out = np.empty((A.shape[0], m_sub), dtype="int32")
         for s in range(m_sub):
             Asub = A[:, s * sub : (s + 1) * sub]
@@ -689,7 +693,13 @@ def knn_pq_adc(
     books = pq_codebooks(df, m_sub, n_codes, iters, vec, id_col)
     B = np.asarray(books, dtype=np.float64)        # m × C × sub
     sub = B.shape[2]
-    qv = np.asarray(query.select(vec).first()[0], dtype=np.float64)
+    # query quantized to the same 2⁻²⁰ grid as the codebooks: every
+    # table entry is then an exact dyadic rational (grid differences,
+    # squares on the 2⁻⁴⁰ grid, 8-term sums — all < 2⁵³), so the ADC
+    # scores replay bit-for-bit in the DuckDB oracle regardless of
+    # summation order; the top-R exact re-rank still uses the RAW
+    # query vector
+    qv = _quantize(np.asarray(query.select(vec).first()[0], dtype=np.float64))
     # per-subspace distance table: table[s][c] = ‖q_s − B[s,c]‖²
     table = [
         [float(((qv[s * sub : (s + 1) * sub] - B[s, c]) ** 2).sum()) for c in range(n_codes)]

@@ -882,50 +882,14 @@ def dql_trend(spark, sf_dir):
 
 
 from dqe_spark.queries_ext import _COS as _DCOS  # noqa: E402
+from dqe_spark.queries_ext import _auto_srp_ctes  # noqa: E402
 
-#: Auto-width SRP replay (round-7): the DQL front door runs
-#: neardup()/dedup('semantic') at auto_planes' band width — bits/band
-#: = clamp(⌈log₂(n/128)⌉, 2, 48), 8 bands — so the oracle derives the
-#: SAME width from the corpus count and rebuilds the SAME published
-#: rademacher_planes matrix relationally: entry (p, d) = +1 iff the
-#: low bit of md5("p:d")[:8] is set == the 8th hex digit is odd. Sign
-#: decisions replay exactly (±1 weights keep every list_dot_product
-#: partial exact in float64 — same argument as the pinned-matrix
-#: oracles), so signatures, banding, candidates and verified cosines
-#: are all bit-identical to the engine at ANY corpus size — the
-#: quadratic pinned-shape trap (round-6 verdict #2) is closed on both
-#: sides of the gate.
-_AUTO_SRP_CTES = """
-par AS (
-  SELECT GREATEST(2, LEAST(48,
-           CAST(ceil(log2(GREATEST(2.0, count(*) / 128.0))) AS INT))) AS bits
-  FROM e
-),
-pw AS (
-  SELECT p.p,
-         list(CASE WHEN substr(md5(p.p || ':' || d.d), 8, 1) IN
-                        ('1','3','5','7','9','b','d','f')
-              THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
-  FROM (SELECT unnest(range(0, 8 * (SELECT bits FROM par))) AS p) p,
-       (SELECT unnest(range(0, (SELECT max(len(v)) FROM e))) AS d) d
-  GROUP BY p.p
-),
-sig AS (
-  SELECT e.vec_id, pw.p,
-         CASE WHEN list_dot_product(e.v, pw.w) >= 0 THEN 1 ELSE 0 END AS bit
-  FROM e CROSS JOIN pw
-),
-bkeys AS (
-  SELECT s.vec_id, CAST(s.p // par.bits AS INT) AS band,
-         CAST(sum(s.bit * (CAST(1 AS BIGINT) << CAST(s.p % par.bits AS INT)))
-              AS BIGINT) AS key
-  FROM sig s, par GROUP BY 1, 2
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
-  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.key = b.key
-  WHERE a.vec_id < b.vec_id
-)"""
+#: Auto-width SRP replay for the DQL front door (neardup() /
+#: dedup('semantic') default to auto_planes) — shared with the
+#: operator-layer hybrid/IVF oracles; see queries_ext._auto_srp_ctes
+#: for the width-replay argument (round-6 verdict #2 closed on both
+#: sides of the gate).
+_AUTO_SRP_CTES = _auto_srp_ctes(out="cand", src="e")
 
 
 @q(

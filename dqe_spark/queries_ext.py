@@ -447,6 +447,51 @@ def knn_ivf(spark, sf_dir):
 _SRP_PLANES = similarity.rademacher_planes(planes=32, dims=64)
 
 
+def _auto_srp_ctes(out: str = "cand", src: str = "e") -> str:
+    """Auto-width SRP replay (round-7): engine paths that default to
+    auto_planes run at bits/band = clamp(⌈log₂(n/128)⌉, 2, 48) with 8
+    bands, so the oracle derives the SAME width from the corpus count
+    and rebuilds the SAME published rademacher_planes matrix
+    relationally: entry (p, d) = +1 iff the low bit of md5("p:d")[:8]
+    is set == the 8th hex digit is odd. ±1 weights keep every
+    list_dot_product partial exact in float64 (same argument as the
+    pinned-matrix oracles), so signatures, banding and candidates are
+    bit-identical to the engine at ANY corpus size. ``src`` must
+    expose (vec_id, v: DOUBLE[]); emits CTEs par/pw/sig/bkeys and a
+    final ``out`` CTE of candidate pairs (id_i < id_j)."""
+    return f"""
+par AS (
+  SELECT GREATEST(2, LEAST(48,
+           CAST(ceil(log2(GREATEST(2.0, count(*) / 128.0))) AS INT))) AS bits
+  FROM {src}
+),
+pw AS (
+  SELECT p.p,
+         list(CASE WHEN substr(md5(p.p || ':' || d.d), 8, 1) IN
+                        ('1','3','5','7','9','b','d','f')
+              THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS w
+  FROM (SELECT unnest(range(0, 8 * (SELECT bits FROM par))) AS p) p,
+       (SELECT unnest(range(0, (SELECT max(len(v)) FROM {src}))) AS d) d
+  GROUP BY p.p
+),
+sig AS (
+  SELECT s.vec_id, pw.p,
+         CASE WHEN list_dot_product(s.v, pw.w) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM {src} s CROSS JOIN pw
+),
+bkeys AS (
+  SELECT s.vec_id, CAST(s.p // par.bits AS INT) AS band,
+         CAST(sum(s.bit * (CAST(1 AS BIGINT) << CAST(s.p % par.bits AS INT)))
+              AS BIGINT) AS key
+  FROM sig s, par GROUP BY 1, 2
+),
+{out} AS (
+  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)"""
+
+
 def _srp_sig_sql(side: str) -> str:
     terms = []
     for p, row in enumerate(_SRP_PLANES):
@@ -1156,52 +1201,64 @@ def _with_exact_top10(result, corpus, query):
     )
 
 
-def _kmeans_ctes(iters: int = 5, k: int = 8, train: int = 16384) -> tuple[str, str]:
+def _kmeans_ctes(
+    iters: int = 5,
+    k: int | str = 8,
+    train: int = 16384,
+    prefix: str = "",
+    src: str = "eq",
+) -> tuple[str, str]:
     """DuckDB replay of kmeans_centroids' Lloyd loop (similarity.py):
     the training sample is the ``train`` smallest (md5 rank-hash, id)
-    rows — ordering the 8-char lowercase hex prefix lexicographically
-    IS the engine's numeric rank order — seeds are the first ``k``
-    sample rows, and each round assigns (exact quantized-space
-    argmin, first-min tie-break == ORDER BY dist, cid) then
-    recomputes per-dim means (exact integer-grid sums / count,
-    re-quantized with the shared floor(x·2²⁰+0.5) rule; empty
-    clusters keep their centroid via the LEFT JOIN coalesce). Every
-    float the loop touches is an exact dyadic rational (see
-    similarity._QSCALE), so 5 rounds replay bit-for-bit — the
-    iterative quantizer stops being "rows-only by design"."""
+    rows of ``src`` — ordering the 8-char lowercase hex prefix
+    lexicographically IS the engine's numeric rank order — seeds are
+    the first ``k`` sample rows (``k`` may be a scalar-subquery
+    string, e.g. the auto_clusters replay), and each round assigns
+    (exact quantized-space argmin, first-min tie-break == ORDER BY
+    dist, cid) then recomputes per-dim means (exact integer-grid
+    sums / count, re-quantized with the shared floor(x·2²⁰+0.5)
+    rule; empty clusters keep their centroid via the LEFT JOIN
+    coalesce). Every float the loop touches is an exact dyadic
+    rational (see similarity._QSCALE), so the rounds replay
+    bit-for-bit — the iterative quantizer stops being "rows-only by
+    design". ``src`` must expose (vec_id, qv: DOUBLE[] on the grid);
+    ``prefix`` namespaces the CTEs so several chains (e.g. the 8 PQ
+    subspace codebooks) coexist in one statement. Returns (ctes_sql,
+    final_centroid_cte_name)."""
+    p = prefix
     ctes = [
-        f"""samp AS (
+        f"""{p}samp AS (
   SELECT vec_id, qv,
          row_number() OVER (
            ORDER BY substr(md5('0:' || vec_id || ':' || vec_id), 1, 8), vec_id
          ) AS rn
-  FROM eq QUALIFY rn <= {train}
+  FROM {src} QUALIFY rn <= {train}
 )""",
-        f"c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM samp WHERE rn <= {k})",
+        f"{p}c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM {p}samp WHERE rn <= {k})",
     ]
     for i in range(iters):
-        ctes.append(f"""a{i + 1} AS (
+        ctes.append(f"""{p}a{i + 1} AS (
   SELECT vec_id, qv, cid FROM (
     SELECT s.vec_id, s.qv, c.cid,
            row_number() OVER (PARTITION BY s.vec_id
              ORDER BY -2 * list_dot_product(s.qv, c.cv)
                       + list_dot_product(c.cv, c.cv), c.cid) AS r
-    FROM samp s CROSS JOIN c{i} c) WHERE r = 1
+    FROM {p}samp s CROSS JOIN {p}c{i} c) WHERE r = 1
 )""")
-        ctes.append(f"""m{i + 1} AS (
+        ctes.append(f"""{p}m{i + 1} AS (
   SELECT cid, list(mx ORDER BY d) AS mv FROM (
     SELECT a.cid, d.d,
            floor(sum(a.qv[d.d]) / count(*) * 1048576 + 0.5) / 1048576.0 AS mx
-    FROM a{i + 1} a,
-         (SELECT unnest(range(1, (SELECT len(v) + 1 FROM q))) AS d) d
+    FROM {p}a{i + 1} a,
+         (SELECT unnest(range(1, (SELECT len(qv) + 1 FROM {src} LIMIT 1))) AS d) d
     GROUP BY a.cid, d.d
   ) GROUP BY cid
 )""")
-        ctes.append(f"""c{i + 1} AS (
+        ctes.append(f"""{p}c{i + 1} AS (
   SELECT c.cid, coalesce(m.mv, c.cv) AS cv
-  FROM c{i} c LEFT JOIN m{i + 1} m ON m.cid = c.cid
+  FROM {p}c{i} c LEFT JOIN {p}m{i + 1} m ON m.cid = c.cid
 )""")
-    return ",\n".join(ctes), f"c{iters}"
+    return ",\n".join(ctes), f"{p}c{iters}"
 
 
 _KM_CTES, _KM_FIN = _kmeans_ctes()
@@ -1495,15 +1552,95 @@ def corpus_chunk(spark, sf_dir):
     return batching.chunk_documents(d, size=32, overlap=8)
 
 
-@q("knn_pq")  # rows-only: learned codebooks (iterative k-means) are not
-# SQL-expressible; exactness of the ADC plumbing and recall are
-# pytest-verified against brute force (tests/test_similarity.py)
+def _pq_oracle_sql(m_sub: int = 8, sub: int = 8, n_codes: int = 16,
+                   iters: int = 4, rerank: int = 50, k: int = 10) -> str:
+    """DuckDB replay of knn_pq_adc (similarity.py): 8 per-subspace
+    codebooks (each its own quantized-space Lloyd chain over the
+    SAME rank-hash sample ids — _kmeans_ctes with a subspace prefix),
+    code assignment per vector (exact argmin, first-min tie-break),
+    the ADC distance table from the QUANTIZED query slice (exact
+    grid differences → order-free sums), the rounded ADC scan, the
+    top-``rerank`` candidate cut, the exact raw-vector L2² re-rank
+    (sequential fold both engines), and the in_exact_top10 probe —
+    all bit-identical because every pre-re-rank float lives on the
+    2⁻⁴⁰ dyadic grid (similarity._QSCALE)."""
+    parts = []
+    for s in range(m_sub):
+        lo, hi = s * sub + 1, s * sub + sub
+        parts.append(f"""sub{s} AS (
+  SELECT vec_id,
+         list_transform(v[{lo}:{hi}],
+                        x -> floor(x * 1048576 + 0.5) / 1048576.0) AS qv
+  FROM e
+)""")
+        c, fin = _kmeans_ctes(
+            iters=iters, k=n_codes, prefix=f"s{s}", src=f"sub{s}"
+        )
+        parts.append(c)
+        parts.append(f"""enc{s} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY -2 * list_dot_product(t.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cid) AS r
+    FROM sub{s} t CROSS JOIN {fin} c) WHERE r = 1
+)""")
+        parts.append(f"""tab{s} AS (
+  SELECT c.cid AS code,
+         list_dot_product(
+           list_transform(range(1, {sub + 1}), i -> qq.v[{s * sub} + i] - c.cv[i]),
+           list_transform(range(1, {sub + 1}), i -> qq.v[{s * sub} + i] - c.cv[i])
+         ) AS dist
+  FROM {fin} c, qq
+)""")
+    adc_joins = " ".join(
+        f"JOIN enc{s} e{s} USING (vec_id) JOIN tab{s} t{s} ON t{s}.code = e{s}.code"
+        for s in range(1, m_sub)
+    )
+    adc_sum = " + ".join(f"t{s}.dist" for s in range(m_sub))
+    diff = ("list_transform(range(1, (SELECT len(v) + 1 FROM q)), "
+            "i -> x.v[i] - q.v[i])")
+    cosq = ("list_dot_product(x.v, q.v) / (sqrt(list_dot_product(x.v, x.v))"
+            " * sqrt(list_dot_product(q.v, q.v)))")
+    joined = ",\n".join(parts)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 7),
+qq AS (SELECT list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+       FROM q),
+{joined},
+adc AS (
+  SELECT e0.vec_id, round({adc_sum}, 6) AS adc
+  FROM enc0 e0 JOIN tab0 t0 ON t0.code = e0.code {adc_joins}
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {rerank}),
+rer AS (
+  SELECT x.vec_id, round(list_dot_product({diff}, {diff}), 6) AS adc
+  FROM e x JOIN cand c ON c.vec_id = x.vec_id, q
+),
+topk AS (SELECT vec_id, adc FROM rer ORDER BY adc ASC, vec_id ASC LIMIT {k}),
+exact AS (
+  SELECT x.vec_id, round({cosq}, 6) AS cos
+  FROM e x, q
+  ORDER BY round({cosq}, 6) DESC, x.vec_id ASC LIMIT {k}
+)
+SELECT t.vec_id, t.adc,
+       (t.vec_id IN (SELECT vec_id FROM exact)) AS in_exact_top10
+FROM topk t
+"""
+
+
+@q("knn_pq", _pq_oracle_sql())
 def knn_pq(spark, sf_dir):
     """Product-quantization ANN (Jégou et al., TPAMI 2011): per-
     subspace k-means codebooks, codes-only scan with literal-array ADC
     lookup (pure JVM in the query path), exact re-rank of the top-50
-    candidates (operators/similarity.knn_pq_adc). Each row carries
-    in_exact_top10 vs the in-engine exact scan."""
+    candidates (operators/similarity.knn_pq_adc). Now HASH-GATED
+    (round-7): codebook training, code assignment and the ADC table
+    all run on the 2⁻²⁰ quantized grid, so the DuckDB oracle replays
+    the full compressed-domain pipeline bit-for-bit
+    (_pq_oracle_sql). Each row carries in_exact_top10 vs the
+    in-engine exact scan."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.where(F.col("vec_id") == 7).select("embedding")
     res = similarity.knn_pq_adc(emb, qv, 10, rerank=50)
@@ -1635,13 +1772,79 @@ def store_gaps_1m(spark, sf_dir):
     return window_gaps(load_metrics(spark, sf_dir), 60_000)
 
 
-@q("neardup_ivf")  # rows-only: the k-means quantizer is iterative
-# (not SQL-expressible); candidate-recall vs the exact all-pairs
-# baseline is asserted in tests/test_similarity.py
+#: Shared oracle tails for the learned-quantizer near-dup family:
+#: auto_clusters replay (k = clamp(n/256, 8, 16384)), the 4-iteration
+#: Lloyd chain over the full corpus, per-cell candidate pairs, exact
+#: verify, and the probe_recall_bp invariant column (recall of the
+#: emitted pairs against the exact neighbor sets of probe vectors
+#: 1..8, integer basis points — same arithmetic as _with_probe_recall).
+_IVF_KK = "kk AS (SELECT LEAST(GREATEST(8, count(*) // 256), 16384) AS k FROM eq)"
+_IVF_KM_CTES, _IVF_KM_FIN = _kmeans_ctes(
+    iters=4, k="(SELECT k FROM kk)", prefix="i"
+)
+_IVF_ASSIGN = f"""assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT eq.vec_id, c.cid,
+           row_number() OVER (PARTITION BY eq.vec_id
+             ORDER BY -2 * list_dot_product(eq.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cid) AS r
+    FROM eq CROSS JOIN {_IVF_KM_FIN} c) WHERE r = 1
+),
+icand AS (
+  SELECT a.vec_id AS id_i, b.vec_id AS id_j
+  FROM assign a JOIN assign b ON a.cid = b.cid
+  WHERE a.vec_id < b.vec_id
+)"""
+
+
+def _verify_recall_sql(cand: str, t: float) -> str:
+    return f"""ver AS (
+  SELECT c.id_i, c.id_j, round({_COS}, 6) AS cos
+  FROM {cand} c
+  JOIN e a ON a.vec_id = c.id_i
+  JOIN e b ON b.vec_id = c.id_j
+  WHERE round({_COS}, 6) >= {t}
+),
+exactp AS (
+  SELECT DISTINCT least(p.vec_id, x.vec_id) AS id_i,
+                  greatest(p.vec_id, x.vec_id) AS id_j
+  FROM e x CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id BETWEEN 1 AND 8) p
+  WHERE x.vec_id != p.vec_id
+    AND round(list_dot_product(x.v, p.v) / (sqrt(list_dot_product(x.v, x.v))
+          * sqrt(list_dot_product(p.v, p.v))), 6) >= {t}
+),
+rec AS (
+  SELECT CAST(10000 * (SELECT count(*) FROM exactp x
+                       WHERE EXISTS (SELECT 1 FROM ver v
+                                     WHERE v.id_i = x.id_i
+                                       AND v.id_j = x.id_j))
+              // (SELECT count(*) FROM exactp) AS BIGINT) AS probe_recall_bp
+)
+SELECT v.id_i, v.id_j, v.cos, r.probe_recall_bp FROM ver v, rec r"""
+
+
+@q(
+    "neardup_ivf",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eq AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS qv
+  FROM e
+),
+{_IVF_KK},
+{_IVF_KM_CTES},
+{_IVF_ASSIGN},
+{_verify_recall_sql("icand", 0.2)}
+""",
+)
 def neardup_ivf(spark, sf_dir):
     """Embedding near-duplicates bucketed by learned IVF cells —
     data-adaptive candidate generation (operators/similarity.py
-    neardup_ivf_pairs); exact cosine verify on candidates only.
+    neardup_ivf_pairs); exact cosine verify on candidates only. Now
+    HASH-GATED (round-7): the oracle replays auto_clusters' cell
+    count, the quantized-space Lloyd rounds, per-cell candidates,
+    verification AND the probe_recall_bp arithmetic bit-for-bit.
 
     Every row carries probe_recall_bp: recall (basis points) of the
     IVF output against the IN-ENGINE exact neighbor set of 8 fixed
@@ -1687,14 +1890,38 @@ def _with_probe_recall(pairs, emb, threshold):
     return pairs.crossJoin(F.broadcast(recall))
 
 
-@q("neardup_hybrid")  # rows-only: iterative k-means + SRP composition
+@q(
+    "neardup_hybrid",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+eq AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS qv
+  FROM e
+),
+{_IVF_KK},
+{_IVF_KM_CTES},
+{_IVF_ASSIGN},{_auto_srp_ctes(out="scand", src="e")},
+ucand AS (
+  SELECT id_i, id_j FROM icand
+  UNION
+  SELECT id_i, id_j FROM scand
+),
+{_verify_recall_sql("ucand", 0.2)}
+""",
+)
 def neardup_hybrid(spark, sf_dir):
     """Near-duplicates from BOTH candidate generators — learned IVF
     cells ∪ SRP signature bands — exact-verified and deduped
-    (operators/similarity.neardup_hybrid_pairs). The embedded
-    probe_recall_bp must dominate the IVF-only query's: the SRP bands
-    recover the cross-cell boundary pairs IVF misses
-    (tests/test_similarity.py asserts the ordering)."""
+    (operators/similarity.neardup_hybrid_pairs). Now HASH-GATED
+    (round-7): the oracle replays auto_clusters + the quantized Lloyd
+    rounds for the IVF side, auto_planes' width formula + the
+    md5-parity matrix for the SRP side, unions the candidate sets and
+    verifies — the full dual-generator composition is a pure function
+    of the data on both engines. The embedded probe_recall_bp must
+    dominate the IVF-only query's: the SRP bands recover the
+    cross-cell boundary pairs IVF misses (tests/test_similarity.py
+    asserts the ordering)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = similarity.neardup_hybrid_pairs(
         emb, 0.2, planes_matrix=None, bands=8, n_clusters=None

@@ -45,10 +45,16 @@ def test_priority_prefix_is_stable():
 
 
 def test_rows_only_queries_embed_invariants(spark):
-    """The 6 oracle-less registry queries each embed a deterministic
+    """Oracle-less registry queries each embed a deterministic
     self-check COLUMN (round-4 verdict, next-round #5) so the driver's
     rows-only record changes when quality regresses — these bounds pin
-    the healthy values at smoke scale."""
+    the healthy values at smoke scale. (Round 7 hash-gated
+    knn_ivf_kmeans / knn_pq / neardup_ivf / neardup_hybrid via the
+    quantized-space replay, shrinking the rows-only set to 5 — the two
+    ANN-store serving twins, whose materialized index is a MUTABLE
+    artifact an oracle may not assume fresh, the two HLL rollups, and
+    iterative PCA; the invariant columns below stay pinned for all of
+    them, oracled or not.)"""
     from dqe_spark.entry import all_queries
 
     qs = all_queries()

@@ -127,8 +127,13 @@ def test_pq_adc_matches_numpy_reconstruction(spark):
     books = S.pq_codebooks(emb, m_sub=8, n_codes=16, iters=2)
     B = np.asarray(books)
     enc = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, books).collect()}
-    qv = np.array(
-        emb.where(F.col("vec_id") == 3).first().embedding, dtype=np.float64
+    # the ADC table is built from the QUANTIZED query (knn_pq_adc
+    # quantizes so every table entry is an exact dyadic rational —
+    # the oracle-replay contract); reconstruct on the same grid
+    qv = S._quantize(
+        np.array(
+            emb.where(F.col("vec_id") == 3).first().embedding, dtype=np.float64
+        )
     )
     sub = B.shape[2]
     table = np.array(
