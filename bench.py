@@ -99,8 +99,11 @@ EXT_HEADLINE = [
     "dql_neardup",
     "dql_dedup",
     "multimodal_jpeg_decode",
-    # round-7 addition: SemDeDup through the language at auto width
+    # round-7 additions: SemDeDup + similarity search through the
+    # language at auto width
     "dql_dedup_semantic",
+    "dql_knn",
+    "dql_ann",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the

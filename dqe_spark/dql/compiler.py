@@ -761,6 +761,8 @@ class Compiler:
             return self._neardup(node)
         if name == "dedup":
             return self._dedup(node)
+        if name in ("knn", "ann"):
+            return self._knn(node, approximate=(name == "ann"))
         series = [a for a in node.inputs
                   if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
                                     A.Timeshift, A.Var))]
@@ -1183,6 +1185,54 @@ class Compiler:
         out = bm25_search(
             self.metrics.sparkSession, self.sf_dir, terms, k=k
         )
+        return EventsFrame(out, unparse(node))
+
+    def _knn(self, node: A.FCall, approximate: bool) -> EventsFrame:
+        """knn(query_id, k) / ann(query_id, k): top-k cosine
+        neighbors of corpus vector ``query_id`` (itself excluded) —
+        the language surface of similarity search. ``knn`` is the
+        exact broadcast scan (operators/similarity.knn_bruteforce —
+        linear, shuffle-free, the honest baseline up to ~10⁹
+        vectors); ``ann`` is hyperplane-LSH at the AUTO-SCALED
+        auto_planes band width (knn_srp — the banded filter that
+        deployments back with band-bucketed storage for file-level
+        pruning). Both are oracle-replayable: the exact path is plain
+        SQL, the SRP path replays the width formula + md5-parity
+        matrix like neardup() (queries_ext._auto_srp_ctes). The
+        statement timeframe does not apply (the corpus is not a time
+        series)."""
+        fname = "ann" if approximate else "knn"
+        if self.sf_dir is None:
+            raise PlanError(f"{fname} needs an embedding corpus (no sf_dir bound)")
+        args = list(node.inputs)
+        if (
+            len(args) != 2
+            or not all(isinstance(a, int) and not isinstance(a, A.TimeUnit)
+                       for a in args)
+        ):
+            raise PlanError(
+                f"{fname}(query_id, k)",
+                "not_found_fun", fname, arg_types(node.inputs),
+            )
+        qid, k = int(args[0]), int(args[1])
+        if k < 1:
+            raise PlanError(f"{fname} k must be a positive integer")
+        from dqe_spark.operators.similarity import (
+            auto_planes,
+            knn_bruteforce,
+            knn_srp,
+        )
+        from dqe_spark.sources.metric_store import load_table
+
+        emb = load_table(self.metrics.sparkSession, self.sf_dir, "embeddings")
+        query = emb.where(F.col("vec_id") == qid)
+        if query.first() is None:
+            raise PlanError(f"{fname}: no vector with vec_id {qid}")
+        corpus = emb.where(F.col("vec_id") != qid)
+        if approximate:
+            out = knn_srp(corpus, query, k, auto_planes(emb, bands=8), bands=8)
+        else:
+            out = knn_bruteforce(corpus, query, k)
         return EventsFrame(out, unparse(node))
 
     def _neardup(self, node: A.FCall) -> EventsFrame:

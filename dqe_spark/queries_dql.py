@@ -956,3 +956,61 @@ def dql_dedup_semantic(spark, sf_dir):
     production surface)."""
     df = _one(spark, "SELECT dedup('semantic', 0.2) LAST 1d", sf_dir)
     return df.select("vec_id", "label")
+
+
+_QCOS = (
+    "list_dot_product(x.v, q.v) / (sqrt(list_dot_product(x.v, x.v)) * "
+    "sqrt(list_dot_product(q.v, q.v)))"
+)
+
+
+@q(
+    "dql_knn",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 5)
+SELECT x.vec_id, round({_QCOS}, 6) AS cos
+FROM e x, q
+WHERE x.vec_id != 5
+ORDER BY round({_QCOS}, 6) DESC, x.vec_id ASC
+LIMIT 10
+""",
+)
+def dql_knn(spark, sf_dir):
+    """`knn(5, 10)` in the language: exact top-10 cosine neighbors of
+    corpus vector 5 — dql/compiler._knn -> operators/similarity
+    .knn_bruteforce (broadcast 1-row query × linear scan, no
+    shuffle)."""
+    df = _one(spark, "SELECT knn(5, 10) LAST 1d", sf_dir)
+    return df.select("vec_id", "cos")
+
+
+from dqe_spark.queries_ext import _auto_srp_ctes as _srp_ctes_fn  # noqa: E402
+
+
+@q(
+    "dql_ann",
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 5),{_srp_ctes_fn(pairs=False)},
+cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM bkeys b JOIN bkeys qb
+    ON qb.vec_id = 5 AND b.band = qb.band AND b.key = qb.key
+  WHERE b.vec_id != 5
+)
+SELECT x.vec_id, round({_QCOS}, 6) AS cos
+FROM cand c JOIN e x ON x.vec_id = c.vec_id, q
+ORDER BY round({_QCOS}, 6) DESC, x.vec_id ASC
+LIMIT 10
+""",
+)
+def dql_ann(spark, sf_dir):
+    """`ann(5, 10)` in the language: hyperplane-LSH approximate
+    neighbors at the AUTO-SCALED auto_planes band width —
+    dql/compiler._knn(approximate=True) -> operators/similarity
+    .knn_srp. The oracle replays the width formula, the md5-parity
+    matrix, the query's band keys and the exact rerank, so the
+    language ANN surface is hash-gated end to end like neardup()."""
+    df = _one(spark, "SELECT ann(5, 10) LAST 1d", sf_dir)
+    return df.select("vec_id", "cos")

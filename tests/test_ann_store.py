@@ -246,3 +246,35 @@ def test_ann_upsert_vacating_sole_cell_leaves_no_stale_row(spark):
         assert purged_id not in left
     finally:
         AS.ingest_ann(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_ingest_auto_sizes_cells_and_probes(spark, tmp_path):
+    """n_clusters=None sizes cells from the corpus (auto_clusters) —
+    the store-shaped cousin of the pinned-SRP trap: a FIXED 8-cell
+    grid makes every probe scan n/8 vectors forever, while auto
+    sizing keeps cells ≈ target_cell rows. At 3000 vectors the grid
+    must widen past the historical 8 (3000/256 → 11 cells), and the
+    serving default probes=None must scale as max(3, ceil(C/8))."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.similarity import auto_clusters
+    from dqe_spark.sources import ann_store as AS
+
+    n = 3000
+    src = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), d -> cast(((id * 37 + d * 101) % 255)"
+            " / 255.0 - 0.5 as float))"
+        ).alias("embedding"),
+    )
+    assert auto_clusters(src) == max(8, n // 256) == 11
+    AS.ingest_ann(spark, SF_SMOKE, force=True, source=src)
+    try:
+        _, meta = AS.load_ann(spark, SF_SMOKE)
+        assert meta["n_clusters"] == 11
+        got = AS.knn_pq_probed(spark, SF_SMOKE, [0.1] * 8, 5).collect()
+        assert len(got) == 5  # probes=None resolved against the wider grid
+    finally:
+        AS.ingest_ann(spark, SF_SMOKE, force=True)  # restore for other tests

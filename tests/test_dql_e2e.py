@@ -551,3 +551,51 @@ def test_dedup_in_language(spark):
 
     with pytest.raises(PlanError, match="expected 'exact' or 'semantic'"):
         engine.run(spark, "SELECT dedup('fuzzy') LAST 1d", SF_SMOKE)
+
+
+def test_knn_ann_in_language(spark):
+    """knn(q, k) == knn_bruteforce; ann(q, k) == knn_srp at the
+    auto_planes width (sized on the FULL corpus, query included —
+    same convention as neardup()); bad args / unknown vector are plan
+    errors."""
+    from pyspark.sql import functions as F
+
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 5)
+    corpus = emb.where(F.col("vec_id") != 5)
+
+    (res,) = engine.run(spark, "SELECT knn(5, 10) LAST 1d", SF_SMOKE)
+    got = [(r["vec_id"], r["cos"]) for r in res.df.collect()]
+    want = [
+        (r["vec_id"], r["cos"])
+        for r in S.knn_bruteforce(corpus, query, 10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    (res,) = engine.run(spark, "SELECT ann(5, 10) LAST 1d", SF_SMOKE)
+    got = [(r["vec_id"], r["cos"]) for r in res.df.collect()]
+    want = [
+        (r["vec_id"], r["cos"])
+        for r in S.knn_srp(
+            corpus, query, 10, S.auto_planes(emb, bands=8), bands=8
+        ).collect()
+    ]
+    assert got == want and got
+    # ANN is a subset filter + same rerank: every ANN hit's cosine is
+    # <= the exact best, and any exact hit ANN returns agrees on cos
+    exact = dict(
+        (r["vec_id"], r["cos"])
+        for r in S.knn_bruteforce(corpus, query, 100).collect()
+    )
+    assert all(v == exact[i] for i, v in got if i in exact)
+
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="knn"):
+        engine.run(spark, "SELECT knn(5) LAST 1d", SF_SMOKE)
+    with pytest.raises(PlanError, match="positive"):
+        engine.run(spark, "SELECT ann(5, 0) LAST 1d", SF_SMOKE)
+    with pytest.raises(PlanError, match="no vector"):
+        engine.run(spark, "SELECT knn(999999, 5) LAST 1d", SF_SMOKE)
