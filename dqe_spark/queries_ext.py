@@ -1555,18 +1555,15 @@ def corpus_chunk(spark, sf_dir):
     return batching.chunk_documents(d, size=32, overlap=8)
 
 
-def _pq_oracle_sql(m_sub: int = 8, sub: int = 8, n_codes: int = 16,
-                   iters: int = 4, rerank: int = 50, k: int = 10) -> str:
-    """DuckDB replay of knn_pq_adc (similarity.py): 8 per-subspace
-    codebooks (each its own quantized-space Lloyd chain over the
-    SAME rank-hash sample ids — _kmeans_ctes with a subspace prefix),
-    code assignment per vector (exact argmin, first-min tie-break),
-    the ADC distance table from the QUANTIZED query slice (exact
-    grid differences → order-free sums), the rounded ADC scan, the
-    top-``rerank`` candidate cut, the exact raw-vector L2² re-rank
-    (sequential fold both engines), and the in_exact_top10 probe —
-    all bit-identical because every pre-re-rank float lives on the
-    2⁻⁴⁰ dyadic grid (similarity._QSCALE)."""
+def _pq_subspace_ctes(m_sub: int = 8, sub: int = 8, n_codes: int = 16,
+                      iters: int = 4) -> list[str]:
+    """The PQ codebook machinery as CTE fragments, shared by the
+    knn_pq and ANN-store-serving oracles: per subspace s — quantized
+    slice sub{s}, its own Lloyd chain (prefix s{s}, same rank-hash
+    sample ids in every subspace), code assignment enc{s} (exact
+    argmin, first-min tie-break), and the ADC distance row tab{s}
+    from the quantized query slice qq. Requires CTEs e (vec_id,
+    v: DOUBLE[]) and qq (the quantized 1-row query)."""
     parts = []
     for s in range(m_sub):
         lo, hi = s * sub + 1, s * sub + sub
@@ -1596,6 +1593,22 @@ def _pq_oracle_sql(m_sub: int = 8, sub: int = 8, n_codes: int = 16,
          ) AS dist
   FROM {fin} c, qq
 )""")
+    return parts
+
+
+def _pq_oracle_sql(m_sub: int = 8, sub: int = 8, n_codes: int = 16,
+                   iters: int = 4, rerank: int = 50, k: int = 10) -> str:
+    """DuckDB replay of knn_pq_adc (similarity.py): 8 per-subspace
+    codebooks (each its own quantized-space Lloyd chain over the
+    SAME rank-hash sample ids — _kmeans_ctes with a subspace prefix),
+    code assignment per vector (exact argmin, first-min tie-break),
+    the ADC distance table from the QUANTIZED query slice (exact
+    grid differences → order-free sums), the rounded ADC scan, the
+    top-``rerank`` candidate cut, the exact raw-vector L2² re-rank
+    (sequential fold both engines), and the in_exact_top10 probe —
+    all bit-identical because every pre-re-rank float lives on the
+    2⁻⁴⁰ dyadic grid (similarity._QSCALE)."""
+    parts = _pq_subspace_ctes(m_sub, sub, n_codes, iters)
     adc_joins = " ".join(
         f"JOIN enc{s} e{s} USING (vec_id) JOIN tab{s} t{s} ON t{s}.code = e{s}.code"
         for s in range(1, m_sub)
@@ -1650,15 +1663,143 @@ def knn_pq(spark, sf_dir):
     return _with_exact_top10(res, emb, emb.where(F.col("vec_id") == 7))
 
 
-@q("knn_ann_served")  # rows-only: index built by deterministic k-means
-# (iterative, not SQL-expressible); serving-path exactness vs the
-# operator path and partition pruning are asserted in
-# tests/test_ann_store.py
+#: Shared oracle tails for the learned-quantizer near-dup family:
+#: auto_clusters replay (k = clamp(n/256, 8, 16384)), the 4-iteration
+#: Lloyd chain over the full corpus, per-cell candidate pairs, exact
+#: verify, and the probe_recall_bp invariant column (recall of the
+#: emitted pairs against the exact neighbor sets of probe vectors
+#: 1..8, integer basis points — same arithmetic as _with_probe_recall).
+_IVF_KK = "kk AS (SELECT LEAST(GREATEST(8, count(*) // 256), 16384) AS k FROM eq)"
+_IVF_KM_CTES, _IVF_KM_FIN = _kmeans_ctes(
+    iters=4, k="(SELECT k FROM kk)", prefix="i"
+)
+_IVF_ASSIGN = f"""assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT eq.vec_id, c.cid,
+           row_number() OVER (PARTITION BY eq.vec_id
+             ORDER BY -2 * list_dot_product(eq.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cid) AS r
+    FROM eq CROSS JOIN {_IVF_KM_FIN} c) WHERE r = 1
+),
+icand AS (
+  SELECT a.vec_id AS id_i, b.vec_id AS id_j
+  FROM assign a JOIN assign b ON a.cid = b.cid
+  WHERE a.vec_id < b.vec_id
+)"""
+
+
+def _verify_recall_sql(cand: str, t: float) -> str:
+    return f"""ver AS (
+  SELECT c.id_i, c.id_j, round({_COS}, 6) AS cos
+  FROM {cand} c
+  JOIN e a ON a.vec_id = c.id_i
+  JOIN e b ON b.vec_id = c.id_j
+  WHERE round({_COS}, 6) >= {t}
+),
+exactp AS (
+  SELECT DISTINCT least(p.vec_id, x.vec_id) AS id_i,
+                  greatest(p.vec_id, x.vec_id) AS id_j
+  FROM e x CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id BETWEEN 1 AND 8) p
+  WHERE x.vec_id != p.vec_id
+    AND round(list_dot_product(x.v, p.v) / (sqrt(list_dot_product(x.v, x.v))
+          * sqrt(list_dot_product(p.v, p.v))), 6) >= {t}
+),
+rec AS (
+  SELECT CAST(10000 * (SELECT count(*) FROM exactp x
+                       WHERE EXISTS (SELECT 1 FROM ver v
+                                     WHERE v.id_i = x.id_i
+                                       AND v.id_j = x.id_j))
+              // (SELECT count(*) FROM exactp) AS BIGINT) AS probe_recall_bp
+)
+SELECT v.id_i, v.id_j, v.cos, r.probe_recall_bp FROM ver v, rec r"""
+
+
+def _ann_serve_oracle_sql(diagnostic: bool, rerank: int = 50, k: int = 10) -> str:
+    """DuckDB replay of the WHOLE materialized-ANN serving path
+    (sources/ann_store.py): the index is a deterministic pure
+    function of the embeddings table (auto_clusters cells + quantized
+    Lloyd + quantized PQ codes — same replay machinery as the
+    knn_ivf_kmeans/knn_pq oracles), and the serve is probed-cell
+    selection (exact quantized L2², stable tie-break), ADC scoring,
+    the top-``rerank`` cut and the raw-vector exact re-rank. Replays
+    the store exactly as the rollup oracles replay their stores from
+    the events table: a user who mutates the materialized artifact
+    diverges from the oracle BY DESIGN (the gate assumes the
+    deterministic build)."""
+    parts = _pq_subspace_ctes()
+    adc_joins = " ".join(
+        f"JOIN enc{s} e{s} USING (vec_id) JOIN tab{s} t{s} ON t{s}.code = e{s}.code"
+        for s in range(1, 8)
+    )
+    adc_sum = " + ".join(f"t{s}.dist" for s in range(8))
+    qdiff = ("list_transform(range(1, (SELECT len(v) + 1 FROM q)), "
+             "i -> qq.v[i] - c.cv[i])")
+    diff = ("list_transform(range(1, (SELECT len(v) + 1 FROM q)), "
+            "i -> x.v[i] - q.v[i])")
+    cosq = ("list_dot_product(x.v, q.v) / (sqrt(list_dot_product(x.v, x.v))"
+            " * sqrt(list_dot_product(q.v, q.v)))")
+    joined = ",\n".join(parts)
+    diag = """,
+exact AS (
+  SELECT x.vec_id, round({cosq}, 6) AS cos
+  FROM e x, q
+  ORDER BY round({cosq}, 6) DESC, x.vec_id ASC LIMIT {k}
+)""".format(cosq=cosq, k=k) if diagnostic else ""
+    tail = (
+        """SELECT t.vec_id, t.adc,
+       (t.vec_id IN (SELECT vec_id FROM exact)) AS in_exact_top10
+FROM topk t"""
+        if diagnostic
+        else "SELECT t.vec_id, t.adc FROM topk t"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 7),
+qq AS (SELECT list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS v
+       FROM q),
+eq AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS qv
+  FROM e
+),
+{_IVF_KK},
+{_IVF_KM_CTES},
+{_IVF_ASSIGN},
+pc AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY list_dot_product({qdiff}, {qdiff}), c.cid) AS pr
+    FROM {_IVF_KM_FIN} c, qq)
+  WHERE pr <= (SELECT GREATEST(3, CAST(ceil(count(*) / 8.0) AS INT))
+               FROM {_IVF_KM_FIN})
+),
+{joined},
+adc AS (
+  SELECT e0.vec_id, round({adc_sum}, 6) AS adc
+  FROM enc0 e0 JOIN tab0 t0 ON t0.code = e0.code {adc_joins}
+  JOIN assign a ON a.vec_id = e0.vec_id
+  WHERE a.cid IN (SELECT cid FROM pc)
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {rerank}),
+rer AS (
+  SELECT x.vec_id, round(list_dot_product({diff}, {diff}), 6) AS adc
+  FROM e x JOIN cand c ON c.vec_id = x.vec_id, q
+),
+topk AS (SELECT vec_id, adc FROM rer ORDER BY adc ASC, vec_id ASC LIMIT {k}){diag}
+{tail}
+"""
+
+
+@q("knn_ann_served", _ann_serve_oracle_sql(diagnostic=True))
 def knn_ann_served(spark, sf_dir):
     """kNN served from the materialized ANN index store: probed cells
     are parquet partitions (PartitionFilters pruning), codes-only ADC
     scan, exact re-rank from the stored vectors
-    (sources/ann_store.knn_pq_probed). Each row carries
+    (sources/ann_store.knn_pq_probed). Now HASH-GATED (round-7): the
+    index build AND the serve replay bit-for-bit from the embeddings
+    table (_ann_serve_oracle_sql), the same way the rollup oracles
+    replay their stores from events. Each row still carries
     in_exact_top10 vs the in-engine exact scan."""
     from dqe_spark.sources import ann_store
 
@@ -1773,57 +1914,6 @@ def store_gaps_1m(spark, sf_dir):
     from dqe_spark.sources.metric_store import load_metrics
 
     return window_gaps(load_metrics(spark, sf_dir), 60_000)
-
-
-#: Shared oracle tails for the learned-quantizer near-dup family:
-#: auto_clusters replay (k = clamp(n/256, 8, 16384)), the 4-iteration
-#: Lloyd chain over the full corpus, per-cell candidate pairs, exact
-#: verify, and the probe_recall_bp invariant column (recall of the
-#: emitted pairs against the exact neighbor sets of probe vectors
-#: 1..8, integer basis points — same arithmetic as _with_probe_recall).
-_IVF_KK = "kk AS (SELECT LEAST(GREATEST(8, count(*) // 256), 16384) AS k FROM eq)"
-_IVF_KM_CTES, _IVF_KM_FIN = _kmeans_ctes(
-    iters=4, k="(SELECT k FROM kk)", prefix="i"
-)
-_IVF_ASSIGN = f"""assign AS (
-  SELECT vec_id, cid FROM (
-    SELECT eq.vec_id, c.cid,
-           row_number() OVER (PARTITION BY eq.vec_id
-             ORDER BY -2 * list_dot_product(eq.qv, c.cv)
-                      + list_dot_product(c.cv, c.cv), c.cid) AS r
-    FROM eq CROSS JOIN {_IVF_KM_FIN} c) WHERE r = 1
-),
-icand AS (
-  SELECT a.vec_id AS id_i, b.vec_id AS id_j
-  FROM assign a JOIN assign b ON a.cid = b.cid
-  WHERE a.vec_id < b.vec_id
-)"""
-
-
-def _verify_recall_sql(cand: str, t: float) -> str:
-    return f"""ver AS (
-  SELECT c.id_i, c.id_j, round({_COS}, 6) AS cos
-  FROM {cand} c
-  JOIN e a ON a.vec_id = c.id_i
-  JOIN e b ON b.vec_id = c.id_j
-  WHERE round({_COS}, 6) >= {t}
-),
-exactp AS (
-  SELECT DISTINCT least(p.vec_id, x.vec_id) AS id_i,
-                  greatest(p.vec_id, x.vec_id) AS id_j
-  FROM e x CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id BETWEEN 1 AND 8) p
-  WHERE x.vec_id != p.vec_id
-    AND round(list_dot_product(x.v, p.v) / (sqrt(list_dot_product(x.v, x.v))
-          * sqrt(list_dot_product(p.v, p.v))), 6) >= {t}
-),
-rec AS (
-  SELECT CAST(10000 * (SELECT count(*) FROM exactp x
-                       WHERE EXISTS (SELECT 1 FROM ver v
-                                     WHERE v.id_i = x.id_i
-                                       AND v.id_j = x.id_j))
-              // (SELECT count(*) FROM exactp) AS BIGINT) AS probe_recall_bp
-)
-SELECT v.id_i, v.id_j, v.cos, r.probe_recall_bp FROM ver v, rec r"""
 
 
 @q(
@@ -3310,11 +3400,12 @@ def rollup_distinct_users_1d_serve(spark, sf_dir):
     return distinct_rollup_agg(sk, 86_400_000)
 
 
-@q("knn_ann_serve")  # rows-only: index built by deterministic k-means
-# (iterative, not SQL-expressible). PRODUCTION twin of knn_ann_served:
-# same probed-cell ADC + exact re-rank WITHOUT the in_exact_top10
-# diagnostic, so serving never pays the exact linear probe over the
-# raw corpus (plan-guarded in tests/test_serving_paths.py).
+@q("knn_ann_serve", _ann_serve_oracle_sql(diagnostic=False))
+# PRODUCTION twin of knn_ann_served: same probed-cell ADC + exact
+# re-rank WITHOUT the in_exact_top10 diagnostic, so serving never pays
+# the exact linear probe over the raw corpus (plan-guarded in
+# tests/test_serving_paths.py). Hash-gated since round 7 via the same
+# store-replay oracle as the diagnostic twin.
 def knn_ann_serve(spark, sf_dir):
     """kNN served purely from the materialized ANN index store: the
     query vector arrives as a literal (one bounded driver-side fetch —

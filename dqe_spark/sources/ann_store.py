@@ -238,6 +238,8 @@ def knn_pq_probed(
     job; the literal becomes a broadcast 1-row frame)."""
     import numpy as np
 
+    from dqe_spark.operators.similarity import _quantize
+
     ingest_ann(spark, sf_dir)
     idx, meta = load_ann(spark, sf_dir)
     id_col, vec = meta["id_col"], meta["vec"]
@@ -245,15 +247,21 @@ def knn_pq_probed(
     B = np.asarray(meta["codebooks"], dtype=np.float64)  # m × C × sub
     sub = B.shape[2]
     if isinstance(query, (list, tuple, np.ndarray)):
-        qv = np.asarray(query, dtype=np.float64)
+        raw = np.asarray(query, dtype=np.float64)
         qc = spark.range(1).select(
-            F.array(*[F.lit(float(x)) for x in qv])
+            F.array(*[F.lit(float(x)) for x in raw])
             .cast("array<double>")
             .alias("__q")
         )
     else:
-        qv = np.asarray(query.select(vec).first()[0], dtype=np.float64)
+        raw = np.asarray(query.select(vec).first()[0], dtype=np.float64)
         qc = query.select(F.col(vec).alias("__q"))
+    # cell selection + ADC table run in the shared 2⁻²⁰ quantized
+    # space (centroids/codebooks are already on the grid, so every
+    # distance is an exact order-independent dyadic rational — the
+    # oracle-replay contract, same as knn_pq_adc); the exact re-rank
+    # below still scores against the RAW query
+    qv = _quantize(raw)
 
     if probes is None:
         probes = max(3, -(-C.shape[0] // 8))

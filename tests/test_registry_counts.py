@@ -50,9 +50,9 @@ def test_rows_only_queries_embed_invariants(spark):
     rows-only record changes when quality regresses — these bounds pin
     the healthy values at smoke scale. (Round 7 hash-gated
     knn_ivf_kmeans / knn_pq / neardup_ivf / neardup_hybrid via the
-    quantized-space replay, shrinking the rows-only set to 5 — the two
-    ANN-store serving twins, whose materialized index is a MUTABLE
-    artifact an oracle may not assume fresh, the two HLL rollups, and
+    quantized-space replay, then both ANN-store serving twins via the
+    same store-replay machinery, shrinking the rows-only set to 3 —
+    the two HLL rollups (DataSketches HLL is not SQL-replayable) and
     iterative PCA; the invariant columns below stay pinned for all of
     them, oracled or not.)"""
     from dqe_spark.entry import all_queries
