@@ -264,13 +264,32 @@ WITH t AS (
 """
 
 
+#: Pigeonhole banding for the simhash oracles (round-7): 4 disjoint
+#: 8-bit bands over the 32-bit signature — a pair at hamming ≤ 3
+#: differs in at most 3 bands, so it SHARES at least one band key.
+#: Lossless at the distance, and it makes these oracles sub-quadratic
+#: (the same banding the engine's simhash_neardup_pairs uses), so the
+#: sf0.1/sf1 audits can run them instead of skipping.
+_SIMHASH_BAND_CTE = """
+, sbd AS (
+  SELECT doc_id, simhash, b.i AS band, (simhash >> (8 * b.i)) & 255 AS key
+  FROM sig, generate_series(0, 3) b(i)
+), scand AS (
+  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
+  FROM sbd a JOIN sbd b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
 @q(
     "dedup_simhash_neardup",
     _SIMHASH_CTE
+    + _SIMHASH_BAND_CTE
     + """
-SELECT a.doc_id AS id_i, b.doc_id AS id_j,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+SELECT c.id_i, c.id_j, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM scand c
+JOIN sig a ON a.doc_id = c.id_i
+JOIN sig b ON b.doc_id = c.id_j
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
 )
@@ -839,10 +858,13 @@ WHERE EXISTS (SELECT 1 FROM {last} a JOIN {prev} b ON a.id = b.id
 @q(
     "dedup_clusters",
     _SIMHASH_CTE
+    + _SIMHASH_BAND_CTE
     + """
 , pairs AS (
-  SELECT a.doc_id AS id_i, b.doc_id AS id_j
-  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  SELECT c.id_i, c.id_j
+  FROM scand c
+  JOIN sig a ON a.doc_id = c.id_i
+  JOIN sig b ON b.doc_id = c.id_j
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ), edges AS (
   SELECT id_i AS a, id_j AS b FROM pairs
