@@ -17,7 +17,7 @@ Decode supports:
     runs (EOBn), non-interleaved per-component block walks, and
     restart markers resetting predictors and the EOB run;
   * 8/16-bit quantization tables, tables redefined between scans.
-Arithmetic-coded, hierarchical, and 12-bit payloads raise
+Arithmetic-coded and hierarchical payloads raise
 MediaDecodeError per row — honest, like the rest of media_codec.
 
 Determinism: the IDCT runs in float64 with a fixed orthonormal basis
@@ -124,14 +124,17 @@ def _flat_table(symbols: list[int]) -> tuple[list[int], bytes]:
     return bits, bytes(symbols)
 
 
-def _fixture_tables() -> tuple:
+def _fixture_tables(precision: int = 8) -> tuple:
     """(dc_bits, dc_syms, ac_bits, ac_syms) shared by both encoders.
-    DC: categories 0..11. AC: EOBn symbols (r<<4 for r 0..14 — EOB0 is
-    the plain EOB, the rest batch progressive EOB runs), ZRL, and
-    every (run, size) pair."""
-    dc_bits, dc_syms = _flat_table(list(range(12)))
+    DC: categories 0..11 (8-bit) or 0..15 (12-bit — T.81 Table F.1
+    extends DIFF to ±32767). AC: EOBn symbols (r<<4 for r 0..14 —
+    EOB0 is the plain EOB, the rest batch progressive EOB runs), ZRL,
+    and every (run, size) pair (sizes to 10 for 8-bit samples, to 14
+    for 12-bit)."""
+    dc_bits, dc_syms = _flat_table(list(range(16 if precision > 8 else 12)))
+    max_sz = 15 if precision > 8 else 11
     ac_syms = [r << 4 for r in range(15)] + [0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
+        (r << 4) | s for r in range(16) for s in range(1, max_sz)
     ]
     ac_bits, ac_syms_b = _flat_table(ac_syms)
     return dc_bits, dc_syms, ac_bits, ac_syms_b
@@ -421,9 +424,12 @@ def _decode_scan(
 def decode_jpeg(data: bytes) -> dict:
     """Full JPEG decode (baseline SOF0/SOF1 and progressive SOF2) →
     pixels + metadata (same dict shape as media_codec.decode_png:
-    kind/width/height/channels/pixels/mean_luma). Raises
-    MediaDecodeError for arithmetic-coded, hierarchical, 12-bit, and
-    malformed payloads."""
+    kind/width/height/channels/pixels/mean_luma). 12-bit (extended
+    sequential SOF1 / progressive SOF2) decodes too — level shift
+    2048, clamp 0..4095, output normalized to uint8 by dropping the 4
+    low-order bits. Raises MediaDecodeError for arithmetic-coded,
+    hierarchical, and malformed payloads (and for the illegal 12-bit
+    SOF0 combination)."""
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeError("bad JPEG SOI")
     quant: dict[int, np.ndarray] = {}
@@ -472,14 +478,18 @@ def decode_jpeg(data: bytes) -> dict:
                 p += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
+            if prec not in (8, 12):
                 raise MediaDecodeError(f"unsupported JPEG precision {prec}")
+            if prec == 12 and marker == 0xC0:
+                # T.81 baseline is 8-bit only; 12-bit rides extended
+                # sequential (SOF1) or progressive (SOF2)
+                raise MediaDecodeError("12-bit sample precision in SOF0")
             progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {"w": w, "h": h, "comps": comps, "prec": prec}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
@@ -531,6 +541,9 @@ def decode_jpeg(data: bytes) -> dict:
         raise MediaDecodeError("JPEG missing SOF/SOS")
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
+    prec = frame.get("prec", 8)
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     hmax, vmax = frame_geo["hmax"], frame_geo["vmax"]
     Tt = _T.T
     out_planes = []
@@ -546,29 +559,36 @@ def decode_jpeg(data: bytes) -> dict:
             for bx in range(bx_n):
                 block = grid[by, bx].reshape(8, 8).astype(np.float64) * qm
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    Tt @ block @ _T + 128.0
+                    Tt @ block @ _T + half
                 )
         fy, fx = vmax // c["v"], hmax // c["h"]
         if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
-        pixels = np.clip(_half_up(out_planes[0]), 0, 255).astype(np.uint8)
-        pixels = pixels[:, :, None]
+        wide = np.clip(_half_up(out_planes[0]), 0, maxv).astype(np.int64)
+        wide = wide[:, :, None]
         nch = 1
     elif len(out_planes) == 3:
         y, cb, cr = out_planes
-        rch = y + 1.402 * (cr - 128.0)
-        gch = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        bch = y + 1.772 * (cb - 128.0)
-        pixels = np.stack(
-            [np.clip(_half_up(ch), 0, 255) for ch in (rch, gch, bch)], axis=2
-        ).astype(np.uint8)
+        rch = y + 1.402 * (cr - half)
+        gch = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        bch = y + 1.772 * (cb - half)
+        wide = np.stack(
+            [np.clip(_half_up(ch), 0, maxv) for ch in (rch, gch, bch)], axis=2
+        ).astype(np.int64)
         nch = 3
     else:
         raise MediaDecodeError(
             f"unsupported JPEG component count {len(out_planes)}"
         )
+    # the decode contract is uint8 pixels (media_codec.decode_png
+    # shape); 12-bit samples normalize by dropping the 4 extra
+    # low-order bits (floor — deterministic, range-exact for values
+    # on the 16-step grid the 12-bit fixtures use)
+    pixels = (wide >> (prec - 8)).astype(np.uint8) if prec > 8 else (
+        wide.astype(np.uint8)
+    )
     color = pixels.astype(np.float64)
     return {
         "kind": "image",
@@ -584,13 +604,15 @@ def decode_jpeg(data: bytes) -> dict:
 # shared encoder plumbing
 
 
-def _rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _rgb_to_ycbcr(
+    px: np.ndarray, center: float = 128.0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     r = px[:, :, 0].astype(np.float64)
     g = px[:, :, 1].astype(np.float64)
     b = px[:, :, 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    cb = center - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = center + 0.5 * r - 0.418687589 * g - 0.081312411 * b
     return y, cb, cr
 
 
@@ -634,22 +656,32 @@ def _prepare_coefs(
     pixels: np.ndarray,
     quant: np.ndarray | None,
     subsample: tuple[int, int],
+    precision: int = 8,
 ):
     """Shared front half of both encoders: color transform, chroma
     box-downsample, MCU padding, forward DCT, quantization, zigzag.
     Returns (coefs per component: dict[(by,bx)] → zigzag int64[64],
-    factors, geometry dict, quant natural + zigzag, gray flag)."""
+    factors, geometry dict, quant natural + zigzag, gray flag).
+    ``precision`` 8 or 12: sets the level shift (2^(P−1)), the chroma
+    center and the legal sample range."""
     if quant is None:
         quant = np.ones(64, dtype=np.int64)
     quant = np.asarray(quant, dtype=np.int64).reshape(64)
-    px = np.asarray(pixels, dtype=np.uint8)
+    maxv = (1 << precision) - 1
+    half = float(1 << (precision - 1))
+    px = np.asarray(pixels)
+    if px.min() < 0 or px.max() > maxv:
+        raise ValueError(
+            f"pixels out of range for {precision}-bit JPEG (0..{maxv})"
+        )
+    px = px.astype(np.int64)
     gray = px.ndim == 2 or px.shape[2] == 1
     sv, sh = subsample if not gray else (1, 1)
     if gray:
         planes = [px.reshape(px.shape[0], px.shape[1]).astype(np.float64)]
         factors = [(1, 1)]
     else:
-        y, cb, cr = _rgb_to_ycbcr(px)
+        y, cb, cr = _rgb_to_ycbcr(px, center=half)
         if sv > 1 or sh > 1:
             def box(p):
                 p = _pad_to_blocks(p, sv, sh)
@@ -675,7 +707,7 @@ def _prepare_coefs(
         c = {}
         for y0 in range(0, H, 8):
             for x0 in range(0, W, 8):
-                blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                blk = padded[y0 : y0 + 8, x0 : x0 + 8] - half
                 F = _T @ blk @ _T.T
                 qd = _half_up(F / qnat.reshape(8, 8)).astype(np.int64)
                 c[(y0 // 8, x0 // 8)] = qd.reshape(64)[ZIGZAG]
@@ -690,13 +722,14 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def _headers(
-    sof_marker: int, geo, factors, qzz, restart_interval: int
+    sof_marker: int, geo, factors, qzz, restart_interval: int,
+    precision: int = 8,
 ) -> bytearray:
-    dc_bits, dc_syms, ac_bits, ac_syms = _fixture_tables()
+    dc_bits, dc_syms, ac_bits, ac_syms = _fixture_tables(precision)
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qzz))
     ncomp = 1 if geo["gray"] else 3
-    sof = struct.pack(">BHHB", 8, geo["h"], geo["w"], ncomp)
+    sof = struct.pack(">BHHB", precision, geo["h"], geo["w"], ncomp)
     for i, (fv, fh) in enumerate(factors):
         sof += bytes([i + 1, (fh << 4) | fv, 0])
     out += _seg(sof_marker, sof)
@@ -754,19 +787,30 @@ def encode_jpeg_baseline(
     quant: np.ndarray | None = None,
     subsample: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 pixels as a
-    baseline sequential JPEG. ``quant`` is the natural-order 64-entry
+    """Encode (h, w) grayscale or (h, w, 3) RGB pixels as a
+    sequential JPEG. ``quant`` is the natural-order 64-entry
     quantization table for every component (default all-ones: constant
     blocks then round-trip EXACTLY, which the analytic oracles use);
     ``subsample=(v, h)`` box-downsamples the chroma planes (2, 2) =
     4:2:0. Huffman tables are fixed-length canonical tables emitted in
-    DHT (self-describing — any T.81 decoder reads them)."""
-    coefs, factors, geo, _qnat, qzz = _prepare_coefs(pixels, quant, subsample)
-    dc_bits, dc_syms, ac_bits, ac_syms = _fixture_tables()
+    DHT (self-describing — any T.81 decoder reads them).
+    ``precision=12`` writes EXTENDED sequential (SOF1 — T.81 requires
+    baseline SOF0 to be 8-bit): samples 0..4095, level shift 2048,
+    DC categories to 15 / AC sizes to 14 in the emitted tables."""
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG precision must be 8 or 12, got {precision}")
+    coefs, factors, geo, _qnat, qzz = _prepare_coefs(
+        pixels, quant, subsample, precision
+    )
+    dc_bits, dc_syms, ac_bits, ac_syms = _fixture_tables(precision)
     dc_t = _build_encode_table(dc_bits, dc_syms)
     ac_t = _build_encode_table(ac_bits, ac_syms)
-    out = _headers(0xC0, geo, factors, qzz, restart_interval)
+    out = _headers(
+        0xC0 if precision == 8 else 0xC1, geo, factors, qzz,
+        restart_interval, precision,
+    )
     ncomp = 1 if geo["gray"] else 3
     out += _sos(list(range(1, ncomp + 1)), 0, 63, 0, 0)
     bw = _BitWriter()

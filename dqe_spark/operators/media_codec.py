@@ -14,7 +14,7 @@ fully decodable from the standard library + numpy:
     progressive (operators/jpeg_codec: Huffman scans with spectral
     selection / successive approximation / EOB runs, restarts,
     dequantize, IDCT, chroma upsample, YCbCr→RGB); arithmetic-coded,
-    hierarchical and 12-bit payloads still raise, honestly.
+    hierarchical payloads still raise, honestly (12-bit decodes since round 7).
 
 These run inside mapInPandas batches (operators/multimodal.py), so the
 decode is per-executor, Arrow-batched, and never touches the driver.
@@ -300,7 +300,7 @@ def decode_jpeg(data: bytes) -> dict:
     spectral selection, successive approximation and EOB runs
     included — restarts, dequantize, IDCT, chroma upsample,
     YCbCr→RGB) → the decode_png dict shape with real pixels.
-    Arithmetic-coded/hierarchical/12-bit payloads raise
+    Arithmetic-coded/hierarchical payloads raise
     MediaDecodeError per row — still honest about what's undecodable."""
     from dqe_spark.operators import jpeg_codec
 

@@ -396,3 +396,58 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
         J.decode_jpeg(J.encode_jpeg_progressive(rgb, quant=q, subsample=(2, 2)))["pixels"],
         J.decode_jpeg(J.encode_jpeg_baseline(rgb, quant=q, subsample=(2, 2)))["pixels"],
     )
+
+
+def test_jpeg_12bit_roundtrip_and_gates():
+    """12-bit extended-sequential support (round 7, the last named
+    media residual): a 12-bit grayscale image on the 16-step grid
+    with constant 8x8 blocks round-trips EXACTLY through SOF1
+    (DC-only blocks, quantizer 1, level shift 2048, output normalized
+    to uint8 by dropping 4 bits); 12-bit RGB decodes within 1 code of
+    the normalized source; the illegal 12-bit-in-SOF0 combination and
+    out-of-range samples raise."""
+    import numpy as np
+    import pytest
+
+    from dqe_spark.operators.jpeg_codec import (
+        MediaDecodeError,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    # constant 8x8 blocks, values on the 16-step grid
+    base = (np.arange(4) * 1040).astype(np.int64)  # 0, 1040, 2080, 3120
+    gray = np.repeat(np.repeat(base.reshape(2, 2), 8, 0), 8, 1)
+    data = encode_jpeg_baseline(gray, precision=12)
+    assert b"\xff\xc1" in data and b"\xff\xc0" not in data  # SOF1, not SOF0
+    out = decode_jpeg(data)
+    assert out["width"] == out["height"] == 16 and out["channels"] == 1
+    assert np.array_equal(out["pixels"][:, :, 0], (gray >> 4).astype(np.uint8))
+
+    # 12-bit RGB (smooth gradient): decode close to the >>4 source
+    yy, xx = np.mgrid[0:16, 0:16]
+    rgb = np.stack(
+        [(yy * 255 + 16) % 4096, (xx * 233) % 4096, (yy * 31 + xx * 57) % 4096],
+        axis=2,
+    ).astype(np.int64)
+    out = decode_jpeg(encode_jpeg_baseline(rgb, precision=12))
+    assert out["channels"] == 3
+    assert np.abs(
+        out["pixels"].astype(np.int64) - (rgb >> 4)
+    ).max() <= 2  # DCT + color-transform rounding, normalized domain
+
+    # determinism: byte-identical encode, bit-identical decode
+    assert encode_jpeg_baseline(rgb, precision=12) == encode_jpeg_baseline(
+        rgb, precision=12
+    )
+
+    # gates: 12-bit SOF0 is illegal; out-of-range samples refused
+    bad = bytearray(data)
+    i = bytes(bad).index(b"\xff\xc1")
+    bad[i + 1] = 0xC0  # flip the SOF1 marker to SOF0
+    with pytest.raises(MediaDecodeError, match="SOF0"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="out of range"):
+        encode_jpeg_baseline(np.full((8, 8), 5000), precision=12)
+    with pytest.raises(ValueError, match="8 or 12"):
+        encode_jpeg_baseline(gray, precision=10)
