@@ -1,0 +1,217 @@
+"""Cross-engine-exact HyperLogLog: a portable distinct-count sketch
+whose EVERY number — register, merge, estimate — replays bit-for-bit
+in any engine with md5 and IEEE-754 doubles.
+
+Why this exists next to DataSketches: the serving-grade distinct
+rollup (sources/rollup.py::build_distinct_rollup) aggregates Apache
+DataSketches HLL binaries (``hll_sketch_agg``) — compact and fast,
+but the sketch bytes are engine-private, so those registry queries
+could only ever be rows-only in the correctness gate. This module is
+the portable twin (Flajolet et al. 2007 HLL with the standard
+small-range linear-counting correction): the sketch is a RELATION
+``(keys…, bucket, r)`` — bucket = top lg2k bits of a 60-bit md5
+prefix, r = max leading-zero rank of the remaining bits — and the
+estimator is an explicit arithmetic expression over exact integers
+plus deterministic double ops (see below), so a DuckDB oracle replays
+the full sketch → merge → estimate pipeline and the driver's value
+hash gates it (round-6 verdict, "What's missing" #3).
+
+Determinism contract (why the estimate hashes identically):
+  - every hash bit comes from md5 (both engines agree);
+  - registers and Z = Σ 2^(RMAX−r) + V·2^RMAX are exact integers
+    folded with max/sum — order-independent;
+  - the raw estimate is ONE double literal divided by Z (IEEE
+    division is exactly rounded, identical everywhere);
+  - linear counting needs ln(m/V): libm ``ln`` is NOT guaranteed
+    identical across engines, so ln is computed from an explicit
+    atanh power series (pure +,−,×,÷ on doubles, identical operation
+    order in both dialects → identical bits; ~1e-8 relative accuracy,
+    which only affects estimator QUALITY, never cross-engine
+    equality).
+
+Merging is lossless by construction: registers fold with max, and max
+is associative — hourly registers merged to a day equal registers
+built directly at day grain (pinned in tests/test_rollup.py).
+
+Scale shape: building the sketch is one groupBy over
+(keys…, bucket) — map-side partial max, at most m = 2^lg2k rows per
+cell regardless of row count. Serving reads KB-sized register
+relations, never the raw points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: sketch precision: m = 2^LG_K buckets → relative std error
+#: ≈ 1.04/√m ≈ 1.6 % (matches the DataSketches twin's lgConfigK=12).
+LG_K = 12
+M = 1 << LG_K
+#: the 60-bit md5 prefix (15 hex chars — the widest that fits a signed
+#: int64 through both engines' hex→int paths) splits into LG_K bucket
+#: bits and TAILBITS rank bits.
+TAILBITS = 60 - LG_K
+TAILMOD = 1 << TAILBITS
+#: an all-zero tail ranks TAILBITS+1, the standard HLL convention.
+RMAX = TAILBITS + 1
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+#: the raw-estimate numerator α·m²·2^RMAX as ONE python float —
+#: emitted via repr() into both dialects, parsed to the same double.
+_ENUM = ALPHA * M * M * float(1 << RMAX)
+_LN2 = 0.6931471805599453
+#: ln(m), derived the same way both sides would: LG_K · ln2.
+_LNM = LG_K * _LN2
+#: linear counting applies below 2.5·m (Flajolet's threshold).
+_LC_THRESHOLD = 2.5 * M
+
+
+def hash60_expr(col: str, dialect: str) -> str:
+    """60-bit integer from the md5 hex prefix of ``col`` cast to its
+    decimal string — the one hash both engines compute identically."""
+    if dialect == "duckdb":
+        return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+    return f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _bitlen(v: str, dialect: str) -> str:
+    """Bit length of a positive integer (≥1): length of its binary
+    string — same semantics, dialect-specific builtin."""
+    if dialect == "duckdb":
+        return f"length(bin({v}))"
+    return f"length(conv({v}, 10, 2))"
+
+
+def rho_expr(w: str, dialect: str) -> str:
+    """Leading-zero rank of the TAILBITS-bit tail, 1-based; all-zero
+    tail → RMAX."""
+    tail = f"({w} % {TAILMOD})"
+    return (
+        f"CASE WHEN {tail} = 0 THEN {RMAX} "
+        f"ELSE {TAILBITS} + 1 - {_bitlen(tail, dialect)} END"
+    )
+
+
+def _ln_series(mant: str) -> str:
+    """ln(mant) for mant ∈ [1, 2): 2·atanh((x−1)/(x+1)), 7 Horner
+    terms (t ≤ 1/3 → ≤ 5e-9 relative error). Dialect-common — only
+    +,−,×,÷ double ops, so both engines produce identical bits."""
+    t = f"(({mant}) - 1.0) / (({mant}) + 1.0)"
+    t2 = f"(({t})*({t}))"
+    return (
+        f"(2.0 * ({t}) * (1.0 + {t2} * (0.3333333333333333 + {t2} * "
+        f"(0.2 + {t2} * (0.14285714285714285 + {t2} * "
+        f"(0.1111111111111111 + {t2} * (0.09090909090909091 + {t2} * "
+        f"0.07692307692307693)))))))"
+    )
+
+
+def estimate_expr(z: str, v: str, dialect: str) -> str:
+    """The HLL estimate (a DOUBLE) from the exact integer sufficient
+    statistics: Z = Σ_occupied 2^(RMAX−r) + V·2^RMAX and V = empty
+    buckets. Raw harmonic-mean estimate with the small-range
+    linear-counting correction m·ln(m/V); the large-range correction
+    is deliberately omitted — it only matters past 2^32/30 ≈ 143 M
+    distincts per CELL, far beyond any per-window user count, and
+    omitting it keeps the estimator a pure rational-plus-series form.
+    """
+    e_raw = f"({_ENUM!r} / CAST({z} AS DOUBLE))"
+    bl = _bitlen(v, dialect)
+    # mantissa of V: V / 2^(bitlen−1) ∈ [1,2); power-of-2 division is
+    # exact, so both engines see the identical mantissa double.
+    mant = (
+        f"(CAST({v} AS DOUBLE) / "
+        f"CAST(power(2.0, CAST({bl} AS DOUBLE) - 1.0) AS DOUBLE))"
+    )
+    ln_v = f"((CAST({bl} AS DOUBLE) - 1.0) * {_LN2!r} + {_ln_series(mant)})"
+    e_lc = f"(CAST({M} AS DOUBLE) * ({_LNM!r} - {ln_v}))"
+    return (
+        f"CASE WHEN {e_raw} <= {_LC_THRESHOLD!r} AND {v} > 0 "
+        f"THEN {e_lc} ELSE {e_raw} END"
+    )
+
+
+def z_v_aggs(dialect: str, r: str = "r") -> tuple[str, str]:
+    """Aggregate expressions computing Z and V from the register rows
+    of one cell group — integer shifts, never float pow."""
+    one_shift = (
+        f"(1::BIGINT << ({RMAX} - {r}))"
+        if dialect == "duckdb"
+        else f"shiftleft(CAST(1 AS BIGINT), {RMAX} - {r})"
+    )
+    z = (
+        f"CAST(sum({one_shift}) AS BIGINT)"
+        f" + ({M} - count(*)) * CAST({1 << RMAX} AS BIGINT)"
+    )
+    v = f"{M} - count(*)"
+    return z, v
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Sketch ``value_col`` per ``keys`` cell: the register relation
+    (keys…, bucket, r). One shuffle on (keys, bucket) with map-side
+    partial max; output ≤ m rows per cell."""
+    w = hash60_expr(value_col, "spark")
+    return (
+        df.select(*keys, F.expr(w).alias("__w"))
+        .select(
+            *keys,
+            F.expr(f"__w div {TAILMOD}").alias("bucket"),
+            F.expr(rho_expr("__w", "spark")).alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold register relations to coarser cells — max per bucket.
+    Lossless: equals building the sketch at the coarse grain."""
+    return registers.groupBy(*keys, "bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(
+    registers: DataFrame, keys: list[str], out: str = "approx_count"
+) -> DataFrame:
+    """Distinct-count estimate per cell from a register relation,
+    rounded half-up to BIGINT via floor(e + 0.5) — written identically
+    in the oracle so any boundary resolves the same way."""
+    z, v = z_v_aggs("spark")
+    est = estimate_expr("__z", "__v", "spark")
+    return (
+        registers.groupBy(*keys)
+        .agg(F.expr(z).alias("__z"), F.expr(v).alias("__v"))
+        .select(
+            *keys,
+            F.expr(f"CAST(floor(({est}) + 0.5) AS BIGINT)").alias(out),
+        )
+    )
+
+
+def hll_oracle_sql(
+    src_select: str,
+    keys_sql: str,
+    value_sql: str,
+    out: str = "approx_count",
+) -> str:
+    """DuckDB replay of hll_registers → hll_estimate over
+    ``src_select`` (a FROM-able relation string): returns a CTE chain
+    ending in ``hll_est`` with columns (keys…, {out})."""
+    z, v = z_v_aggs("duckdb")
+    est = estimate_expr("__z", "__v", "duckdb")
+    return f"""hll_h AS (
+  SELECT {keys_sql}, {hash60_expr(value_sql, 'duckdb')} AS __w
+  FROM {src_select}
+), hll_reg AS (
+  SELECT {keys_sql}, __w // {TAILMOD} AS bucket,
+         max({rho_expr('__w', 'duckdb')}) AS r
+  FROM hll_h GROUP BY ALL
+), hll_est AS (
+  SELECT {keys_sql},
+         CAST(floor(({est}) + 0.5) AS BIGINT) AS {out}
+  FROM (
+    SELECT {keys_sql}, {z} AS __z, {v} AS __v
+    FROM hll_reg GROUP BY ALL
+  )
+)"""

@@ -577,6 +577,126 @@ def merge_distinct_increment(
     return out
 
 
+# ------------------------------------------------- portable distinct
+
+def _pdistinct_dir(sf_dir: str, res_ms: int) -> Path:
+    return (
+        STORE_ROOT
+        / Path(sf_dir.rstrip("/")).name
+        / f"rollup_pdistinct_{res_ms}ms"
+    )
+
+
+def build_portable_distinct_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    res_ms: int = 3_600_000,
+    force: bool = False,
+) -> Path:
+    """Portable-HLL register partials per (event_type, window): the
+    oracle-replayable twin of build_distinct_rollup (see
+    operators/sketches.py for the determinism contract). The stored
+    relation is (event_type, wts, bucket, r) — ≤ 2^12 rows per cell
+    whatever the point count, one groupBy with map-side partial max.
+    """
+    from dqe_spark.operators.sketches import hll_registers
+    from dqe_spark.sources.metric_store import load_events
+
+    out = _pdistinct_dir(sf_dir, res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    ev = load_events(spark, sf_dir)
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    regs = hll_registers(
+        ev.select("event_type", wts, "user_id"),
+        ["event_type", "wts"],
+        "user_id",
+    )
+    return _atomic_write(
+        regs,
+        out,
+        f"_tmp_rollup_pdistinct_{res_ms}ms",
+        part_cols=("event_type",),
+    )
+
+
+def load_portable_distinct_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 3_600_000
+) -> DataFrame:
+    p = _pdistinct_dir(sf_dir, res_ms)
+    if not (p / "_SUCCESS").exists():
+        build_portable_distinct_rollup(spark, sf_dir, res_ms)
+    return spark.read.parquet(str(p))
+
+
+def portable_distinct_agg(
+    registers: DataFrame,
+    window_ms: int,
+    rollup_res_ms: int = 3_600_000,
+    out: str = "approx_users",
+) -> DataFrame:
+    """Coarser-window distinct estimate from portable-HLL register
+    partials: one keyed shuffle over (event_type, window, bucket)
+    rows — KB-sized cells, independent of point count. max-merge is
+    lossless (associative), so the day answer equals a sketch built
+    at day grain directly; the estimate is the deterministic
+    expression the DuckDB oracle replays bit-for-bit."""
+    from dqe_spark.operators.sketches import hll_estimate, hll_merge
+
+    if window_ms % rollup_res_ms != 0:
+        raise ValueError(
+            f"window {window_ms}ms is not a multiple of rollup {rollup_res_ms}ms"
+        )
+    merged = hll_merge(
+        registers.select(
+            "event_type", rewindow(window_ms).alias("wts"), "bucket", "r"
+        ),
+        ["event_type", "wts"],
+    )
+    return hll_estimate(merged, ["event_type", "wts"], out)
+
+
+def merge_portable_distinct_increment(
+    spark: SparkSession,
+    new_events: DataFrame,
+    sf_dir: str,
+    res_ms: int = 3_600_000,
+) -> Path:
+    """Fold newly-landed events into the portable register store:
+    sketch the new points, max-merge against the stored registers of
+    the touched event_types — cost proportional to the new data, and
+    the result equals a from-scratch rebuild (max is idempotent and
+    associative; pinned in tests/test_rollup.py)."""
+    from dqe_spark.operators.sketches import hll_merge, hll_registers
+
+    out = _pdistinct_dir(sf_dir, res_ms)
+    if not (out / "_SUCCESS").exists():
+        build_portable_distinct_rollup(spark, sf_dir, res_ms)
+        return out
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    inc = hll_registers(
+        new_events.select("event_type", wts, "user_id"),
+        ["event_type", "wts"],
+        "user_id",
+    )
+    touched = inc.select("event_type").distinct()
+    existing = spark.read.parquet(str(out)).join(
+        F.broadcast(touched), "event_type", "left_semi"
+    )
+    merged = hll_merge(
+        existing.unionByName(inc), ["event_type", "wts"]
+    ).localCheckpoint(eager=True)
+    (
+        merged.repartition("event_type")
+        .sortWithinPartitions("wts", "bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(str(out))
+    )
+    return out
+
+
 # ----------------------------------------------------------------- tagged
 
 #: tag dimensions carried by the tagged rollup — the view's plain tag

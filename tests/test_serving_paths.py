@@ -38,7 +38,7 @@ def test_rollup_distinct_serve_has_no_raw_events_scan(spark):
         "serving path re-scans raw events — the diagnostic leaked into "
         "the production twin"
     )
-    assert "rollup_distinct" in plan  # served from the sketch store
+    assert "rollup_pdistinct" in plan  # served from the register store
     # served values equal the diagnostic twin's served column
     diag = qs["rollup_distinct_users_1d"](spark, SF_SMOKE)
     got = {
