@@ -283,6 +283,113 @@ def covariance_matrix(
     )
 
 
+def deterministic_topk_eigen(
+    c12: list[list[int]], k: int, squarings: int = 7, iters: int = 3
+) -> list[list[int]]:
+    """Top-k eigenvectors of a symmetric integer matrix (e12-scale
+    covariance cells) as 2^20-quantized integer vectors — a
+    DETERMINISTIC eigensolver every engine can replay bit-for-bit,
+    unlike LAPACK eigh (whose reductions are platform/threading
+    dependent). This is what moves emb_pca_project from rows-only to
+    oracle-gated (round-6 verdict, "What's missing" #3).
+
+    Method: per component, repeatedly SQUARE the (deflated) matrix
+    ``squarings`` times — amplifying every spectral gap to the power
+    2^squarings (2^7 = 128), which is what makes a handful of power
+    iterations converge even on near-flat spectra (the synthetic
+    embeddings' top gap ratios are 0.96–0.99; 0.99^128 ≈ 0.28) — then
+    run ``iters`` quantized power iterations, fix the sign, and
+    deflate the ORIGINAL matrix by the Rayleigh quotient projector.
+
+    Determinism contract (mirrored by the DuckDB oracle in
+    queries_ext._pca_oracle_ctes):
+      - all matrix products / Rayleigh sums are exact integer
+        arithmetic (order-independent);
+      - every rescale/normalize is a fixed-order IEEE-double
+        expression (CAST, /, *, +, sqrt, floor — all exactly rounded)
+        followed by floor(x·2^20 + 0.5) re-quantization;
+      - NO integer division anywhere (DuckDB ``//`` truncates while
+        Python ``//`` floors — avoided rather than emulated);
+      - ties (start index, sign pivot) break on the smallest index.
+
+    Magnitudes: B entries ≤ 2^20, so B·B entries ≤ d·2^40 and B·v
+    entries ≤ d·2^40 — exact BIGINTs below 2^53 for d ≤ 4096; Σu²
+    ≤ d·2^92 exceeds int64, so the oracle sums it as HUGEINT (python
+    ints are unbounded) before ONE nearest-rounded double conversion.
+
+    Driver-sized by design: O(k·squarings·d³) python-int ops —
+    dimension-bounded, corpus-size-INDEPENDENT (the covariance is
+    folded engine-side; d=64 solves in ~1.5 s). Returns one
+    2^20-scaled integer vector per component."""
+    import math
+
+    d = len(c12)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be 1..{d}, got {k}")
+    q = 1048576.0  # 2^20
+    comps: list[list[int]] = []
+    C = [row[:] for row in c12]
+    mx_first = 0
+    for _ in range(k):
+        mx = max(abs(x) for row in C for x in row)
+        if not comps:
+            mx_first = mx
+        # deflating with a 2^20-quantized eigenvector leaves a
+        # residue ≈ 2^-19·λ in the deflated matrix; once the
+        # remaining spectrum sits below that floor (2^-18 of the top),
+        # further components are quantization noise — the requested k
+        # exceeds the sketch's effective rank; fail loudly rather
+        # than emit noise directions (deterministic noise is still
+        # noise)
+        if mx == 0 or mx * (1 << 18) < mx_first:
+            raise ValueError(
+                f"covariance rank < k: component {len(comps)} of {k} "
+                "hit a rounding-noise deflated matrix "
+                f"(max |cell| {mx} vs top {mx_first})"
+            )
+        B = [
+            [math.floor((float(x) / float(mx)) * q + 0.5) for x in row]
+            for row in C
+        ]
+        for _ in range(squarings):
+            Dm = [
+                [
+                    sum(B[i][t] * B[t][j] for t in range(d))
+                    for j in range(d)
+                ]
+                for i in range(d)
+            ]
+            mx2 = max(abs(x) for row in Dm for x in row)
+            B = [
+                [math.floor((float(x) / float(mx2)) * q + 0.5) for x in row]
+                for row in Dm
+            ]
+        j0 = min(range(d), key=lambda i: (-B[i][i], i))
+        vq = [0] * d
+        vq[j0] = 1 << 20
+        for _ in range(iters):
+            u = [sum(B[i][j] * vq[j] for j in range(d)) for i in range(d)]
+            norm = math.sqrt(float(sum(x * x for x in u)))
+            vq = [math.floor((float(x) / norm) * q + 0.5) for x in u]
+        jm = min(range(d), key=lambda i: (-abs(vq[i]), i))
+        if vq[jm] < 0:
+            vq = [-x for x in vq]
+        comps.append(vq)
+        lam = sum(
+            vq[i] * C[i][j] * vq[j] for i in range(d) for j in range(d)
+        )
+        vtv = sum(x * x for x in vq)
+        L, W = float(lam), float(vtv)
+        for i in range(d):
+            row = C[i]
+            fvi = float(vq[i])
+            for j in range(d):
+                row[j] -= math.floor(
+                    (L / W) * ((fvi * float(vq[j])) / W) + 0.5
+                )
+    return comps
+
+
 def pca_project(
     emb: DataFrame,
     k: int = 8,
@@ -295,35 +402,37 @@ def pca_project(
 
     The covariance matrix is computed engine-side (covariance_matrix:
     exact integers, dim·(dim+1)/2 cells) and eigen-decomposed on the
-    DRIVER — a dim×dim symmetric eigh is microseconds and is the one
-    step that is legitimately driver-sized, like the k-means centroid
-    fetch (similarity.py). The k component vectors and the column
-    means then inline as literals, so the projection pass is MAP-ONLY:
-    one zip_with/aggregate dot product per (row, component) in JVM
+    DRIVER by deterministic_topk_eigen — dim×dim work is the one step
+    that is legitimately driver-sized, like the k-means centroid fetch
+    (similarity.py). The k component vectors and the column means then
+    inline as literals, so the projection pass is MAP-ONLY: one
+    integer zip_with/aggregate dot product per (row, component) in JVM
     codegen — no shuffle at any corpus size.
 
+    The whole chain is cross-engine exact (oracle-gated since round
+    7): components are 2^20-quantized integers from a replayable
+    solver; each row's centered values are re-quantized to the same
+    2^20 grid by a fixed-order double expression; the projection is
+    then an EXACT integer dot product divided by 2^40 — every proj
+    value is a dyadic rational both engines agree on bit-for-bit.
+
     Component sign is fixed deterministically (largest-|coordinate|
-    entry made positive) so reruns and restarts project identically.
-    Iterative/linalg semantics are not SQL-expressible — correctness
-    is pinned against numpy in tests/test_embeddings.py instead of a
-    DuckDB oracle.
+    entry made positive, smallest-index ties) so reruns, restarts —
+    and the DuckDB oracle — project identically.
     """
-    import numpy as np
+    import math
 
     cells = covariance_matrix(emb, v, scale=12).collect()
     dim = max(r["pos_j"] for r in cells) + 1
     if not 1 <= k <= dim:
         raise ValueError(f"k must be 1..{dim}, got {k}")
-    C = np.zeros((dim, dim))
+    # recover the exact e12 integers from the (integer/1e12) doubles:
+    # |ulp error| << 0.5, so sign-aware floor(x+0.5) is exact
+    c12 = [[0] * dim for _ in range(dim)]
     for r in cells:
-        C[r["pos_i"], r["pos_j"]] = C[r["pos_j"], r["pos_i"]] = r["cov"]
-    w, V = np.linalg.eigh(C)  # ascending eigenvalues
-    comps = []
-    for c in range(1, k + 1):
-        vec = V[:, -c]
-        if vec[int(np.argmax(np.abs(vec)))] < 0:
-            vec = -vec
-        comps.append(vec)
+        x = math.floor(r["cov"] * 1e12 + 0.5)
+        c12[r["pos_i"]][r["pos_j"]] = c12[r["pos_j"]][r["pos_i"]] = x
+    comps = deterministic_topk_eigen(c12, k)
     m = (
         emb.select(F.posexplode(v).alias("pos", "__e"))
         .select("pos", F.expr(_E6).cast(_DEC).alias("e6"))
@@ -335,19 +444,22 @@ def pca_project(
     mean_lit = "array({})".format(
         ", ".join(f"{mean[i]!r}D" for i in range(dim))
     )
+    # centered values on the 2^20 grid: the one rounding step, after
+    # which the dot product is exact integers (≤ d·2^40 < 2^53)
+    centered20 = (
+        f"zip_with({v}, {mean_lit}, (x, mu) -> "
+        "CAST(floor((CAST(x AS DOUBLE) - mu) * 1048576.0D + 0.5D) AS BIGINT))"
+    )
     projs = [
         (
-            "aggregate(zip_with(__c, array({comps}), (x, c) -> x * c), "
-            "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
-        ).format(comps=", ".join(f"{float(x)!r}D" for x in comp))
+            "CAST(aggregate(zip_with(__c20, array({comps}), (x, c) -> x * c), "
+            "CAST(0 AS BIGINT), (acc, d) -> acc + d) AS DOUBLE) / 1099511627776.0D"
+        ).format(comps=", ".join(f"CAST({x} AS BIGINT)" for x in comp))
         for comp in comps
     ]
-    centered = (
-        f"zip_with({v}, {mean_lit}, (x, mu) -> CAST(x AS DOUBLE) - mu)"
-    )
     keep_cols = [c for c in keep if c in emb.columns]
     return emb.select(
-        id_col, *keep_cols, F.expr(centered).alias("__c")
+        id_col, *keep_cols, F.expr(centered20).alias("__c20")
     ).select(
         id_col, *keep_cols, F.array(*[F.expr(p) for p in projs]).alias("proj")
     )

@@ -2825,22 +2825,205 @@ def emb_covariance(spark, sf_dir):
     return embeddings.covariance_matrix(load_table(spark, sf_dir, "embeddings"))
 
 
-# rows-only: eigen-decomposition is not SQL-expressible; correctness
-# is pinned against numpy (tests/test_embeddings.py::test_pca_project*)
-@q("emb_pca_project")
+def _pca_oracle_ctes(k: int = 8, d: int = 64, squarings: int = 7, iters: int = 3) -> str:
+    """DuckDB replay of deterministic_topk_eigen + the quantized PCA
+    projection (operators/embeddings.py): exact-integer covariance at
+    e12 scale, per component 7 matrix squarings (each an integer
+    matmul + a fixed-order double rescale to the 2^20 grid), 3
+    quantized power iterations, smallest-index sign/tie rules, and
+    Rayleigh-quotient deflation — all MATERIALIZED CTEs so the linear
+    chain evaluates once. Ends in ``pca_proj`` (vec_id, label, comp,
+    proj) plus ``pca_mu``/``pca_c20`` intermediates. Every arithmetic
+    step mirrors the python solver's op order bit-for-bit (see the
+    solver's determinism contract)."""
+    q20 = 1048576.0
+    ctes = [
+        f"""pca_e AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), pca_e6 AS MATERIALIZED (
+  SELECT vec_id, pos, CAST(round(x * 1000000) AS BIGINT) AS e6 FROM pca_e
+), pca_marg AS MATERIALIZED (
+  SELECT pos, CAST(sum(e6) AS HUGEINT) AS s6, CAST(count(*) AS HUGEINT) AS n
+  FROM pca_e6 GROUP BY pos
+), pca_pairs AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(sum(CAST(a.e6 AS HUGEINT) * b.e6) AS HUGEINT) AS sxy
+  FROM pca_e6 a JOIN pca_e6 b ON a.vec_id = b.vec_id GROUP BY 1, 2
+), pca_cm0 AS MATERIALIZED (
+  SELECT p.i, p.j,
+         CASE WHEN (mi.n * p.sxy - mi.s6 * mj.s6) >= 0
+              THEN (2 * (mi.n * p.sxy - mi.s6 * mj.s6) + mi.n * mi.n)
+                   // (2 * mi.n * mi.n)
+              ELSE -((2 * -(mi.n * p.sxy - mi.s6 * mj.s6) + mi.n * mi.n)
+                   // (2 * mi.n * mi.n)) END AS c
+  FROM pca_pairs p
+  JOIN pca_marg mi ON mi.pos = p.i
+  JOIN pca_marg mj ON mj.pos = p.j
+)"""
+    ]
+    cur = "pca_cm0"
+    comp_sel = []
+    for c in range(k):
+        p = f"pca{c}_"
+        ctes.append(
+            f"{p}mx0 AS MATERIALIZED (SELECT max(abs(c)) AS m FROM {cur})"
+        )
+        ctes.append(
+            f"{p}b0 AS MATERIALIZED (SELECT i, j, CAST(floor((CAST(c AS DOUBLE)"
+            f" / CAST(m AS DOUBLE)) * {q20!r} + 0.5) AS BIGINT) AS b"
+            f" FROM {cur}, {p}mx0)"
+        )
+        for s in range(squarings):
+            ctes.append(
+                f"{p}d{s + 1} AS MATERIALIZED (SELECT a.i, b.j,"
+                f" CAST(sum(a.b * b.b) AS BIGINT) AS v"
+                f" FROM {p}b{s} a JOIN {p}b{s} b ON a.j = b.i GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"{p}dm{s + 1} AS MATERIALIZED (SELECT max(abs(v)) AS m FROM {p}d{s + 1})"
+            )
+            ctes.append(
+                f"{p}b{s + 1} AS MATERIALIZED (SELECT i, j,"
+                f" CAST(floor((CAST(v AS DOUBLE) / CAST(m AS DOUBLE)) * {q20!r}"
+                f" + 0.5) AS BIGINT) AS b FROM {p}d{s + 1}, {p}dm{s + 1})"
+            )
+        B = f"{p}b{squarings}"
+        ctes.append(
+            f"{p}v0 AS MATERIALIZED (SELECT i, CASE WHEN i ="
+            f" (SELECT i FROM {B} WHERE i = j ORDER BY b DESC, i LIMIT 1)"
+            f" THEN 1048576 ELSE 0 END AS v FROM (SELECT DISTINCT i FROM {B}))"
+        )
+        for t in range(iters):
+            ctes.append(
+                f"{p}u{t + 1} AS MATERIALIZED (SELECT b.i,"
+                f" CAST(sum(b.b * v.v) AS BIGINT) AS u"
+                f" FROM {B} b JOIN {p}v{t} v ON v.i = b.j GROUP BY 1)"
+            )
+            ctes.append(
+                f"{p}v{t + 1} AS MATERIALIZED (SELECT i,"
+                f" CAST(floor((CAST(u AS DOUBLE) / sqrt(CAST((SELECT"
+                f" sum(CAST(u AS HUGEINT) * u) FROM {p}u{t + 1}) AS DOUBLE)))"
+                f" * {q20!r} + 0.5) AS BIGINT) AS v FROM {p}u{t + 1})"
+            )
+        ctes.append(
+            f"{p}sgn AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM {p}v{iters}"
+            f" ORDER BY abs(v) DESC, i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s)"
+        )
+        ctes.append(
+            f"{p}vf AS MATERIALIZED (SELECT i, v * s AS v FROM {p}v{iters}, {p}sgn)"
+        )
+        comp_sel.append(f"SELECT {c + 1} AS comp, i, v FROM {p}vf")
+        ctes.append(
+            f"{p}lam AS MATERIALIZED (SELECT CAST(sum(CAST(vi.v AS HUGEINT)"
+            f" * c.c * vj.v) AS HUGEINT) AS l FROM {cur} c"
+            f" JOIN {p}vf vi ON vi.i = c.i JOIN {p}vf vj ON vj.i = c.j)"
+        )
+        ctes.append(
+            f"{p}vtv AS MATERIALIZED (SELECT CAST(sum(CAST(v AS HUGEINT) * v)"
+            f" AS HUGEINT) AS w FROM {p}vf)"
+        )
+        ctes.append(
+            f"{p}cm AS MATERIALIZED (SELECT c.i, c.j, c.c -"
+            f" CAST(floor((CAST(l AS DOUBLE) / CAST(w AS DOUBLE)) *"
+            f" ((CAST(vi.v AS DOUBLE) * CAST(vj.v AS DOUBLE)) / CAST(w AS DOUBLE))"
+            f" + 0.5) AS BIGINT) AS c FROM {cur} c"
+            f" JOIN {p}vf vi ON vi.i = c.i JOIN {p}vf vj ON vj.i = c.j,"
+            f" {p}lam, {p}vtv)"
+        )
+        cur = f"{p}cm"
+    ctes.append(
+        "pca_comps AS MATERIALIZED ({})".format(" UNION ALL ".join(comp_sel))
+    )
+    ctes.append(
+        """pca_c20 AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.pos,
+         CAST(floor((e.x - CAST(m.s6 AS DOUBLE) / (1000000.0 * m.n))
+              * 1048576.0 + 0.5) AS BIGINT) AS c20
+  FROM pca_e e JOIN pca_marg m ON m.pos = e.pos
+)"""
+    )
+    ctes.append(
+        """pca_proj AS MATERIALIZED (
+  SELECT c.vec_id, c.label, p.comp,
+         CAST(sum(c.c20 * p.v) AS DOUBLE) / 1099511627776.0 AS proj
+  FROM pca_c20 c JOIN pca_comps p ON p.i = c.pos
+  GROUP BY 1, 2, 3
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+@q(
+    "emb_pca_project",
+    f"""
+WITH {_pca_oracle_ctes()},
+p12 AS (
+  SELECT CAST(sum(CAST(round(ss * 1000000000000) AS HUGEINT)) AS HUGEINT) AS p
+  FROM (
+    SELECT vec_id,
+           ((((((((CAST(0 AS DOUBLE)
+             + max(CASE WHEN comp = 1 THEN proj END) * max(CASE WHEN comp = 1 THEN proj END))
+             + max(CASE WHEN comp = 2 THEN proj END) * max(CASE WHEN comp = 2 THEN proj END))
+             + max(CASE WHEN comp = 3 THEN proj END) * max(CASE WHEN comp = 3 THEN proj END))
+             + max(CASE WHEN comp = 4 THEN proj END) * max(CASE WHEN comp = 4 THEN proj END))
+             + max(CASE WHEN comp = 5 THEN proj END) * max(CASE WHEN comp = 5 THEN proj END))
+             + max(CASE WHEN comp = 6 THEN proj END) * max(CASE WHEN comp = 6 THEN proj END))
+             + max(CASE WHEN comp = 7 THEN proj END) * max(CASE WHEN comp = 7 THEN proj END))
+             + max(CASE WHEN comp = 8 THEN proj END) * max(CASE WHEN comp = 8 THEN proj END)) AS ss
+    FROM pca_proj GROUP BY vec_id
+  )
+),
+c12n AS (
+  SELECT CAST(sum(n * ss12 - s6 * s6) AS HUGEINT) AS c
+  FROM (
+    SELECT pos, CAST(sum(CAST(e6 AS HUGEINT) * e6) AS HUGEINT) AS ss12,
+           CAST(sum(e6) AS HUGEINT) AS s6, CAST(count(*) AS HUGEINT) AS n
+    FROM pca_e6 GROUP BY pos
+  )
+),
+inv AS (
+  SELECT CAST(10000 * p12.p * (SELECT max(n) FROM pca_marg) // c12n.c AS BIGINT)
+         AS var_explained_bp
+  FROM p12, c12n
+)
+SELECT vec_id, label,
+       max(CASE WHEN comp = 1 THEN proj END) AS proj_1,
+       max(CASE WHEN comp = 2 THEN proj END) AS proj_2,
+       max(CASE WHEN comp = 3 THEN proj END) AS proj_3,
+       max(CASE WHEN comp = 4 THEN proj END) AS proj_4,
+       max(CASE WHEN comp = 5 THEN proj END) AS proj_5,
+       max(CASE WHEN comp = 6 THEN proj END) AS proj_6,
+       max(CASE WHEN comp = 7 THEN proj END) AS proj_7,
+       max(CASE WHEN comp = 8 THEN proj END) AS proj_8,
+       (SELECT var_explained_bp FROM inv) AS var_explained_bp
+FROM pca_proj GROUP BY vec_id, label
+""",
+)
 def emb_pca_project(spark, sf_dir):
     """Top-8 PCA projection of the embeddings table — exact integer
-    covariance, driver-side dim×dim eigh (the one legitimately
-    driver-sized step), map-only literal-component projection
-    (operators/embeddings.pca_project).
+    covariance, driver-side deterministic eigensolver (repeated
+    matrix squaring + quantized power iteration — the one
+    legitimately driver-sized step), map-only integer-dot-product
+    projection (operators/embeddings.pca_project).
 
-    Every row carries var_explained_bp: the IN-ENGINE measured
+    Oracle-gated since round 7 — the LAST rows-only query: the DuckDB
+    twin replays the full chain (covariance integers, 7 squarings ×
+    8 components, 3 quantized iterations each, sign/tie rules,
+    Rayleigh deflation, 2^20-grid centering, exact integer dots) via
+    _pca_oracle_ctes. proj_1..proj_8 are dyadic rationals both
+    engines agree on bit-for-bit.
+
+    Every row still carries var_explained_bp: the IN-ENGINE measured
     fraction of total centered variance the 8 components capture,
     Σ|proj|² / Σ|x−μ|² in basis points — both sides folded as exact
     integers (e12 row quantization; Σ|x−μ|² = Σ|x|² − |Σx|²/n in the
     e6 domain), so the value is deterministic and a wrong component
-    basis lowers it in the recorded rows (PCA maximizes it). Bounds
-    asserted in tests/test_embeddings.py."""
+    basis lowers it in the recorded rows (PCA maximizes it; the
+    deterministic solver measures at the numpy optimum — prototype
+    ratio 1.0000001). Bounds asserted in tests/test_embeddings.py."""
     from dqe_spark.operators import embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2877,7 +3060,12 @@ def emb_pca_project(spark, sf_dir):
             ).alias("var_explained_bp")
         )
     )
-    return pr.crossJoin(F.broadcast(inv))
+    flat = [
+        F.expr(f"proj[{i}]").alias(f"proj_{i + 1}") for i in range(8)
+    ]
+    return pr.crossJoin(F.broadcast(inv)).select(
+        "vec_id", "label", *flat, "var_explained_bp"
+    )
 
 
 @q(

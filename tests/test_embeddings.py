@@ -91,6 +91,35 @@ def test_covariance_matrix(spark):
     assert got == {(0, 0): 0.25, (0, 1): -0.25, (1, 1): 0.25}
 
 
+def test_deterministic_eigen_matches_numpy_and_guards():
+    """deterministic_topk_eigen recovers numpy's eigh components
+    (|cos| ≥ 0.999 per component) on a gapped spectrum, returns
+    near-orthonormal 2^20-quantized vectors, and raises loudly when k
+    exceeds the matrix rank (all-zero deflated matrix)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(6, 6))
+    C = A @ A.T  # symmetric PSD with generic gaps
+    c12 = [[int(round(x * 1e12)) for x in row] for row in C]
+    comps = E.deterministic_topk_eigen(c12, 3)
+    P = np.array(comps, dtype=np.float64).T / 1048576.0
+    w, V = np.linalg.eigh(C)
+    for c in range(3):
+        cos = abs(float(V[:, -1 - c] @ P[:, c]))
+        assert cos >= 0.999, (c, cos)
+    assert np.abs(P.T @ P - np.eye(3)).max() < 1e-4
+
+    # rank-1 matrix: second component must fail loudly, not wander
+    v = rng.normal(size=4)
+    R1 = np.outer(v, v)
+    c12r = [[int(round(x * 1e12)) for x in row] for row in R1]
+    assert len(E.deterministic_topk_eigen(c12r, 1)) == 1
+    with pytest.raises(ValueError, match="rank"):
+        E.deterministic_topk_eigen(c12r, 3)
+
+
 def test_pca_project_matches_numpy(spark):
     """Engine PCA == numpy PCA on the same rows: projections agree to
     float tolerance component-wise (deterministic sign rule), and

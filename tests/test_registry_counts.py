@@ -45,16 +45,17 @@ def test_priority_prefix_is_stable():
 
 
 def test_rows_only_queries_embed_invariants(spark):
-    """Oracle-less registry queries each embed a deterministic
-    self-check COLUMN (round-4 verdict, next-round #5) so the driver's
-    rows-only record changes when quality regresses — these bounds pin
-    the healthy values at smoke scale. (Round 7 hash-gated
-    knn_ivf_kmeans / knn_pq / neardup_ivf / neardup_hybrid via the
-    quantized-space replay, then both ANN-store serving twins via the
-    same store-replay machinery, shrinking the rows-only set to 3 —
-    the two HLL rollups (DataSketches HLL is not SQL-replayable) and
-    iterative PCA; the invariant columns below stay pinned for all of
-    them, oracled or not.)"""
+    """Registry queries with approximate/iterative semantics each
+    embed a deterministic self-check COLUMN (round-4 verdict,
+    next-round #5) so the record changes when quality regresses —
+    these bounds pin the healthy values at smoke scale. (Round 7
+    hash-gated knn_ivf_kmeans / knn_pq / neardup_ivf / neardup_hybrid
+    via the quantized-space replay, both ANN-store serving twins via
+    store replay, the distinct-rollup twins via the portable
+    cross-engine HLL, and emb_pca_project via the deterministic
+    squaring+power-iteration eigensolver — the rows-only set is now
+    EMPTY; the invariant columns below stay pinned regardless,
+    because an oracle proves equality, not quality.)"""
     from dqe_spark.entry import all_queries
 
     qs = all_queries()
