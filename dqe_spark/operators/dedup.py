@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dqe_spark.operators.partitioning import spread
@@ -448,6 +448,144 @@ def hamming_neardup_pairs(
         .select("id_i", "id_j", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CUT LIST of exact-substring dedup: for every document, the
+    merged token spans covered by k-grams that also occur in another
+    document AND whose canonical copy lives elsewhere — the actionable
+    artifact of Lee et al. 2021 (keep ONE copy, cut the rest), where
+    substring_dedup_stats is only the per-doc report.
+
+    Ownership rule: each duplicated gram's canonical copy is the
+    smallest doc_id containing it; a doc's occurrence of a gram it
+    does not own is a cut candidate. Deterministic, relational, and
+    exactly replayable by the DuckDB oracle.
+
+    Plan shape matches substring_dedup_stats (narrow positional-gram
+    pass, one gram-keyed shuffle with min(doc) carried on the same
+    aggregate, one per-doc window for island merging) — never
+    all-pairs, no extra Exchange beyond the stats twin.
+
+    Output: (id, span_start, span_tokens) — 0-based token position and
+    length of each maximal cut span."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("n_tokens")
+    )
+    grams = base.where(F.col("n_tokens") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
+                ),
+            )
+        ).alias("p", "gram"),
+    )
+    owners = (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.min(F.col(id_col)).alias("owner"),
+        )
+        .where(F.col("nd") >= 2)
+        .select("gram", "owner")
+    )
+    cuts = (
+        grams.join(owners, "gram")
+        .where(F.col(id_col) != F.col("owner"))
+        .select(id_col, "p")
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    return (
+        cuts.withColumn("__lag", F.lag("p").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__lag").isNull() | (F.col("p") > F.col("__lag") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            # p is the 0-based token position of the gram's first token
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") - F.min("p") + k).cast("long").alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_tokens")
+    )
+
+
+def strip_duplicate_substrings(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgical exact-substring dedup: rebuild each document with its
+    cut spans (duplicate_substring_spans) removed — the canonical copy
+    of every duplicated k-gram survives in its owner document, every
+    other occurrence is excised, and unaffected text is untouched.
+
+    Rebuild is positional: explode each span into its covered token
+    positions (fan-out bounded by the doc's own length), anti-join
+    against the token positions, and re-join the survivors in order —
+    the window that orders tokens per doc reuses the id hash
+    distribution. Docs with nothing to cut pass through unchanged
+    (removed_tokens = 0).
+
+    Output: (id, clean_text, n_tokens, removed_tokens)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    spans = duplicate_substring_spans(df, k, id_col, text_col)
+    cut_pos = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    )
+    tok_rows = base.select(
+        id_col, F.posexplode("__toks").alias("pos", "tok")
+    )
+    kept = tok_rows.join(cut_pos, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"])
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("kept_tokens"),
+    )
+    totals = base.select(id_col, F.size("__toks").cast("long").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
     )
 
 

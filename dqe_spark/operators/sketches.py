@@ -105,6 +105,21 @@ def _ln_series(mant: str) -> str:
     )
 
 
+def ln_int_expr(v: str, dialect: str) -> str:
+    """Deterministic ln of a POSITIVE integer expression: mantissa/
+    exponent split via the binary bit length (exact power-of-2
+    division), then the atanh series — every op is an exactly-rounded
+    IEEE double op in a fixed order, so any engine computes identical
+    bits. Shared by the HLL linear-counting correction and the
+    unigram-surprisal scorer (operators/text.py)."""
+    bl = _bitlen(v, dialect)
+    mant = (
+        f"(CAST({v} AS DOUBLE) / "
+        f"CAST(power(2.0, CAST({bl} AS DOUBLE) - 1.0) AS DOUBLE))"
+    )
+    return f"((CAST({bl} AS DOUBLE) - 1.0) * {_LN2!r} + {_ln_series(mant)})"
+
+
 def estimate_expr(z: str, v: str, dialect: str) -> str:
     """The HLL estimate (a DOUBLE) from the exact integer sufficient
     statistics: Z = Σ_occupied 2^(RMAX−r) + V·2^RMAX and V = empty
@@ -115,15 +130,7 @@ def estimate_expr(z: str, v: str, dialect: str) -> str:
     omitting it keeps the estimator a pure rational-plus-series form.
     """
     e_raw = f"({_ENUM!r} / CAST({z} AS DOUBLE))"
-    bl = _bitlen(v, dialect)
-    # mantissa of V: V / 2^(bitlen−1) ∈ [1,2); power-of-2 division is
-    # exact, so both engines see the identical mantissa double.
-    mant = (
-        f"(CAST({v} AS DOUBLE) / "
-        f"CAST(power(2.0, CAST({bl} AS DOUBLE) - 1.0) AS DOUBLE))"
-    )
-    ln_v = f"((CAST({bl} AS DOUBLE) - 1.0) * {_LN2!r} + {_ln_series(mant)})"
-    e_lc = f"(CAST({M} AS DOUBLE) * ({_LNM!r} - {ln_v}))"
+    e_lc = f"(CAST({M} AS DOUBLE) * ({_LNM!r} - {ln_int_expr(v, dialect)}))"
     return (
         f"CASE WHEN {e_raw} <= {_LC_THRESHOLD!r} AND {v} > 0 "
         f"THEN {e_lc} ELSE {e_raw} END"

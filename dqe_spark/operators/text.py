@@ -611,3 +611,67 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select(id_col, "rk", "term", "score_e6")
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    vocab_cap: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Information-theoretic corpus quality score: each document's
+    mean unigram surprisal −ln p(token) in nano-nats, where p is the
+    corpus's own unigram model — the KenLM-style perplexity filter's
+    distribution-free little sibling (low = repetitive boilerplate,
+    high = rare-token soup; the healthy middle is what a pretraining
+    mix keeps).
+
+    Cross-engine exact: ln comes from the deterministic integer-ln of
+    operators/sketches.py (bit-length mantissa split + atanh series —
+    no libm call crosses engines), per-token surprisal is quantized to
+    integer nano-nats BEFORE summing (float sums are reduction-order
+    dependent; integer sums are not), and the per-doc mean is one
+    floor division — so the DuckDB oracle replays every value
+    bit-for-bit.
+
+    OOV rule: only the ``vocab_cap`` most frequent tokens (count desc,
+    token asc — fully deterministic) carry their own counts; rarer
+    tokens score as count = 1 (maximal surprisal). This bounds the
+    vocabulary join side at any corpus size — at 100 TB the raw
+    distinct-token count is unbounded (typos, ids), the capped vocab
+    broadcasts.
+
+    Plan shape: explode → vocabulary groupBy (partial aggs absorb the
+    Zipf skew), deterministic top-cap, per-token scores joined back
+    (broadcast — the capped vocab is small by construction), one
+    per-doc aggregate. Output: (id, n_tokens, mean_surprisal_e9).
+    """
+    from dqe_spark.operators.sketches import ln_int_expr
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    tk = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    counts = tk.groupBy("term").agg(F.count("*").alias("c"))
+    # distributed top-k (TakeOrdered), NOT a global row_number window —
+    # the full vocabulary never funnels through one partition
+    vocab = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(
+        vocab_cap
+    )
+    total = tk.agg(F.count("*").alias("n_total"))
+    ln_n = ln_int_expr("n_total", "spark")
+    ln_c = ln_int_expr("coalesce(c, 1)", "spark")
+    scored = (
+        tk.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.expr(
+                f"CAST(floor(({ln_n} - {ln_c}) * 1000000000.0 + 0.5) AS BIGINT)"
+            ).alias("s_e9"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr("sum(s_e9) div count(*)").alias("mean_surprisal_e9"),
+    )

@@ -3751,3 +3751,184 @@ def multimodal_jpeg_decode(spark, sf_dir):
         "doc_id long, width long, height long, channels long, "
         "mean_luma double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021): report, cut list, strip
+# ---------------------------------------------------------------------------
+
+
+def _substr_ctes(k: int = 5) -> str:
+    """DuckDB replay of the positional k-gram pipeline shared by the
+    three substring-dedup queries (operators/dedup.py): index-rule
+    tokens, md5 k-grams at every position, duplicated grams with their
+    canonical owner (min doc_id), and the per-doc cut positions."""
+    return f"""sb_tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), sb_bs AS (
+  SELECT doc_id, toks, len(toks) AS n FROM sb_tk
+), sb_gr AS (
+  SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS p,
+         md5(array_to_string(list_slice(toks, t.i, t.i + {k} - 1), ' ')) AS gram
+  FROM sb_bs, unnest(range(1, n - {k} + 2)) AS t(i)
+  WHERE n >= {k}
+), sb_own AS (
+  SELECT gram, min(doc_id) AS owner
+  FROM sb_gr GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), sb_cut AS (
+  SELECT DISTINCT g.doc_id, g.p
+  FROM sb_gr g JOIN sb_own o ON o.gram = g.gram AND o.owner <> g.doc_id
+), sb_island AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN lagp IS NULL OR p > lagp + {k} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lagp
+        FROM sb_cut)
+), sb_spans AS (
+  SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+         CAST(max(p) - min(p) + {k} AS BIGINT) AS span_tokens
+  FROM sb_island GROUP BY doc_id, island
+)"""
+
+
+@q(
+    "dedup_substring_spans",
+    f"""
+WITH {_substr_ctes()}
+SELECT doc_id, span_start, span_tokens FROM sb_spans
+""",
+)
+def dedup_substring_spans(spark, sf_dir):
+    """The cut list of exact-substring dedup: maximal token spans per
+    doc covered by k-grams whose canonical copy (min doc_id) lives in
+    another document — what a Lee-et-al.-style pipeline excises while
+    keeping exactly one occurrence (operators/dedup.py
+    duplicate_substring_spans; plan: narrow positional-gram pass, one
+    gram shuffle carrying min(doc) on the same aggregate, one per-doc
+    island window — never all-pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_substring_spans(d, k=5)
+
+
+@q(
+    "dedup_substring_strip",
+    f"""
+WITH {_substr_ctes()},
+sb_pos AS (
+  SELECT s.doc_id, CAST(t.i AS BIGINT) AS pos
+  FROM sb_spans s,
+       unnest(range(s.span_start, s.span_start + s.span_tokens)) AS t(i)
+), sb_tokrows AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+         unnest(toks) AS tok
+  FROM sb_bs
+), sb_kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM sb_tokrows tr ANTI JOIN sb_pos p
+    ON p.doc_id = tr.doc_id AND p.pos = tr.pos
+), sb_rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept
+  FROM sb_kept GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - coalesce(r.kept, 0) AS BIGINT) AS removed_tokens
+FROM sb_bs b LEFT JOIN sb_rebuilt r ON r.doc_id = b.doc_id
+""",
+)
+def dedup_substring_strip(spark, sf_dir):
+    """Surgical exact-substring dedup: every duplicated k-gram keeps
+    ONE canonical occurrence (its min-doc_id owner) and every other
+    occurrence is excised from the rebuilt text; untouched docs pass
+    through with removed_tokens = 0 (operators/dedup.py
+    strip_duplicate_substrings)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.strip_duplicate_substrings(d, k=5)
+
+
+@q(
+    "dedup_substring_report",
+    f"""
+WITH {_substr_ctes()},
+sb_hits AS (
+  SELECT DISTINCT g.doc_id, g.p
+  FROM sb_gr g JOIN sb_own o ON o.gram = g.gram
+), sb_hisl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN lagp IS NULL OR p > lagp + 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lagp
+        FROM sb_hits)
+), sb_hspans AS (
+  SELECT doc_id, max(p) - min(p) + 5 AS len
+  FROM sb_hisl GROUP BY doc_id, island
+), sb_agg AS (
+  SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM sb_hspans GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       coalesce(a.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN b.n > 0 THEN (10000 * coalesce(a.dup_tokens, 0)) // b.n
+            ELSE 0 END AS dup_bp,
+       coalesce(a.n_spans, 0) AS n_spans
+FROM sb_bs b LEFT JOIN sb_agg a ON a.doc_id = b.doc_id
+""",
+)
+def dedup_substring_report(spark, sf_dir):
+    """Per-document exact-substring duplication report: how much of
+    each doc is covered by k-grams that also occur in another doc —
+    the corpus-quality readout of substring dedup; clean docs report
+    zeros (operators/dedup.py substring_dedup_stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dedup_stats(d, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal (corpus-model quality filter)
+# ---------------------------------------------------------------------------
+
+
+def _surprisal_oracle_sql(vocab_cap: int = 65536) -> str:
+    from dqe_spark.operators import sketches as SK
+
+    ln_n = SK.ln_int_expr("n_total", "duckdb")
+    ln_c = SK.ln_int_expr("coalesce(c, 1)", "duckdb")
+    return f"""
+WITH su_tk AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+         AS term
+  FROM documents
+), su_counts AS (
+  SELECT term, count(*) AS c FROM su_tk GROUP BY term
+), su_vocab AS (
+  SELECT term, c FROM su_counts ORDER BY c DESC, term ASC LIMIT {vocab_cap}
+), su_total AS (
+  SELECT count(*) AS n_total FROM su_tk
+), su_scored AS (
+  SELECT t.doc_id,
+         CAST(floor(({ln_n} - {ln_c}) * 1000000000.0 + 0.5) AS BIGINT) AS s_e9
+  FROM su_tk t LEFT JOIN su_vocab v ON v.term = t.term, su_total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       sum(s_e9) // count(*) AS mean_surprisal_e9
+FROM su_scored GROUP BY doc_id
+"""
+
+
+@q("text_surprisal", _surprisal_oracle_sql())
+def text_surprisal(spark, sf_dir):
+    """Mean unigram surprisal per document in nano-nats against the
+    corpus's own unigram model — the information-theoretic quality
+    filter (KenLM-lite): low = boilerplate, high = rare-token soup.
+    Deterministic ln via the shared integer-ln series, integer
+    nano-nat sums, capped-vocab OOV rule
+    (operators/text.py unigram_surprisal)."""
+    return text.unigram_surprisal(load_table(spark, sf_dir, "documents"))

@@ -313,6 +313,56 @@ def stream_distinct_partials(
     )
 
 
+def stream_portable_distinct_registers(
+    spark: SparkSession,
+    source_dir: str,
+    res: str = "1 hour",
+    watermark: str = "6 hours",
+    schema: str = STREAM_SCHEMA,
+) -> DataFrame:
+    """Continuous maintenance of the PORTABLE-HLL register relation —
+    the streaming twin of sources/rollup.build_portable_distinct_rollup.
+
+    Stronger contract than the DataSketches twin above: registers are
+    (event_type, window, bucket) → max(rho) rows, and max is the
+    streaming aggregate itself, so a drained stream's registers are
+    BIT-IDENTICAL to the batch build's for every closed window (not
+    merely estimate-equal) — pinned in tests/test_streaming.py. Late
+    events beyond the watermark belong to the batch
+    merge_portable_distinct_increment backfill, which max-merges
+    losslessly into the same cells."""
+    from dqe_spark.operators.sketches import TAILMOD, hash60_expr, rho_expr
+
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(ev.dtypes)["ts"].startswith("timestamp"):
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    return (
+        ev.select("event_type", ts.alias("ts"), "user_id")
+        .withWatermark("ts", watermark)
+        .select(
+            "event_type",
+            "ts",
+            F.expr(hash60_expr("user_id", "spark")).alias("__w"),
+        )
+        .select(
+            "event_type",
+            "ts",
+            F.expr(f"__w div {TAILMOD}").alias("bucket"),
+            F.expr(rho_expr("__w", "spark")).alias("rho"),
+        )
+        .groupBy("event_type", F.window("ts", res).alias("w"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(
+            "event_type",
+            F.unix_millis(F.col("w.start")).alias("wts"),
+            "bucket",
+            "r",
+        )
+    )
+
+
 def stream_index_documents(
     spark: SparkSession,
     landing_dir: str,

@@ -303,6 +303,49 @@ def test_stream_distinct_matches_batch_sketches(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_portable_registers_match_batch_bitwise(spark):
+    """Drained portable-HLL registers are BIT-IDENTICAL to the batch
+    build's for closed windows — max is the streaming aggregate, so
+    there is no estimate-level tolerance here at all; windows the
+    watermark never closed belong to the batch increment backfill."""
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.streaming.ingest import stream_portable_distinct_registers
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streampdx_"))
+    landing, out, ckpt = tmp / "landing", tmp / "out", tmp / "ckpt"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "batch0.parquet")
+    try:
+        agg = stream_portable_distinct_registers(spark, str(landing))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["event_type"], r["wts"], r["bucket"]): r["r"]
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        R.build_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+        want = {
+            (r["event_type"], r["wts"], r["bucket"]): r["r"]
+            for r in R.load_portable_distinct_rollup(
+                spark, SF_SMOKE, 3_600_000
+            ).collect()
+        }
+        assert got and all(got[k] == want[k] for k in got)
+        horizon = max(w for _, w, _ in want) - 7 * 3_600_000
+        missing = set(want) - set(got)
+        assert all(w >= horizon for _, w, _ in missing)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_tagged_and_hist_partials_match_batch(spark):
     """Drained streaming TAGGED and HISTOGRAM partials must equal the
     batch-built ladders — streamed and backfilled partials stay

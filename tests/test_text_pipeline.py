@@ -233,3 +233,84 @@ def test_tfidf_rare_terms_outrank_common(spark):
     assert by_doc[1][0].term == "beta"
     assert by_doc[2][0].term == "gamma"
     assert by_doc[3][0].term == "delta"
+
+
+def test_substring_spans_and_strip_semantics(spark):
+    """Constructed corpus: a 6-token phrase shared by three docs. The
+    cut list marks it only in the NON-owner docs (owner = min doc_id),
+    strip removes exactly those occurrences (the canonical copy
+    survives), overlapping grams merge into one maximal span, and an
+    undupped doc passes through untouched."""
+    from dqe_spark.operators.dedup import (
+        duplicate_substring_spans,
+        strip_duplicate_substrings,
+        substring_dedup_stats,
+    )
+
+    phrase = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"intro one {phrase} tail one"),
+        (2, f"{phrase} closing words here"),
+        (3, f"pre {phrase} post"),
+        (4, "completely unique text with no shared grams at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_tokens"])
+        for r in duplicate_substring_spans(df, k=5).collect()
+    }
+    # owner (doc 1) keeps its copy; docs 2 and 3 get one merged span
+    # covering the phrase's two overlapping 5-grams (6 tokens total)
+    assert 1 not in spans and 4 not in spans
+    assert spans[2] == (0, 6)
+    assert spans[3] == (1, 6)
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in strip_duplicate_substrings(df, k=5).collect()
+    }
+    assert got[1]["removed_tokens"] == 0
+    assert phrase in got[1]["clean_text"]
+    assert got[2]["clean_text"] == "closing words here"
+    assert got[3]["clean_text"] == "pre post"
+    assert got[4]["removed_tokens"] == 0
+    # every duplicated gram still occurs somewhere (the owner's copy)
+    assert phrase in " | ".join(g["clean_text"] for g in got.values())
+
+    # the report twin counts ALL covered positions (owner included)
+    rep = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup_stats(df, k=5).collect()
+    }
+    assert rep[1]["dup_tokens"] == 6 and rep[1]["n_spans"] == 1
+    assert rep[4]["dup_tokens"] == 0 and rep[4]["dup_bp"] == 0
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    """A doc of corpus-frequent tokens scores lower mean surprisal
+    than a doc of rare ones; sub-cap vocab keeps exact counts; and the
+    score is scale-exact: a token appearing c times in N total scores
+    floor((ln N - ln c)*1e9 + 0.5) nano-nats."""
+    import math
+
+    from dqe_spark.operators.text import unigram_surprisal
+
+    rows = [(1, "common " * 50), (2, "common rare"), (3, "unique1 unique2")]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in unigram_surprisal(df).collect()
+    }
+    n_total = 50 + 2 + 2  # 54 tokens
+    s = lambda c: math.floor(
+        (math.log(n_total) - math.log(c)) * 1e9 + 0.5
+    )
+    # the deterministic series-ln is its own spec: it agrees with libm
+    # to ~1 nano-nat but not bit-for-bit (that's the point — libm
+    # isn't cross-engine reproducible; the series is)
+    assert abs(got[1]["mean_surprisal_e9"] - s(51)) <= 2  # count 51
+    assert abs(got[2]["mean_surprisal_e9"] - (s(51) + s(1)) // 2) <= 2
+    assert abs(got[3]["mean_surprisal_e9"] - s(1)) <= 2
+    assert got[1]["mean_surprisal_e9"] < got[3]["mean_surprisal_e9"]
