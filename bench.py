@@ -104,6 +104,11 @@ EXT_HEADLINE = [
     "dql_dedup_semantic",
     "dql_knn",
     "dql_ann",
+    # round-7 late additions: surgical substring dedup (gram shuffle +
+    # island windows + positional rebuild) and the unigram-surprisal
+    # quality filter (vocab top-k + broadcast join + series-ln)
+    "dedup_substring_strip",
+    "text_surprisal",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the

@@ -763,6 +763,8 @@ class Compiler:
             return self._dedup(node)
         if name in ("knn", "ann"):
             return self._knn(node, approximate=(name == "ann"))
+        if name == "surprisal":
+            return self._surprisal(node)
         series = [a for a in node.inputs
                   if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
                                     A.Timeshift, A.Var))]
@@ -1268,25 +1270,51 @@ class Compiler:
         out = neardup_srp_pairs(emb, t, planes_matrix=None, bands=8)
         return EventsFrame(out, unparse(node))
 
+    def _surprisal(self, node: A.FCall) -> EventsFrame:
+        """surprisal(): per-document mean unigram surprisal in
+        nano-nats against the bound corpus's own unigram model — the
+        information-theoretic quality filter in the language
+        (operators/text.unigram_surprisal: deterministic series-ln,
+        integer nano-nat sums, capped-vocab OOV rule). The statement
+        timeframe does not apply (the corpus is not a time series)."""
+        if self.sf_dir is None:
+            raise PlanError("surprisal needs a document corpus (no sf_dir bound)")
+        if node.inputs:
+            raise PlanError(
+                "surprisal()",
+                "not_found_fun", "surprisal", arg_types(node.inputs),
+            )
+        from dqe_spark.operators.text import unigram_surprisal
+        from dqe_spark.sources.metric_store import load_table
+
+        out = unigram_surprisal(
+            load_table(self.metrics.sparkSession, self.sf_dir, "documents")
+        )
+        return EventsFrame(out, unparse(node))
+
     def _dedup(self, node: A.FCall) -> EventsFrame:
-        """dedup('exact') / dedup('semantic'[, threshold]): corpus
-        deduplication in the language. 'exact' groups byte-identical
-        documents (md5 fingerprint → keep-lowest id + copy count,
-        operators/dedup.dedup_exact — one hash-groupBy, map-side
-        combined). 'semantic' returns the SemDeDup survivor set of the
-        embedding corpus (keep-lowest greedy over verified SRP
-        near-dup pairs, operators/similarity.semantic_survivors) at
-        the given cosine threshold (default 0.2), on the AUTO-SCALED
-        oracle-replayable SRP shape (auto_planes — same linear
-        candidate-budget rationale and same width-replaying oracle as
-        neardup(); round-6 verdict #2). The statement timeframe does
-        not apply (corpora are not time series)."""
+        """dedup('exact') / dedup('semantic'[, threshold]) /
+        dedup('substring'[, k]): corpus deduplication in the language.
+        'exact' groups byte-identical documents (md5 fingerprint →
+        keep-lowest id + copy count, operators/dedup.dedup_exact — one
+        hash-groupBy, map-side combined). 'semantic' returns the
+        SemDeDup survivor set of the embedding corpus (keep-lowest
+        greedy over verified SRP near-dup pairs, operators/similarity
+        .semantic_survivors) at the given cosine threshold (default
+        0.2), on the AUTO-SCALED oracle-replayable SRP shape
+        (auto_planes — same linear candidate-budget rationale and same
+        width-replaying oracle as neardup(); round-6 verdict #2).
+        'substring' is the surgical Lee-et-al. pass: rebuild each
+        document with every non-canonical duplicated k-gram span
+        excised (operators/dedup.strip_duplicate_substrings, k-gram
+        width default 5). The statement timeframe does not apply
+        (corpora are not time series)."""
         if self.sf_dir is None:
             raise PlanError("dedup needs a document corpus (no sf_dir bound)")
         args = list(node.inputs)
         if not args or not isinstance(args[0], A.Var):
             raise PlanError(
-                "dedup('exact'|'semantic'[, threshold])",
+                "dedup('exact'|'semantic'|'substring'[, arg])",
                 "not_found_fun", "dedup", arg_types(node.inputs),
             )
         mode = args[0].name.lower()
@@ -1317,9 +1345,25 @@ class Compiler:
             emb = load_table(spark, self.sf_dir, "embeddings")
             pairs = neardup_srp_pairs(emb, t, planes_matrix=None, bands=8)
             out = semantic_survivors(emb, pairs)
+        elif mode == "substring":
+            k = 5
+            if len(args) == 2:
+                if not isinstance(args[1], int) or isinstance(
+                    args[1], A.TimeUnit
+                ) or not 2 <= args[1] <= 64:
+                    raise PlanError("dedup('substring', k in 2..64)")
+                k = int(args[1])
+            elif len(args) > 2:
+                raise PlanError("dedup('substring'[, k])")
+            from dqe_spark.operators.dedup import strip_duplicate_substrings
+
+            out = strip_duplicate_substrings(
+                load_table(spark, self.sf_dir, "documents"), k=k
+            )
         else:
             raise PlanError(
-                f"dedup mode {mode!r}: expected 'exact' or 'semantic'"
+                f"dedup mode {mode!r}: expected 'exact', 'semantic' "
+                "or 'substring'"
             )
         return EventsFrame(out, unparse(node))
 

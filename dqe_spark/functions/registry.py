@@ -127,8 +127,10 @@ def describe(registry: FunctionRegistry | None = None) -> list[dict]:
     add("bm25", "extension", "bm25('query terms', k)", C.Compiler._bm25)
     add("trend", "extension", "trend(metric, time)", C.Compiler._trend)
     add("neardup", "extension", "neardup(threshold)", C.Compiler._neardup)
-    add("dedup", "extension", "dedup('exact'|'semantic'[, threshold])",
+    add("dedup", "extension",
+        "dedup('exact'|'semantic'[, threshold]|'substring'[, k])",
         C.Compiler._dedup)
+    add("surprisal", "extension", "surprisal()", C.Compiler._surprisal)
 
     for n, fn in sorted(reg.aggregates.items()):
         add(n, "aggregate", f"{n}(metric, time)", fn, builtin=False)

@@ -1014,3 +1014,26 @@ def dql_ann(spark, sf_dir):
     language ANN surface is hash-gated end to end like neardup()."""
     df = _one(spark, "SELECT ann(5, 10) LAST 1d", sf_dir)
     return df.select("vec_id", "cos")
+
+
+@q("dql_dedup_substring", EXT_ORACLES["dedup_substring_strip"])
+def dql_dedup_substring(spark, sf_dir):
+    """`dedup('substring')` in the language: the surgical
+    exact-substring pass — every duplicated 5-gram keeps one canonical
+    occurrence, every other occurrence is excised from the rebuilt
+    text (dql/compiler._dedup -> operators/dedup
+    .strip_duplicate_substrings; same oracle as the operator-layer
+    twin, so the language front door is hash-gated)."""
+    df = _one(spark, "SELECT dedup('substring') LAST 1d", sf_dir)
+    return df.select("doc_id", "clean_text", "n_tokens", "removed_tokens")
+
+
+@q("dql_surprisal", EXT_ORACLES["text_surprisal"])
+def dql_surprisal(spark, sf_dir):
+    """`surprisal()` in the language: per-document mean unigram
+    surprisal in nano-nats against the corpus's own unigram model
+    (dql/compiler._surprisal -> operators/text.unigram_surprisal;
+    deterministic series-ln, integer nano-nat sums — hash-gated like
+    the operator twin)."""
+    df = _one(spark, "SELECT surprisal() LAST 1d", sf_dir)
+    return df.select("doc_id", "n_tokens", "mean_surprisal_e9")

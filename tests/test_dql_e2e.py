@@ -549,8 +549,46 @@ def test_dedup_in_language(spark):
 
     from dqe_spark.dql.compiler import PlanError
 
-    with pytest.raises(PlanError, match="expected 'exact' or 'semantic'"):
+    with pytest.raises(PlanError, match="expected 'exact', 'semantic'"):
         engine.run(spark, "SELECT dedup('fuzzy') LAST 1d", SF_SMOKE)
+
+
+def test_substring_dedup_and_surprisal_in_language(spark):
+    """dedup('substring'[, k]) == strip_duplicate_substrings;
+    surprisal() == unigram_surprisal; bad args are plan errors."""
+    from dqe_spark.operators.dedup import strip_duplicate_substrings
+    from dqe_spark.operators.text import unigram_surprisal
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    (res,) = engine.run(spark, "SELECT dedup('substring') LAST 1d", SF_SMOKE)
+    want = sorted(
+        tuple(r) for r in strip_duplicate_substrings(docs, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in res.df.select(
+            "doc_id", "clean_text", "n_tokens", "removed_tokens"
+        ).collect()
+    )
+    assert got == want
+
+    (sup,) = engine.run(spark, "SELECT surprisal() LAST 1d", SF_SMOKE)
+    want_s = sorted(tuple(r) for r in unigram_surprisal(docs).collect())
+    got_s = sorted(
+        tuple(r)
+        for r in sup.df.select(
+            "doc_id", "n_tokens", "mean_surprisal_e9"
+        ).collect()
+    )
+    assert got_s == want_s
+
+    from dqe_spark.dql.compiler import PlanError
+
+    with pytest.raises(PlanError, match="substring"):
+        engine.run(spark, "SELECT dedup('substring', 1) LAST 1d", SF_SMOKE)
+    with pytest.raises(PlanError, match="surprisal"):
+        engine.run(spark, "SELECT surprisal(3) LAST 1d", SF_SMOKE)
 
 
 def test_knn_ann_in_language(spark):

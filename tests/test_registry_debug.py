@@ -54,7 +54,7 @@ def test_describe_catalog():
     assert len([r for r in rows if r["class"] != "extension"]) == 45
     assert {r["name"] for r in rows if r["class"] == "extension"} == {
         "zscore", "alert_above", "alert_below", "bm25", "trend",
-        "neardup", "dedup",
+        "neardup", "dedup", "surprisal",
     }
     names = {(r["name"], r["class"]) for r in rows}
     for n in C.AGGR_PLAIN:
