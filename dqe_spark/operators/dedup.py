@@ -543,19 +543,32 @@ def strip_duplicate_substrings(
     of every duplicated k-gram survives in its owner document, every
     other occurrence is excised, and unaffected text is untouched.
 
-    Rebuild is positional: explode each span into its covered token
-    positions (fan-out bounded by the doc's own length), anti-join
-    against the token positions, and re-join the survivors in order —
-    the window that orders tokens per doc reuses the id hash
-    distribution. Docs with nothing to cut pass through unchanged
-    (removed_tokens = 0).
+    Rebuild is positional and pays ONLY for affected docs: untouched
+    documents (the vast majority of a healthy corpus) take a map-only
+    token re-join — no explode, no shuffle beyond the anti-join
+    against the (small) cut-doc id set; affected docs explode their
+    own positions (fan-out bounded by doc length), drop the cut ones,
+    and re-join survivors in order.
 
     Output: (id, clean_text, n_tokens, removed_tokens)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
     base = df.select(F.col(id_col), toks.alias("__toks"))
-    spans = duplicate_substring_spans(df, k, id_col, text_col)
+    # the cut list feeds three branches (untouched anti-join, affected
+    # semi-join, positional cuts); checkpoint it once — it is the
+    # SMALL side by construction (one row per cut span), while its
+    # lineage is the full gram shuffle
+    spans = duplicate_substring_spans(df, k, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    cut_ids = spans.select(id_col).distinct()
+    untouched = base.join(cut_ids, id_col, "left_anti").select(
+        id_col,
+        F.array_join("__toks", " ").alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("removed_tokens"),
+    )
     cut_pos = spans.select(
         id_col,
         F.explode(
@@ -565,21 +578,29 @@ def strip_duplicate_substrings(
             )
         ).alias("pos"),
     )
-    tok_rows = base.select(
+    affected = base.join(cut_ids, id_col, "left_semi")
+    tok_rows = affected.select(
         id_col, F.posexplode("__toks").alias("pos", "tok")
     )
     kept = tok_rows.join(cut_pos, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
-            " ", F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"])
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
         ).alias("clean_text"),
         F.count("*").cast("long").alias("kept_tokens"),
     )
-    totals = base.select(id_col, F.size("__toks").cast("long").alias("n_tokens"))
-    return (
-        totals.join(rebuilt, id_col, "left")
+    stripped = (
+        affected.select(
+            id_col, F.size("__toks").cast("long").alias("n_tokens")
+        )
+        .join(rebuilt, id_col, "left")
         .select(
             id_col,
+            # a fully-cut doc rebuilds to the empty string
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             "n_tokens",
             (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
@@ -587,6 +608,7 @@ def strip_duplicate_substrings(
             .alias("removed_tokens"),
         )
     )
+    return untouched.unionByName(stripped)
 
 
 def substring_dedup_stats(
