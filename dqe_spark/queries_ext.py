@@ -3932,3 +3932,86 @@ def text_surprisal(spark, sf_dir):
     nano-nat sums, capped-vocab OOV rule
     (operators/text.py unigram_surprisal)."""
     return text.unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-level corpus profile (curation: where is the low-quality mass?)
+# ---------------------------------------------------------------------------
+
+_CP_CTES, _CP_FIN = _kmeans_ctes(prefix="cp_", src="cp_eq")
+
+
+@q(
+    "corpus_cluster_profile",
+    f"""
+WITH cp_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cp_eq AS (
+  SELECT vec_id,
+         list_transform(v, x -> floor(x * 1048576 + 0.5) / 1048576.0) AS qv
+  FROM cp_e
+),
+{_CP_CTES},
+cp_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT eq.vec_id, c.cid,
+           row_number() OVER (PARTITION BY eq.vec_id
+             ORDER BY -2 * list_dot_product(eq.qv, c.cv)
+                      + list_dot_product(c.cv, c.cv), c.cid) AS r
+    FROM cp_eq eq CROSS JOIN {_CP_FIN} c) WHERE r = 1
+),
+cp_docs AS (
+  SELECT doc_id, len({_TOK}) AS n_tokens,
+         (least(len({_TOK}), 100) * len(list_distinct({_TOK})) * 10000)
+             // (100 * len({_TOK})) AS q_e4
+  FROM documents
+)
+SELECT a.cid, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+       sum(d.q_e4) // count(*) AS avg_quality_e4
+FROM cp_assign a JOIN cp_docs d ON d.doc_id = a.vec_id
+GROUP BY a.cid
+""",
+)
+def corpus_cluster_profile(spark, sf_dir):
+    """Cluster-level curation profile: k-means cells over the
+    embedding corpus joined with per-document text quality — the
+    "which semantic regions of my corpus are low quality / token
+    heavy" readout that decides per-cluster sampling or pruning
+    (SemDeDup-style curation reads exactly this shape).
+
+    Composition of two oracle-replayable pieces: the quantized-space
+    sample-trained k-means (similarity.kmeans_centroids, replayed by
+    _kmeans_ctes) assigns EVERY embedding via the Arrow argmin pass,
+    and the per-doc quality/token features are exact integers — so
+    per-cluster aggregates hash-match bit-for-bit.
+
+    Plan shape: one Arrow-batched assignment pass over embeddings
+    (centroids are driver literals — no join), a doc-keyed shuffle
+    join against the narrow quality projection, one grouped aggregate
+    to C rows."""
+    from dqe_spark.operators.similarity import (
+        _nearest_centroid,
+        kmeans_centroids,
+    )
+    from dqe_spark.operators.text import quality_e4, token_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_clusters=8)
+    assigned = emb.select(
+        "vec_id",
+        _nearest_centroid(F.col("embedding"), cents).alias("cid"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_e4("text").alias("q_e4"),
+    )
+    return (
+        assigned.join(docs, assigned.vec_id == docs.doc_id)
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("sum(q_e4) div count(*)").alias("avg_quality_e4"),
+        )
+    )
