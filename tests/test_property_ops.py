@@ -405,3 +405,29 @@ def test_cusum_chart_equals_direct_fold(xs, k, k4):
             a = max(0, a + x - mu - k4)
             b = min(0, b + x - mu + k4)
         assert sp[i] == a and sn[i] == b, (i, xs, k, k4)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(1 << 60) - 1),
+        min_size=1, max_size=50, unique=True,
+    )
+)
+@_slow
+def test_deterministic_ln_tracks_libm(duck, vals):
+    """The cross-engine series-ln (sketches.ln_int_expr) agrees with
+    libm ln to ~1e-8 relative for the whole positive-int64 range it
+    serves (HLL linear counting: V ≤ 2^12; surprisal: counts ≤ corpus
+    tokens; headroom to 2^60) — accuracy property; cross-engine
+    BIT-equality is what the oracle suite pins."""
+    import math
+
+    from dqe_spark.operators.sketches import ln_int_expr
+
+    expr = ln_int_expr("v", "duckdb")
+    rows = duck.execute(
+        f"SELECT v, {expr} FROM (SELECT unnest(?) AS v)", [vals]
+    ).fetchall()
+    for v, got in rows:
+        want = math.log(v)
+        assert abs(got - want) <= max(1e-8, abs(want) * 1e-8), (v, got, want)
