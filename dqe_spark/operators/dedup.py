@@ -451,6 +451,69 @@ def hamming_neardup_pairs(
     )
 
 
+def positional_grams(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the exact-substring family: index-rule
+    tokens and md5 k-grams AT EVERY POSITION. Returns (base, grams):
+    base = (id, __toks, n_tokens), grams = (id, p, gram) with p the
+    0-based token position of the gram's first token. Map-only; the
+    fan-out is one row per token position."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("n_tokens")
+    )
+    grams = base.where(F.col("n_tokens") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
+                ),
+            )
+        ).alias("p", "gram"),
+    )
+    return base, grams
+
+
+def merge_position_islands(
+    cuts: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge covered gram positions [p, p+k-1] into maximal spans per
+    doc (gaps-and-islands: a new span starts exactly when p > lag + k).
+    Input (id, p) distinct rows; output (id, span_start, span_tokens).
+    One window pass; the (id, island) groupBy reuses the window's
+    hash(id) distribution."""
+    w = Window.partitionBy(id_col).orderBy("p")
+    return (
+        cuts.withColumn("__lag", F.lag("p").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__lag").isNull() | (F.col("p") > F.col("__lag") + k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") - F.min("p") + k).cast("long").alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_tokens")
+    )
+
+
 def duplicate_substring_spans(
     df: DataFrame,
     k: int = 5,
@@ -475,23 +538,7 @@ def duplicate_substring_spans(
 
     Output: (id, span_start, span_tokens) — 0-based token position and
     length of each maximal cut span."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
-    )
-    base = df.select(F.col(id_col), toks.alias("__toks")).select(
-        id_col, "__toks", F.size("__toks").alias("n_tokens")
-    )
-    grams = base.where(F.col("n_tokens") >= k).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
-                ),
-            )
-        ).alias("p", "gram"),
-    )
+    _, grams = positional_grams(df, k, id_col, text_col)
     owners = (
         grams.groupBy("gram")
         .agg(
@@ -507,29 +554,7 @@ def duplicate_substring_spans(
         .select(id_col, "p")
         .distinct()
     )
-    w = Window.partitionBy(id_col).orderBy("p")
-    return (
-        cuts.withColumn("__lag", F.lag("p").over(w))
-        .withColumn(
-            "__new",
-            F.when(
-                F.col("__lag").isNull() | (F.col("p") > F.col("__lag") + k), 1
-            ).otherwise(0),
-        )
-        .withColumn(
-            "__island",
-            F.sum("__new").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy(id_col, "__island")
-        .agg(
-            # p is the 0-based token position of the gram's first token
-            F.min("p").cast("long").alias("span_start"),
-            (F.max("p") - F.min("p") + k).cast("long").alias("span_tokens"),
-        )
-        .select(id_col, "span_start", "span_tokens")
-    )
+    return merge_position_islands(cuts, k, id_col)
 
 
 def strip_duplicate_substrings(

@@ -4015,3 +4015,52 @@ def corpus_cluster_profile(spark, sf_dir):
             F.expr("sum(q_e4) div count(*)").alias("avg_quality_e4"),
         )
     )
+
+
+@q(
+    "dedup_substring_incr",
+    f"""
+WITH {_substr_ctes()},
+in_cut AS (
+  SELECT DISTINCT n.doc_id, n.p
+  FROM sb_gr n JOIN sb_gr s
+    ON s.gram = n.gram AND s.doc_id % 10 != 7 AND s.doc_id != n.doc_id
+  WHERE n.doc_id % 10 = 7
+), in_isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN lagp IS NULL OR p > lagp + 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS lagp
+        FROM in_cut)
+)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) - min(p) + 5 AS BIGINT) AS span_tokens
+FROM in_isl GROUP BY doc_id, island
+""",
+)
+def dedup_substring_incr(spark, sf_dir):
+    """INCREMENTAL substring dedup: the docs landing today
+    (doc_id % 10 = 7) probed against the persisted positional-gram
+    store of the corpus (the rest) — new docs are hashed fresh, the
+    store is probed via its (gb, gram) bucket join and never re-read
+    in full (sources/gram_store.spans_against_store). The oracle
+    replays both sides from scratch, so a hash match proves the STORE
+    contents equal fresh computation — the substring complement of
+    dedup_minhash_incr."""
+    from dqe_spark.sources import gram_store as GS
+
+    docs = load_table(spark, sf_dir, "documents")
+    rest = docs.where(F.col("doc_id") % 10 != 7)
+    new = docs.where(F.col("doc_id") % 10 == 7)
+    p = GS._store_dir(sf_dir)
+    marker = p / "_SUBSET"
+    want = "mod10ne7"
+    if (
+        not (p / "_SUCCESS").exists()
+        or not marker.exists()
+        or marker.read_text() != want
+    ):
+        GS.build_gram_store(spark, sf_dir, docs=rest, force=True)
+        marker.write_text(want)
+    return GS.spans_against_store(spark, sf_dir, new)

@@ -1,0 +1,163 @@
+"""Positional k-gram store (sources/gram_store.py): incremental merge
+equals full rebuild, the landing-time probe equals the batch cut list,
+re-landing is last-write-wins, purge equals rebuild, and per-bucket
+file counts stay bounded across increments."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _snapshot(spark, p):
+    return sorted(
+        (r["doc_id"], r["p"], r["gram"])
+        for r in spark.read.parquet(str(p)).collect()
+    )
+
+
+def test_increment_equals_full_build(spark):
+    from dqe_spark.sources import gram_store as GS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    p = GS._store_dir(SF_SMOKE)
+
+    GS.build_gram_store(spark, SF_SMOKE, force=True)
+    want = _snapshot(spark, p)
+
+    GS.build_gram_store(
+        spark, SF_SMOKE, docs=docs.where(F.col("doc_id") < cut), force=True
+    )
+    GS.merge_gram_increment(
+        spark, SF_SMOKE, docs.where(F.col("doc_id") >= cut)
+    )
+    assert _snapshot(spark, p) == want
+
+    # idempotent re-land
+    GS.merge_gram_increment(
+        spark, SF_SMOKE, docs.where(F.col("doc_id") >= cut)
+    )
+    assert _snapshot(spark, p) == want
+
+
+def test_probe_equals_batch_cut_list(spark):
+    """spans_against_store(new) == duplicate_substring_spans over the
+    union, restricted to the new ids — when new ids land AFTER the
+    corpus (higher doc_ids, the natural landing order) and don't
+    duplicate each other, the batch owner rule (min doc_id) and the
+    store-is-canonical probe rule coincide."""
+    from dqe_spark.operators.dedup import duplicate_substring_spans
+    from dqe_spark.sources import gram_store as GS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base_max = docs.agg(F.max("doc_id")).first()[0]
+    some_text = docs.orderBy("doc_id").limit(1).first()["text"]
+    new = spark.createDataFrame(
+        [
+            (base_max + 1, f"fresh preamble {some_text} fresh epilogue"),
+            (base_max + 2, "totally novel content nothing shared here xyzzy"),
+        ],
+        "doc_id long, text string",
+    )
+    GS.build_gram_store(spark, SF_SMOKE, force=True)
+    got = sorted(
+        tuple(r) for r in GS.spans_against_store(spark, SF_SMOKE, new).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(
+            docs.select("doc_id", "text").unionByName(new)
+        )
+        .where(F.col("doc_id") > base_max)
+        .collect()
+    )
+    assert got == want
+    assert got and got[0][0] == base_max + 1  # the planted dup is found
+    assert all(r[0] != base_max + 2 for r in got)  # the novel doc is clean
+
+
+def test_reland_changed_doc_equals_rebuild(spark):
+    from dqe_spark.sources import gram_store as GS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = GS._store_dir(SF_SMOKE)
+    victim = docs.orderBy("doc_id").first()["doc_id"]
+    changed = docs.where(F.col("doc_id") == victim).withColumn(
+        "text", F.concat(F.lit("entirely rewritten body now "), F.col("text"))
+    )
+    updated = docs.where(F.col("doc_id") != victim).unionByName(changed)
+    try:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+        GS.merge_gram_increment(spark, SF_SMOKE, changed)
+        got = _snapshot(spark, p)
+        GS.build_gram_store(spark, SF_SMOKE, docs=updated, force=True)
+        assert got == _snapshot(spark, p)
+    finally:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+
+
+def test_purge_equals_rebuild_without_docs(spark):
+    from dqe_spark.sources import gram_store as GS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = GS._store_dir(SF_SMOKE)
+    victims = [r["doc_id"] for r in docs.orderBy("doc_id").limit(3).collect()]
+    try:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+        GS.purge_doc_ids(spark, SF_SMOKE, victims)
+        got = _snapshot(spark, p)
+        GS.build_gram_store(
+            spark, SF_SMOKE,
+            docs=docs.where(~F.col("doc_id").isin(victims)), force=True,
+        )
+        assert got == _snapshot(spark, p)
+    finally:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+
+
+def test_increment_file_counts_stay_bounded(spark):
+    """N successive increments must not grow per-bucket file counts
+    linearly (the rewrite replaces touched buckets, never appends) —
+    the same bounded-file property pinned for the text index, the
+    minhash store and the ANN store."""
+    from pathlib import Path
+
+    from dqe_spark.sources import gram_store as GS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = GS._store_dir(SF_SMOKE)
+
+    def files_per_bucket():
+        return {
+            d.name: len(list(d.glob("*.parquet")))
+            for d in Path(p).glob("gb=*")
+        }
+
+    try:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+        before = files_per_bucket()
+        base_max = docs.agg(F.max("doc_id")).first()[0]
+        for i in range(3):
+            inc = spark.createDataFrame(
+                [(base_max + 1 + i, f"increment body number {i} with words "
+                                    f"alpha beta gamma delta epsilon {i}")],
+                "doc_id long, text string",
+            )
+            GS.merge_gram_increment(spark, SF_SMOKE, inc)
+        after = files_per_bucket()
+        assert all(
+            after[b] <= max(2, 2 * before.get(b, 1)) for b in after
+        ), (before, after)
+    finally:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+
+
+def test_spans_against_store_restores_default(spark):
+    """Leave the store in its default full-corpus state for any later
+    test/registry consumer."""
+    from dqe_spark.sources import gram_store as GS
+
+    GS.build_gram_store(spark, SF_SMOKE, force=True)
+    assert (GS._store_dir(SF_SMOKE) / "_SUCCESS").exists()
