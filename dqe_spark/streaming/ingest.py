@@ -422,6 +422,34 @@ def stream_dedup_index_documents(
     )
 
 
+def stream_gram_store_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    sf_dir: str,
+    checkpoint: str,
+    schema: str = DOCS_SCHEMA,
+):
+    """Continuous positional-gram-store maintenance — the
+    exact-substring twin of stream_dedup_index_documents: each
+    micro-batch of landed documents folds into the persisted gram
+    store via the same last-write-wins merge the batch backfill uses,
+    so the landing-time cut-list probe
+    (gram_store.spans_against_store) always sees the corpus up to the
+    last drained batch. Returns the unstarted writeStream."""
+    from dqe_spark.sources.gram_store import merge_gram_increment
+
+    docs = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def _merge(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            merge_gram_increment(batch_df.sparkSession, sf_dir, batch_df)
+
+    return (
+        docs.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 #: landed-vector schema for ANN maintenance streams
 VECS_SCHEMA = "vec_id long, embedding array<float>, label int"
 

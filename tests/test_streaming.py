@@ -562,3 +562,55 @@ def test_stream_ann_vectors_served_knn_sees_streamed(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         AS.ingest_ann(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_stream_gram_store_matches_rebuild(spark):
+    """Gram store built from half the corpus + the other half STREAMED
+    in (foreachBatch last-write-wins merge) equals the one-shot full
+    build, gram row for gram row; the landing-time cut-list probe then
+    sees streamed docs as corpus members."""
+    from dqe_spark.sources import gram_store as GS
+    from dqe_spark.streaming.ingest import stream_gram_store_documents
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    p = GS._store_dir(SF_SMOKE)
+
+    def snapshot():
+        return sorted(
+            (r["doc_id"], r["p"], r["gram"])
+            for r in spark.read.parquet(str(p)).collect()
+        )
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamgram_"))
+    landing, ckpt = tmp / "landing", tmp / "ckpt"
+    landing.mkdir()
+    try:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+        want = snapshot()
+
+        GS.build_gram_store(
+            spark, SF_SMOKE, force=True, docs=docs.where(F.col("doc_id") < cut)
+        )
+        docs.where(F.col("doc_id") >= cut).write.mode("overwrite").parquet(
+            str(landing)
+        )
+        q = (
+            stream_gram_store_documents(spark, str(landing), SF_SMOKE, str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert snapshot() == want
+
+        # the probe sees a streamed doc's text as corpus content
+        streamed = docs.where(F.col("doc_id") >= cut).orderBy("doc_id").first()
+        base_max = docs.agg(F.max("doc_id")).first()[0]
+        probe = spark.createDataFrame(
+            [(base_max + 1, streamed["text"])], "doc_id long, text string"
+        )
+        hits = GS.spans_against_store(spark, SF_SMOKE, probe).collect()
+        assert hits and all(r["doc_id"] == base_max + 1 for r in hits)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        GS.build_gram_store(spark, SF_SMOKE, force=True)  # restore
