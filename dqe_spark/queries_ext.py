@@ -1252,17 +1252,17 @@ def _kmeans_ctes(
     final_centroid_cte_name)."""
     p = prefix
     ctes = [
-        f"""{p}samp AS (
+        f"""{p}samp AS MATERIALIZED (
   SELECT vec_id, qv,
          row_number() OVER (
            ORDER BY substr(md5('0:' || vec_id || ':' || vec_id), 1, 8), vec_id
          ) AS rn
   FROM {src} QUALIFY rn <= {train}
 )""",
-        f"{p}c0 AS (SELECT rn - 1 AS cid, qv AS cv FROM {p}samp WHERE rn <= {k})",
+        f"{p}c0 AS MATERIALIZED (SELECT rn - 1 AS cid, qv AS cv FROM {p}samp WHERE rn <= {k})",
     ]
     for i in range(iters):
-        ctes.append(f"""{p}a{i + 1} AS (
+        ctes.append(f"""{p}a{i + 1} AS MATERIALIZED (
   SELECT vec_id, qv, cid FROM (
     SELECT s.vec_id, s.qv, c.cid,
            row_number() OVER (PARTITION BY s.vec_id
@@ -1270,7 +1270,7 @@ def _kmeans_ctes(
                       + list_dot_product(c.cv, c.cv), c.cid) AS r
     FROM {p}samp s CROSS JOIN {p}c{i} c) WHERE r = 1
 )""")
-        ctes.append(f"""{p}m{i + 1} AS (
+        ctes.append(f"""{p}m{i + 1} AS MATERIALIZED (
   SELECT cid, list(mx ORDER BY d) AS mv FROM (
     SELECT a.cid, d.d,
            floor(sum(a.qv[d.d]) / count(*) * 1048576 + 0.5) / 1048576.0 AS mx
@@ -1279,7 +1279,7 @@ def _kmeans_ctes(
     GROUP BY a.cid, d.d
   ) GROUP BY cid
 )""")
-        ctes.append(f"""{p}c{i + 1} AS (
+        ctes.append(f"""{p}c{i + 1} AS MATERIALIZED (
   SELECT c.cid, coalesce(m.mv, c.cv) AS cv
   FROM {p}c{i} c LEFT JOIN {p}m{i + 1} m ON m.cid = c.cid
 )""")
@@ -3918,7 +3918,7 @@ WITH su_tk AS (
   FROM su_tk t LEFT JOIN su_vocab v ON v.term = t.term, su_total
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       sum(s_e9) // count(*) AS mean_surprisal_e9
+       CAST(sum(s_e9) // count(*) AS BIGINT) AS mean_surprisal_e9
 FROM su_scored GROUP BY doc_id
 """
 
@@ -3967,7 +3967,7 @@ cp_docs AS (
 )
 SELECT a.cid, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
-       sum(d.q_e4) // count(*) AS avg_quality_e4
+       CAST(sum(d.q_e4) // count(*) AS BIGINT) AS avg_quality_e4
 FROM cp_assign a JOIN cp_docs d ON d.doc_id = a.vec_id
 GROUP BY a.cid
 """,
