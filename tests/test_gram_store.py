@@ -161,3 +161,32 @@ def test_spans_against_store_restores_default(spark):
 
     GS.build_gram_store(spark, SF_SMOKE, force=True)
     assert (GS._store_dir(SF_SMOKE) / "_SUCCESS").exists()
+
+
+def test_probe_plan_prunes_store_partitions(spark):
+    """The landing-time probe's store scan must carry a dynamic
+    partition-pruning expression on gb — the 'never re-read the
+    corpus' claim as a plan assertion (a small increment touches only
+    the buckets its grams hash to)."""
+    from dqe_spark.sources import gram_store as GS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    GS.build_gram_store(spark, SF_SMOKE, force=True)
+    new = (
+        docs.limit(1)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    plan = (
+        GS.spans_against_store(spark, SF_SMOKE, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    store_scans = [
+        ln for ln in plan.splitlines() if "_store" in ln and "grams" in ln
+    ]
+    assert store_scans, "no gram-store scan in the probe plan"
+    assert any("dynamicpruning" in ln.lower() for ln in store_scans), (
+        "gram-store scan lost its dynamic partition-pruning filter:\n"
+        + "\n".join(store_scans)
+    )
