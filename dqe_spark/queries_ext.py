@@ -1872,7 +1872,7 @@ def _hll_day_oracle_ctes() -> str:
   SELECT event_type,
          (epoch_ns(ts) // 1000000 // 3600000) * 3600000 AS hts,
          {SK.hash60_expr('user_id', 'duckdb')} AS __w
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), hll_hreg AS (
   SELECT event_type, hts, __w // {SK.TAILMOD} AS bucket,
          max({SK.rho_expr('__w', 'duckdb')}) AS r
@@ -1909,8 +1909,8 @@ FROM hday h LEFT JOIN exact e
 )
 def rollup_distinct_users_1d(spark, sf_dir):
     """Distinct users per event_type per DAY served from the hourly
-    PORTABLE-HLL register partials: a lossless max-merge over ≤ 2^12
-    register rows per cell — the SERVING path never re-reads the
+    PORTABLE-HLL partials: a lossless max-merge over ONE sparse-packed
+    register row per cell — the SERVING path never re-reads the
     points (sources/rollup.py portable_distinct_agg).
 
     Oracle-gated since round 7: the sketch is the cross-engine-exact
@@ -3663,8 +3663,8 @@ SELECT event_type, wts, approx_users FROM hday
 # proves the store content too).
 def rollup_distinct_users_1d_serve(spark, sf_dir):
     """Distinct users per event_type per DAY served purely from the
-    hourly portable-HLL register partials — max-merge over ≤ 2^12-row
-    register cells, cost independent of point count, NO raw-events
+    hourly portable-HLL partials — max-merge over ONE sparse-packed
+    register row per cell, cost independent of point count, NO raw-events
     scan (the shape a 100 TB caller uses per serve; the diagnostic
     twin re-scans raw data only to record its self-check)."""
     from dqe_spark.sources.rollup import (

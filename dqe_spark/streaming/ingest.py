@@ -341,6 +341,7 @@ def stream_portable_distinct_registers(
     return (
         ev.select("event_type", ts.alias("ts"), "user_id")
         .withWatermark("ts", watermark)
+        .where(F.col("user_id").isNotNull())  # mirrors hll_registers
         .select(
             "event_type",
             "ts",

@@ -278,33 +278,37 @@ def test_portable_distinct_increment_matches_full_rebuild(spark):
 
     ev = load_events(spark, SF_SMOKE)
     cut = ev.agg(F.expr("percentile_approx(ts_ms, 0.5)")).first()[0]
+    from dqe_spark.operators import sketches as SK
+
     R.build_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
     want = sorted(
         tuple(r)
-        for r in R.load_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000)
-        .select("event_type", "wts", "bucket", "r")
-        .collect()
+        for r in SK.hll_unpack(
+            R.load_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000),
+            ["event_type", "wts"],
+        ).collect()
     )
 
     import shutil
-
-    from dqe_spark.operators import sketches as SK
 
     first = ev.where(F.col("ts_ms") < cut)
     second = ev.where(F.col("ts_ms") >= cut)
     out = R._pdistinct_dir(SF_SMOKE, 3_600_000)
     shutil.rmtree(out)
     R._atomic_write(
-        SK.hll_registers(
-            first.select(
-                "event_type",
-                (F.col("ts_ms") - (F.col("ts_ms") % F.lit(3_600_000))).alias(
-                    "wts"
+        SK.hll_pack(
+            SK.hll_registers(
+                first.select(
+                    "event_type",
+                    (
+                        F.col("ts_ms") - (F.col("ts_ms") % F.lit(3_600_000))
+                    ).alias("wts"),
+                    "user_id",
                 ),
+                ["event_type", "wts"],
                 "user_id",
             ),
             ["event_type", "wts"],
-            "user_id",
         ),
         out,
         "_tmp_rollup_pdistinct_halftest",
@@ -313,12 +317,68 @@ def test_portable_distinct_increment_matches_full_rebuild(spark):
     R.merge_portable_distinct_increment(spark, second, SF_SMOKE, 3_600_000)
     got = sorted(
         tuple(r)
-        for r in R.load_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000)
-        .select("event_type", "wts", "bucket", "r")
-        .collect()
+        for r in SK.hll_unpack(
+            R.load_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000),
+            ["event_type", "wts"],
+        ).collect()
     )
     assert got == want
     R.build_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+
+
+def test_portable_packed_equals_register_relation(spark):
+    """Register-vs-array equivalence (round-7 verdict next-round #1):
+    the PACKED layout (one array row per cell) and the register
+    relation produce the SAME exact integers — pack→unpack is the
+    identity on occupied buckets, and the packed estimate equals the
+    relation-form estimate bit-for-bit (2^(RMAX−0) = 2^RMAX makes
+    Z identical across the two Z formulas)."""
+    from dqe_spark.operators import sketches as SK
+    from dqe_spark.sources.metric_store import load_events
+
+    ev = load_events(spark, SF_SMOKE).select(
+        "event_type",
+        (F.col("ts_ms") - (F.col("ts_ms") % F.lit(86_400_000))).alias("wts"),
+        "user_id",
+    )
+    regs = SK.hll_registers(ev, ["event_type", "wts"], "user_id")
+    packed = SK.hll_pack(regs, ["event_type", "wts"])
+
+    rel = sorted(tuple(r) for r in regs.collect())
+    roundtrip = sorted(
+        tuple(r)
+        for r in SK.hll_unpack(packed, ["event_type", "wts"]).collect()
+    )
+    assert rel == roundtrip and rel
+
+    est_rel = sorted(
+        tuple(r)
+        for r in SK.hll_estimate(regs, ["event_type", "wts"]).collect()
+    )
+    est_packed = sorted(
+        tuple(r)
+        for r in SK.hll_estimate_packed(
+            packed, ["event_type", "wts"]
+        ).collect()
+    )
+    assert est_rel == est_packed
+
+    # the serving shape (explode → partial max → direct Z/V) is
+    # bit-identical to estimate∘merge over the packed arrays
+    est_serve = sorted(
+        tuple(r)
+        for r in SK.hll_merge_estimate_packed(
+            packed, ["event_type", "wts"]
+        ).collect()
+    )
+    est_fold = sorted(
+        tuple(r)
+        for r in SK.hll_estimate_packed(
+            SK.hll_merge_packed(packed, ["event_type", "wts"]),
+            ["event_type", "wts"],
+        ).collect()
+    )
+    assert est_serve == est_fold == est_rel
 
 
 def test_partial_variance_wide_domain(spark):

@@ -331,11 +331,16 @@ def test_stream_portable_registers_match_batch_bitwise(spark):
             (r["event_type"], r["wts"], r["bucket"]): r["r"]
             for r in spark.read.parquet(str(out)).collect()
         }
+        from dqe_spark.operators.sketches import hll_unpack
+
         R.build_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+        # the batch store persists the PACKED layout; unpack restores
+        # the register relation the stream emits, bit-for-bit
         want = {
             (r["event_type"], r["wts"], r["bucket"]): r["r"]
-            for r in R.load_portable_distinct_rollup(
-                spark, SF_SMOKE, 3_600_000
+            for r in hll_unpack(
+                R.load_portable_distinct_rollup(spark, SF_SMOKE, 3_600_000),
+                ["event_type", "wts"],
             ).collect()
         }
         assert got and all(got[k] == want[k] for k in got)
