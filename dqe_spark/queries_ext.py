@@ -3284,17 +3284,13 @@ def dedup_minhash_incr(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     rest = docs.where(F.col("doc_id") % 10 != 7)
     new = docs.where(F.col("doc_id") % 10 == 7)
-    p = MS._store_dir(sf_dir)
-    marker = p / "_SUBSET"
-    want = "mod10ne7"
-    if (
-        not (p / "_SUCCESS").exists()
-        or not marker.exists()
-        or marker.read_text() != want
-    ):
-        MS.build_minhash_store(spark, sf_dir, docs=rest, force=True)
-        marker.write_text(want)
-    return MS.neardup_against_store(spark, sf_dir, new, 0.7)
+    # the subset fixture lives in its own variant store — the
+    # canonical corpus store is never mutated to stand in for it
+    # (advisor r7 #2)
+    MS.build_minhash_store(spark, sf_dir, docs=rest, variant="mod10ne7")
+    return MS.neardup_against_store(
+        spark, sf_dir, new, 0.7, variant="mod10ne7"
+    )
 
 
 @q(
@@ -4053,14 +4049,8 @@ def dedup_substring_incr(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     rest = docs.where(F.col("doc_id") % 10 != 7)
     new = docs.where(F.col("doc_id") % 10 == 7)
-    p = GS._store_dir(sf_dir)
-    marker = p / "_SUBSET"
-    want = "mod10ne7"
-    if (
-        not (p / "_SUCCESS").exists()
-        or not marker.exists()
-        or marker.read_text() != want
-    ):
-        GS.build_gram_store(spark, sf_dir, docs=rest, force=True)
-        marker.write_text(want)
-    return GS.spans_against_store(spark, sf_dir, new)
+    # the subset fixture lives in its own variant store — the
+    # canonical corpus store is never mutated to stand in for it
+    # (advisor r7 #2)
+    GS.build_gram_store(spark, sf_dir, docs=rest, variant="mod10ne7")
+    return GS.spans_against_store(spark, sf_dir, new, variant="mod10ne7")

@@ -597,9 +597,9 @@ def build_portable_distinct_rollup(
     oracle-replayable twin of build_distinct_rollup (see
     operators/sketches.py for the determinism contract). Stored in the
     PACKED layout — ONE row per cell, (event_type, wts, regs) with
-    regs a length-2^12 int array — so a serve reads one row per cell
-    instead of up to 4,096 register rows (round-7 verdict "What's
-    wrong" #1). Build is still one groupBy with map-side partial max
+    regs a bucket-sorted sparse array<struct<bucket,r>> — so a serve
+    reads one row per cell instead of up to 4,096 register rows
+    (round-7 verdict #1). Build is still one groupBy with map-side partial max
     plus a per-cell pack; the register relation stays the interchange
     form (streaming twin, oracles) via sketches.hll_unpack.
     """

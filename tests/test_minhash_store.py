@@ -178,3 +178,56 @@ def test_purge_equals_rebuild_without_docs(spark):
     finally:
         MS.build_minhash_store(spark, SF_SMOKE, force=True)
         TI.build_text_index(spark, SF_SMOKE, force=True)
+
+
+def test_autoscale_rebucket_equals_fresh_build(spark):
+    """Band-store twin of the gram-store autoscale pin: growth across
+    a bucket-count doubling re-buckets loudly, the migrated store
+    equals a fresh build at the new count, and the probe still finds
+    a planted near-dup through the new layout. Variant store — the
+    canonical one is untouched."""
+    from dqe_spark.operators.dedup import MINHASH_BANDS
+    from dqe_spark.sources import minhash_store as MS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    first = docs.where(F.col("doc_id") < cut)
+    rest = docs.where(F.col("doc_id") >= cut)
+    var = "autoscale_test"
+    p = MS._store_dir(SF_SMOKE, var)
+
+    n_docs = docs.count()
+    # full corpus wants ≥2× the floor; the first half sits at the floor
+    target = max(1, (n_docs * MINHASH_BANDS) // (MS.N_KEY_BUCKETS * 2))
+
+    MS.build_minhash_store(
+        spark, SF_SMOKE, docs=first, variant=var, force=True,
+        target_rows=target,
+    )
+    n0 = MS._n_buckets(p)
+    MS.merge_minhash_increment(
+        spark, SF_SMOKE, rest, target_rows=target, variant=var
+    )
+    n1 = MS._n_buckets(p)
+    assert n1 > n0, (n0, n1)
+
+    got = _snapshot(spark, p)
+    MS.build_minhash_store(
+        spark, SF_SMOKE, docs=docs, variant=var, force=True, n_buckets=n1
+    )
+    assert got == _snapshot(spark, p)
+
+    # probe through the migrated layout finds a planted near-dup
+    base_max = docs.agg(F.max("doc_id")).first()[0]
+    some_text = docs.orderBy("doc_id").limit(1).first()["text"]
+    new = spark.createDataFrame(
+        [(base_max + 1, some_text + " tail")], "doc_id long, text string"
+    )
+    hits = MS.neardup_against_store(
+        spark, SF_SMOKE, new, 0.5, variant=var
+    ).collect()
+    assert any(r["new_id"] == base_max + 1 for r in hits)
+
+    import shutil
+
+    shutil.rmtree(p, ignore_errors=True)

@@ -396,3 +396,20 @@ def test_bucketed_relation_colocated_join(spark):
     li2 = store.load_bucketed_relation(spark, SF_SMOKE, "lineitem")
     j2 = li2.hint("merge").join(o, li2.l_orderkey == o.o_orderkey)
     assert "Exchange" not in plan_of(j2)
+
+
+def test_auto_buckets_scaling():
+    """auto_buckets: power of two, ~target rows per bucket, clamped —
+    and monotone in n_rows (growth can only raise the count)."""
+    from dqe_spark.sources.store import auto_buckets
+
+    assert auto_buckets(0, 1000, lo=8) == 8
+    assert auto_buckets(7_999, 1000, lo=8) == 8
+    assert auto_buckets(9_000, 1000, lo=8) == 16
+    assert auto_buckets(1_000_000, 1000, lo=8) == 1024
+    assert auto_buckets(10**12, 1000, lo=8) == 1 << 16  # hi clamp
+    prev = 0
+    for n in range(0, 200_000, 7_777):
+        cur = auto_buckets(n, 1000, lo=8)
+        assert cur >= prev
+        prev = cur
