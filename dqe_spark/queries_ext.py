@@ -264,20 +264,47 @@ WITH t AS (
 """
 
 
-#: Pigeonhole banding for the simhash oracles (round-7): 4 disjoint
-#: 8-bit bands over the 32-bit signature — a pair at hamming ≤ 3
-#: differs in at most 3 bands, so it SHARES at least one band key.
-#: Lossless at the distance, and it makes these oracles sub-quadratic
-#: (the same banding the engine's simhash_neardup_pairs uses), so the
-#: sf0.1/sf1 audits can run them instead of skipping.
+#: Pigeonhole banding for the simhash oracles (round-7), re-written in
+#: round 8 over DISTINCT SIGNATURES (round-7 verdict next-round #3):
+#: banding doc-level rows degenerates when many docs share a signature
+#: (the sf1 cross-copy corpus collapsed band keys and the candidate
+#: join went quadratic — the r7 sweep cut dedup_clusters' oracle after
+#: >65 min). Grouping first makes the band join pair DISTINCT
+#: signatures only; verified signature pairs then expand to doc pairs
+#: through the member lists (cross_pairs), and same-signature doc
+#: pairs (hamming 0) enumerate directly (within_pairs) — each doc pair
+#: produced exactly once, output-sized, no DISTINCT over an inflated
+#: candidate set. 4 disjoint 8-bit bands over the 32-bit signature —
+#: a pair at hamming ≤ 3 differs in at most 3 bands, so it SHARES at
+#: least one band key: lossless at the distance (the same pigeonhole
+#: the engine's simhash_neardup_pairs uses).
 _SIMHASH_BAND_CTE = """
-, sbd AS (
-  SELECT doc_id, simhash, b.i AS band, (simhash >> (8 * b.i)) & 255 AS key
-  FROM sig, generate_series(0, 3) b(i)
-), scand AS (
-  SELECT DISTINCT a.doc_id AS id_i, b.doc_id AS id_j
-  FROM sbd a JOIN sbd b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
+, sgrp AS MATERIALIZED (
+  SELECT simhash, list(doc_id) AS members FROM sig GROUP BY simhash
+), sbd AS (
+  SELECT simhash, b.i AS band, (simhash >> (8 * b.i)) & 255 AS key
+  FROM sgrp, generate_series(0, 3) b(i)
+), spairs AS MATERIALIZED (
+  SELECT s_i, s_j, bit_count(xor(s_i, s_j)) AS hamming
+  FROM (
+    SELECT DISTINCT a.simhash AS s_i, b.simhash AS s_j
+    FROM sbd a JOIN sbd b ON a.band = b.band AND a.key = b.key
+    WHERE a.simhash < b.simhash
+  )
+  WHERE bit_count(xor(s_i, s_j)) <= 3
+), mem AS (
+  SELECT simhash, unnest(members) AS m FROM sgrp
+), allpairs AS (
+  SELECT CASE WHEN mi.m < mj.m THEN mi.m ELSE mj.m END AS id_i,
+         CASE WHEN mi.m < mj.m THEN mj.m ELSE mi.m END AS id_j,
+         p.hamming
+  FROM spairs p
+  JOIN mem mi ON mi.simhash = p.s_i
+  JOIN mem mj ON mj.simhash = p.s_j
+  UNION ALL
+  SELECT a.m AS id_i, b.m AS id_j,
+         bit_count(xor(a.simhash, a.simhash)) AS hamming
+  FROM mem a JOIN mem b ON a.simhash = b.simhash AND a.m < b.m
 )"""
 
 
@@ -286,11 +313,7 @@ _SIMHASH_BAND_CTE = """
     _SIMHASH_CTE
     + _SIMHASH_BAND_CTE
     + """
-SELECT c.id_i, c.id_j, bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM scand c
-JOIN sig a ON a.doc_id = c.id_i
-JOIN sig b ON b.doc_id = c.id_j
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+SELECT id_i, id_j, hamming FROM allpairs
 """,
 )
 def dedup_simhash_neardup(spark, sf_dir):
@@ -860,15 +883,9 @@ WHERE EXISTS (SELECT 1 FROM {last} a JOIN {prev} b ON a.id = b.id
     _SIMHASH_CTE
     + _SIMHASH_BAND_CTE
     + """
-, pairs AS (
-  SELECT c.id_i, c.id_j
-  FROM scand c
-  JOIN sig a ON a.doc_id = c.id_i
-  JOIN sig b ON b.doc_id = c.id_j
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-), edges AS (
-  SELECT id_i AS a, id_j AS b FROM pairs
-  UNION SELECT id_j, id_i FROM pairs
+, edges AS (
+  SELECT id_i AS a, id_j AS b FROM allpairs
+  UNION SELECT id_j, id_i FROM allpairs
 )"""
     + _cluster_prop_sql(),
 )
