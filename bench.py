@@ -147,10 +147,11 @@ def main() -> None:
     rollup.build_tagged_rollup(spark, SF_DIR, 60_000)
     rollup.build_tagged_hist_rollup(spark, SF_DIR, 60_000)
     rollup.build_distinct_rollup(spark, SF_DIR, 3_600_000)
-    from dqe_spark.sources import ann_store, text_index
+    from dqe_spark.sources import ann_store, media_store, text_index
 
     text_index.build_text_index(spark, SF_DIR)
     ann_store.ingest_ann(spark, SF_DIR)
+    media_store.build_media_store(spark, SF_DIR)
 
     # warmup: JVM + whole-stage codegen + parquet footer reads, plus
     # the Arrow python-worker pool (first pandas UDF pays its startup)
@@ -201,6 +202,16 @@ def main() -> None:
     )
 
     total = round(sum(times.values()), 3)
+    # noise-immune per-query value: median / control median (the
+    # control is a pure scan, so host drift hits both the same way —
+    # round-7 verdict #8: round-over-round diffs compare norms, not
+    # raw seconds, without needing a judge re-run)
+    ctl_med = None
+    if control0 is not None and control1 is not None:
+        ctl_med = max((control0 + control1) / 2.0, 1e-9)
+    norm = (
+        {n: round(times[n] / ctl_med, 3) for n in times} if ctl_med else {}
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full record first (humans / files redirect the whole stream)...
@@ -213,6 +224,7 @@ def main() -> None:
                 "queries": times,
                 "best": best,
                 "rows": rows,
+                "norm": norm,
                 "control": [control0, control1],
                 "control_spread": spread,
                 "sf": sf_val,
@@ -248,8 +260,12 @@ def main() -> None:
 def compare(prior_path: str, current_path: str | None = None, gate: float = 1.5) -> int:
     """Regression gate: per-query ratio of a fresh (or given) bench run
     vs a prior BENCH_r{N}.json (driver format, timings under
-    'parsed.queries', or a raw bench.py JSON line). Prints a markdown
-    table; exit 1 if any shared query regressed by more than `gate`×."""
+    'parsed.queries', or a raw bench.py JSON line). When BOTH records
+    carry control-normalized values (the ``norm`` field), the gate
+    compares those — host drift between the two runs divides out and
+    raw-seconds noise can't fake or mask a regression. Prints a
+    markdown table; exit 1 if any shared query regressed by more than
+    `gate`×."""
     def load(p: str) -> dict:
         doc = json.loads(Path(p).read_text())
         return doc.get("parsed", doc)
@@ -258,9 +274,12 @@ def compare(prior_path: str, current_path: str | None = None, gate: float = 1.5)
     cur = load(current_path) if current_path else None
     if cur is None:
         raise SystemExit("compare needs a current bench JSON (run bench.py > f.json)")
-    pq, cq = prior["queries"], cur["queries"]
+    use_norm = bool(prior.get("norm")) and bool(cur.get("norm"))
+    pq = prior["norm"] if use_norm else prior["queries"]
+    cq = cur["norm"] if use_norm else cur["queries"]
+    unit = "×ctl" if use_norm else "s"
     shared = [n for n in cq if n in pq]
-    print(f"| query | prior s | now s | ratio |")
+    print(f"| query | prior {unit} | now {unit} | ratio |")
     print(f"|---|---|---|---|")
     bad = []
     for n in shared:
@@ -272,7 +291,7 @@ def compare(prior_path: str, current_path: str | None = None, gate: float = 1.5)
     print(f"| **suite** | {prior['value']:.3f} | {cur['value']:.3f} | "
           f"{cur['value'] / prior['value']:.2f}× |")
     if bad:
-        print(f"REGRESSED (> {gate}x): {bad}")
+        print(f"REGRESSED (> {gate}x{' control-normalized' if use_norm else ''}): {bad}")
         return 1
     return 0
 

@@ -1232,7 +1232,15 @@ class Compiler:
             raise PlanError(f"{fname}: no vector with vec_id {qid}")
         corpus = emb.where(F.col("vec_id") != qid)
         if approximate:
-            out = knn_srp(corpus, query, k, auto_planes(emb, bands=8), bands=8)
+            out = knn_srp(
+                corpus,
+                query,
+                k,
+                auto_planes(
+                    emb, bands=8, cache_key=(self.sf_dir, "embeddings")
+                ),
+                bands=8,
+            )
         else:
             out = knn_bruteforce(corpus, query, k)
         return EventsFrame(out, unparse(node))
@@ -1267,7 +1275,13 @@ class Compiler:
         from dqe_spark.sources.metric_store import load_table
 
         emb = load_table(self.metrics.sparkSession, self.sf_dir, "embeddings")
-        out = neardup_srp_pairs(emb, t, planes_matrix=None, bands=8)
+        out = neardup_srp_pairs(
+            emb,
+            t,
+            planes_matrix=None,
+            bands=8,
+            cache_key=(self.sf_dir, "embeddings"),
+        )
         return EventsFrame(out, unparse(node))
 
     def _surprisal(self, node: A.FCall) -> EventsFrame:
@@ -1343,7 +1357,13 @@ class Compiler:
             )
 
             emb = load_table(spark, self.sf_dir, "embeddings")
-            pairs = neardup_srp_pairs(emb, t, planes_matrix=None, bands=8)
+            pairs = neardup_srp_pairs(
+                emb,
+                t,
+                planes_matrix=None,
+                bands=8,
+                cache_key=(self.sf_dir, "embeddings"),
+            )
             out = semantic_survivors(emb, pairs)
         elif mode == "substring":
             k = 5

@@ -331,6 +331,31 @@ def _srp_candidates(
     )
 
 
+#: session-lifetime memo for the auto-sizing pass: (cache_key) →
+#: (n, dims). The sizing count is one full corpus scan; through the
+#: DQL front door every statement re-ran it (round-7 verdict #7 named
+#: the 1.27× language-surface premium on dql_neardup). Keyed by an
+#: EXPLICIT caller-provided identity (e.g. (sf_dir, table)) — never by
+#: the DataFrame object — so only callers who can vouch the corpus is
+#: the same stored table opt in; ad-hoc frames keep exact sizing.
+_SIZING_CACHE: dict[tuple, tuple[int, int]] = {}
+
+
+def corpus_sizing(
+    df: DataFrame, vec: str = "embedding", cache_key: tuple | None = None
+) -> tuple[int, int]:
+    """(row count, vector dims) of an embedding corpus — the two
+    driver-side scalars every auto-scaled shape derives from. Memoized
+    per cache_key for the session when a key is given."""
+    if cache_key is not None and cache_key in _SIZING_CACHE:
+        return _SIZING_CACHE[cache_key]
+    n = df.count()
+    dims = len(df.select(vec).first()[0])
+    if cache_key is not None:
+        _SIZING_CACHE[cache_key] = (n, dims)
+    return n, dims
+
+
 def auto_planes(
     df: DataFrame,
     bands: int = 8,
@@ -338,6 +363,7 @@ def auto_planes(
     vec: str = "embedding",
     min_bits: int = 2,
     max_bits: int = 48,
+    cache_key: tuple | None = None,
 ) -> list[list[int]]:
     """SRP plane matrix sized for a target band-bucket population:
     bits/band = ⌈log₂(n / target_bucket)⌉, planes = bands · bits.
@@ -355,11 +381,12 @@ def auto_planes(
     Deterministic: the matrix is the same published rademacher_planes
     constant at the computed width, so any engine replaying the
     formula gets identical signatures. One count() + one first()
-    (dims probe), driver-side."""
+    (dims probe), driver-side — memoized per ``cache_key`` for the
+    session (corpus_sizing) so repeated language statements don't
+    re-pay the sizing scan."""
     import math
 
-    n = df.count()
-    dims = len(df.select(vec).first()[0])
+    n, dims = corpus_sizing(df, vec, cache_key)
     bits = max(min_bits, min(max_bits, math.ceil(math.log2(max(2, n / target_bucket)))))
     return rademacher_planes(planes=bands * bits, dims=dims)
 
@@ -371,6 +398,7 @@ def neardup_srp_pairs(
     bands: int = 8,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-duplicates — the scale path for
     neardup_cosine_pairs: candidates are pairs sharing any signature
@@ -379,9 +407,11 @@ def neardup_srp_pairs(
 
     ``planes_matrix=None`` sizes the band width from the corpus
     (auto_planes) — the setting that keeps the candidate budget linear
-    as data grows; pass an explicit matrix to pin a replayable shape."""
+    as data grows; pass an explicit matrix to pin a replayable shape.
+    ``cache_key`` memoizes that sizing pass per session (see
+    corpus_sizing)."""
     if planes_matrix is None:
-        planes_matrix = auto_planes(df, bands, vec=vec)
+        planes_matrix = auto_planes(df, bands, vec=vec, cache_key=cache_key)
     cand = _srp_candidates(df, planes_matrix, bands, vec, id_col)
     return _verify_pairs(df, cand, threshold, vec, id_col)
 

@@ -3722,34 +3722,34 @@ FROM documents
 )
 def multimodal_jpeg_decode(spark, sf_dir):
     """REAL baseline-JPEG entropy decode verified analytically
-    (round-5 verdict #4): each doc renders executor-side into a
-    genuine baseline JPEG — a constant-gray image of value doc_id%256
-    at (8+8·(doc_id%4)) × (8+8·(doc_id%3)) — then decodes through
+    (round-5 verdict #4): each doc's genuine baseline JPEG — a
+    constant-gray image of value doc_id%256 at
+    (8+8·(doc_id%4)) × (8+8·(doc_id%3)) — decodes through
     operators/jpeg_codec (Huffman MCU scan, dequantize, IDCT). A
     constant block is DC-only and the DC path is integer end-to-end
     at quantizer 1, so the decoded mean_luma must equal the painted
     constant EXACTLY; a hash match proves the full entropy
     encode→decode loop is bit-correct, like multimodal_decode does
-    for PNG/WAV."""
-    import numpy as np
+    for PNG/WAV.
+
+    The fixture bytes come from the persisted media store
+    (sources/media_store.py, round-7 verdict #2): encoding is a
+    one-time build step, so this query — and its bench row — times
+    DECODE over stored binaries, the shape a production pipeline pays
+    per pass. Plan: one parquet scan → one MapInPandas, zero
+    shuffles."""
     import pandas as pd
 
-    from dqe_spark.operators import jpeg_codec as J
     from dqe_spark.operators import media_codec as mc
+    from dqe_spark.sources.media_store import load_media_store
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = load_media_store(spark, sf_dir).select("doc_id", "content")
 
-    def synth_decode(it):
+    def decode(it):
         for pdf in it:
             recs = []
-            for doc_id in pdf["doc_id"]:
-                w = 8 * (1 + int(doc_id) % 4)
-                h = 8 * (1 + int(doc_id) % 3)
-                c = int(doc_id) % 256
-                enc = J.encode_jpeg_baseline(
-                    np.full((h, w), c, dtype=np.uint8)
-                )
-                dd = mc.decode_media(enc, "image/jpeg")
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                dd = mc.decode_media(bytes(content), "image/jpeg")
                 recs.append(
                     (int(doc_id), dd["width"], dd["height"],
                      dd["channels"], dd["mean_luma"])
@@ -3759,8 +3759,8 @@ def multimodal_jpeg_decode(spark, sf_dir):
                 columns=["doc_id", "width", "height", "channels", "mean_luma"],
             )
 
-    return d.mapInPandas(
-        synth_decode,
+    return media.mapInPandas(
+        decode,
         "doc_id long, width long, height long, channels long, "
         "mean_luma double",
     )

@@ -295,19 +295,12 @@ def spans_against_store(
     return merge_position_islands(cuts, k)
 
 
-def purge_doc_ids(
-    spark: SparkSession,
-    sf_dir: str,
-    doc_ids: list[int],
-    variant: str | None = None,
-) -> Path:
-    """Takedown: remove every gram row of the given doc_ids, touching
-    only the buckets that actually hold their rows (same contract as
-    the minhash/text-index purges: the rewritten store equals a
-    rebuild from the filtered corpus)."""
-    p = _store_dir(sf_dir, variant)
+def _drop_rows_where(spark: SparkSession, p: Path, gone) -> Path:
+    """Shared rewrite for purge and TTL: remove rows matching ``gone``,
+    touching only the buckets that actually hold such rows (dynamic
+    partition overwrite); buckets left empty are unlinked so the store
+    equals a rebuild from the filtered corpus."""
     stored = spark.read.parquet(str(p))
-    gone = F.col("doc_id").isin([int(i) for i in doc_ids])
     touched = sorted(
         r["gb"] for r in stored.where(gone).select("gb").distinct().collect()
     )
@@ -331,3 +324,41 @@ def purge_doc_ids(
         if b not in present:
             shutil.rmtree(p / f"gb={b}", ignore_errors=True)
     return p
+
+
+def purge_doc_ids(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_ids: list[int],
+    variant: str | None = None,
+) -> Path:
+    """Takedown: remove every gram row of the given doc_ids, touching
+    only the buckets that actually hold their rows (same contract as
+    the minhash/text-index purges: the rewritten store equals a
+    rebuild from the filtered corpus)."""
+    p = _store_dir(sf_dir, variant)
+    return _drop_rows_where(
+        spark, p, F.col("doc_id").isin([int(i) for i in doc_ids])
+    )
+
+
+def expire_docs_before(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_id_cutoff: int,
+    variant: str | None = None,
+) -> Path:
+    """Age-out (TTL) for the gram store — the lifecycle the rollup
+    ladders already have (rollup.expire_rollup_before; round-7 verdict
+    #6). Documents carry no timestamp, so retention is expressed on
+    the landing order: every gram row of doc_id < cutoff is dropped.
+    Same touched-partition dynamic-overwrite contract as purge —
+    post-TTL store == rebuild from the age-filtered corpus (pinned in
+    tests/test_gram_store.py). Grams hash uniformly, so an age-out
+    usually touches every bucket — that is the design point shared
+    with the rollup ladders: the gram store is the SMALL long-horizon
+    derivative; the raw corpus expires first via partition unlink."""
+    p = _store_dir(sf_dir, variant)
+    return _drop_rows_where(
+        spark, p, F.col("doc_id") < int(doc_id_cutoff)
+    )

@@ -1,0 +1,218 @@
+"""Frozen degenerate-data corpus (round-7 verdict #5): every
+adversarial shape a scale sweep has ever caught, encoded as a
+fast in-repo pytest so the dedup / similarity / text families
+re-prove them in seconds instead of at 10-minute sf1 sweep cost.
+
+Shapes and where they bit:
+  * ALL-IDENTICAL DOCUMENTS — r6 sweep: identical-ts replicas;
+    byte-identical texts collapse every signature and band key.
+  * IDENTICAL EMBEDDINGS — r7 sweep: the sf1 cross-copy corpus
+    collapsed simhash/SRP band keys and made banded self-joins
+    quadratic (fixed by grouping identical signatures first).
+  * EMPTY / WHITESPACE / ONE-TOKEN DOCUMENTS — shingle/gram floors:
+    docs shorter than the window produce no shingles/grams at all and
+    must flow through (not crash, not pair).
+  * SINGLE HOT TAG KEY — every row in one group: group-by plans must
+    still be correct when there is exactly one (skewed) key.
+
+The assertions pin CURRENT contract behavior (shared with the DuckDB
+oracles), including the deliberate split-semantics floor that an
+empty/whitespace text counts ONE token (split(trim('')) = ['']) —
+that floor is what keeps every ratio feature division-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- fixtures
+
+IDENT_TEXT = (
+    "the quick brown fox jumps over the lazy dog again and again"
+)
+
+
+def _ident_docs(spark, n=12):
+    return spark.createDataFrame(
+        [(i, IDENT_TEXT) for i in range(n)], "doc_id long, text string"
+    )
+
+
+def _weird_docs(spark):
+    return spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello"), (4, "x"), (5, "two words")],
+        "doc_id long, text string",
+    )
+
+
+def _ident_embs(spark, n=10):
+    base = [1.0, 0.0, 2.0, -1.0]
+    rows = [(i, base) for i in range(n)]
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [-1.0, 0.0, -2.0, 1.0])]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ------------------------------------------------------ identical documents
+
+
+def test_identical_docs_exact_dedup(spark):
+    from dqe_spark.operators import dedup as D
+
+    rows = D.dedup_exact(_ident_docs(spark)).collect()
+    assert len(rows) == 1
+    assert rows[0]["keep_id"] == 0 and rows[0]["n_copies"] == 12
+
+
+def test_identical_docs_minhash_all_pairs_jaccard_one(spark):
+    from dqe_spark.operators import dedup as D
+
+    pairs = D.minhash_lsh_pairs(_ident_docs(spark), 0.7).collect()
+    assert len(pairs) == 12 * 11 // 2
+    assert all(r["jaccard"] == 1.0 and r["id_i"] < r["id_j"] for r in pairs)
+
+
+def test_identical_docs_simhash_collapse_one_cluster(spark):
+    from dqe_spark.operators import dedup as D
+
+    d = _ident_docs(spark)
+    sigs = D.simhash_signatures(d).select("simhash").distinct().collect()
+    assert len(sigs) == 1  # full signature collapse — the r7 shape
+    pairs = D.simhash_neardup_pairs(d, max_hamming=3)
+    got = pairs.collect()
+    assert len(got) == 12 * 11 // 2
+    assert all(r["hamming"] == 0 for r in got)
+    clusters = D.dedup_clusters(d, pairs.select("id_i", "id_j")).collect()
+    assert {r["cluster_id"] for r in clusters} == {0}
+    assert len(clusters) == 12
+
+
+def test_identical_docs_substring_strip_keeps_only_owner(spark):
+    from dqe_spark.operators import dedup as D
+
+    d = _ident_docs(spark)
+    spans = D.duplicate_substring_spans(d).collect()
+    n_tok = len(IDENT_TEXT.split())
+    # every non-owner doc is one full-width span
+    assert sorted(r["doc_id"] for r in spans) == list(range(1, 12))
+    assert all(
+        r["span_start"] == 0 and r["span_tokens"] == n_tok for r in spans
+    )
+    stripped = {
+        r["doc_id"]: r["clean_text"]
+        for r in D.strip_duplicate_substrings(d).collect()
+    }
+    assert stripped[0] == IDENT_TEXT.lower()
+    assert all(stripped[i] == "" for i in range(1, 12))
+
+
+# -------------------------------------------------- empty/one-token corpus
+
+
+def test_empty_and_tiny_docs_flow_through_text_features(spark):
+    from dqe_spark.operators import text as T
+
+    w = _weird_docs(spark)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in w.select(
+            "doc_id", T.token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # the deliberate floor: split(trim('')) = [''] → one token, which
+    # keeps every downstream ratio division-safe (shared by the oracle)
+    assert counts == {1: 1, 2: 1, 3: 1, 4: 1, 5: 2}
+    # quality + lang-id evaluate without error on every row
+    q = w.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("q"),
+        T.lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    assert len(q) == 5 and all(r["q"] is not None for r in q)
+
+
+def test_empty_docs_produce_no_shingles_or_pairs(spark):
+    from dqe_spark.operators import dedup as D
+
+    w = _weird_docs(spark)
+    assert D.shingle_sets(w).count() == 0  # all below the shingle window
+    assert D.minhash_lsh_pairs(w, 0.5).count() == 0
+    assert D.duplicate_substring_spans(w).count() == 0
+    # strip over a corpus with no duplicated grams returns every doc
+    assert D.strip_duplicate_substrings(w).count() == 5
+
+
+def test_empty_docs_surprisal_drops_tokenless_rows(spark):
+    from dqe_spark.operators import text as T
+
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in T.unigram_surprisal(_weird_docs(spark)).collect()
+    }
+    # '' and '   ' produce no token rows — they are absent, not NULL
+    assert got == {3: 1, 4: 1, 5: 2}
+
+
+# ------------------------------------------------------ identical embeddings
+
+
+def test_identical_embeddings_neardup_and_survivors(spark):
+    from dqe_spark.operators import similarity as S
+
+    emb = _ident_embs(spark)
+    pairs = S.neardup_srp_pairs(emb, 0.999)
+    got = pairs.collect()
+    # the 10 identical vectors pair completely at cosine 1.0; the two
+    # distinct vectors pair with nothing at this threshold
+    assert len(got) == 10 * 9 // 2
+    assert all(r["id_i"] < r["id_j"] < 10 for r in got)
+    assert all(abs(r["cos"] - 1.0) < 1e-12 for r in got)
+    survivors = sorted(
+        r["vec_id"]
+        for r in S.semantic_survivors(
+            emb, pairs.select("id_i", "id_j")
+        ).collect()
+    )
+    assert survivors == [0, 100, 101]
+
+
+def test_identical_embeddings_knn_is_total(spark):
+    from dqe_spark.operators import similarity as S
+
+    emb = _ident_embs(spark)
+    q = emb.where(F.col("vec_id") == 0)
+    corpus = emb.where(F.col("vec_id") != 0)
+    top = S.knn_bruteforce(corpus, q, 9).collect()
+    assert len(top) == 9
+    # the nine identical twins outrank both distinct vectors
+    assert {r["vec_id"] for r in top} == set(range(1, 10))
+
+
+# ---------------------------------------------------------- single hot key
+
+
+def test_single_hot_tag_key_group_by(spark):
+    """Every row in ONE group: the grouped windowed aggregate must
+    equal the global aggregate — correctness under maximal key skew
+    (AQE handles the physical skew; this pins the logical result)."""
+    from dqe_spark.operators.windows import window_agg
+
+    rows = [("m", "hot", 60_000 * (i % 7), float(i)) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "metric string, host string, ts_ms long, value double"
+    )
+    got = {
+        (r["host"], r["wts"]): r["value"]
+        for r in window_agg(
+            df, 3_600_000, F.avg("value"), "value", keys=("host",)
+        ).collect()
+    }
+    want = {
+        (r["host"], r["wts"]): r["value"]
+        for r in df.groupBy(
+            "host",
+            (F.col("ts_ms") - F.col("ts_ms") % F.lit(3_600_000)).alias("wts"),
+        )
+        .agg(F.avg("value").alias("value"))
+        .collect()
+    }
+    assert got == want and len(got) == 1

@@ -637,3 +637,37 @@ def test_knn_ann_in_language(spark):
         engine.run(spark, "SELECT ann(5, 0) LAST 1d", SF_SMOKE)
     with pytest.raises(PlanError, match="no vector"):
         engine.run(spark, "SELECT knn(999999, 5) LAST 1d", SF_SMOKE)
+
+
+def test_neardup_sizing_pass_is_cached_per_session(spark):
+    """Round-7 verdict #7: the auto_planes sizing scan behind the DQL
+    similarity front doors runs once per (sf_dir, table) per session.
+    First statement populates the memo; a second statement must read
+    it (proven by poisoning the cached entry with a sentinel and
+    checking the poisoned width takes effect — no recount happens),
+    and the results at the true width are unaffected."""
+    from dqe_spark.operators import similarity as S
+
+    S._SIZING_CACHE.clear()
+    key = (SF_SMOKE, "embeddings")
+    (res1,) = engine.run(spark, "SELECT neardup(0.2) LAST 1d", SF_SMOKE)
+    assert key in S._SIZING_CACHE
+    n_true, dims_true = S._SIZING_CACHE[key]
+    assert n_true > 0 and dims_true > 0
+
+    # poison: if the second run re-counted, the sentinel would be
+    # overwritten back to the true sizing
+    S._SIZING_CACHE[key] = (n_true, dims_true)
+    sentinel = (n_true * 1000, dims_true)
+    S._SIZING_CACHE[key] = sentinel
+    (res2,) = engine.run(spark, "SELECT neardup(0.2) LAST 1d", SF_SMOKE)
+    assert S._SIZING_CACHE[key] == sentinel  # memo read, not recomputed
+
+    # restore and confirm the cached path returns the same rows as the
+    # first (true-width) run
+    S._SIZING_CACHE[key] = (n_true, dims_true)
+    (res3,) = engine.run(spark, "SELECT neardup(0.2) LAST 1d", SF_SMOKE)
+    a = sorted(map(tuple, res1.df.collect()))
+    c = sorted(map(tuple, res3.df.collect()))
+    assert a == c
+    S._SIZING_CACHE.clear()

@@ -287,3 +287,37 @@ def test_autoscale_rebucket_keeps_increment_cost_proportional(spark):
     import shutil
 
     shutil.rmtree(p, ignore_errors=True)
+
+
+def test_expire_docs_before_equals_rebuild_from_filtered_corpus(spark):
+    """Gram-store TTL (round-7 verdict #6): post-TTL store equals a
+    fresh build from the age-filtered corpus — the same invariant the
+    rollup ladders pin for expire_rollup_before — and the probe over
+    the aged store no longer sees expired docs as owners."""
+    from dqe_spark.sources import gram_store as GS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cutoff = int(docs.agg(F.expr("percentile_approx(doc_id, 0.3)")).first()[0])
+    p = GS._store_dir(SF_SMOKE)
+    try:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
+        GS.expire_docs_before(spark, SF_SMOKE, cutoff)
+        got = _snapshot(spark, p)
+        assert got and all(d >= cutoff for d, _, _ in got)
+        GS.build_gram_store(
+            spark, SF_SMOKE,
+            docs=docs.where(F.col("doc_id") >= cutoff), force=True,
+        )
+        assert got == _snapshot(spark, p)
+
+        # idempotent: a second TTL at the same cutoff is a no-op
+        GS.expire_docs_before(spark, SF_SMOKE, cutoff)
+        assert got == _snapshot(spark, p)
+
+        # TTL of everything leaves an empty (but loadable) store
+        GS.expire_docs_before(spark, SF_SMOKE, 10**18)
+        from pathlib import Path
+
+        assert not list(Path(p).glob("gb=*"))
+    finally:
+        GS.build_gram_store(spark, SF_SMOKE, force=True)
