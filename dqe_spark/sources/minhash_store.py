@@ -392,3 +392,24 @@ def purge_doc_ids(
     )
     sh.write.mode("overwrite").parquet(str(sh_path))
     return p
+
+
+def expire_docs_before(
+    spark: SparkSession,
+    sf_dir: str,
+    doc_id_cutoff: int,
+    variant: str | None = None,
+) -> Path:
+    """Age-out (TTL) for the signature store — lifecycle parity with
+    the gram store and the rollup ladders (round-8). Documents carry
+    no timestamp, so retention is expressed on the landing order:
+    every band row and shingle of doc_id < cutoff is dropped via the
+    SAME rewrite purge_doc_ids uses, so post-TTL store == rebuild from
+    the age-filtered corpus (pinned in tests/test_minhash_store.py)."""
+    p = _store_dir(sf_dir, variant)
+    old = (
+        spark.read.parquet(str(p / "_shingles"))
+        .select("doc_id")
+        .where(F.col("doc_id") < int(doc_id_cutoff))
+    )
+    return purge_doc_ids(spark, sf_dir, old, variant)

@@ -231,3 +231,35 @@ def test_autoscale_rebucket_equals_fresh_build(spark):
     import shutil
 
     shutil.rmtree(p, ignore_errors=True)
+
+
+def test_expire_docs_before_equals_rebuild_from_filtered_corpus(spark):
+    """Minhash-store TTL: post-TTL store (bands AND shingle sidecar)
+    equals a fresh build from the age-filtered corpus — the lifecycle
+    invariant the gram store and rollup ladders pin."""
+    from dqe_spark.sources import minhash_store as MS
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cutoff = int(docs.agg(F.expr("percentile_approx(doc_id, 0.3)")).first()[0])
+    p = MS._store_dir(SF_SMOKE)
+    try:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)
+        MS.expire_docs_before(spark, SF_SMOKE, cutoff)
+        got = _snapshot(spark, p)
+        got_sh = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(p / "_shingles")).collect()
+        )
+        assert got and all(r[0] >= cutoff for r in got)
+        assert got_sh and all(d >= cutoff for d in got_sh)
+        MS.build_minhash_store(
+            spark, SF_SMOKE,
+            docs=docs.where(F.col("doc_id") >= cutoff), force=True,
+        )
+        assert got == _snapshot(spark, p)
+        assert got_sh == sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(p / "_shingles")).collect()
+        )
+    finally:
+        MS.build_minhash_store(spark, SF_SMOKE, force=True)
