@@ -109,6 +109,9 @@ EXT_HEADLINE = [
     # quality filter (vocab top-k + broadcast join + series-ln)
     "dedup_substring_strip",
     "text_surprisal",
+    # round-8 addition: arithmetic-coded JPEG (T.81 QM coder, SOF9)
+    # decode over the persisted arith fixture store
+    "multimodal_jpeg_arith",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the
@@ -152,6 +155,7 @@ def main() -> None:
     text_index.build_text_index(spark, SF_DIR)
     ann_store.ingest_ann(spark, SF_DIR)
     media_store.build_media_store(spark, SF_DIR)
+    media_store.build_media_store(spark, SF_DIR, variant="arith")
 
     # warmup: JVM + whole-stage codegen + parquet footer reads, plus
     # the Arrow python-worker pool (first pandas UDF pays its startup)

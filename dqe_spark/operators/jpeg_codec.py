@@ -422,20 +422,24 @@ def _decode_scan(
 
 
 def decode_jpeg(data: bytes) -> dict:
-    """Full JPEG decode (baseline SOF0/SOF1 and progressive SOF2) →
-    pixels + metadata (same dict shape as media_codec.decode_png:
+    """Full JPEG decode (baseline SOF0/SOF1, progressive SOF2, and
+    sequential ARITHMETIC SOF9 via operators/jpeg_arith) → pixels +
+    metadata (same dict shape as media_codec.decode_png:
     kind/width/height/channels/pixels/mean_luma). 12-bit (extended
-    sequential SOF1 / progressive SOF2) decodes too — level shift
-    2048, clamp 0..4095, output normalized to uint8 by dropping the 4
-    low-order bits. Raises MediaDecodeError for arithmetic-coded,
-    hierarchical, and malformed payloads (and for the illegal 12-bit
-    SOF0 combination)."""
+    sequential SOF1/SOF9 / progressive SOF2) decodes too — level
+    shift 2048, clamp 0..4095, output normalized to uint8 by dropping
+    the 4 low-order bits. Raises MediaDecodeError for hierarchical,
+    progressive-arithmetic (SOF10), and malformed payloads (and for
+    the illegal 12-bit SOF0 combination)."""
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeError("bad JPEG SOI")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: tbl -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: tbl -> Kx
     frame = None
     progressive = False
+    arith = False
     ri = 0
     coefs: dict[int, np.ndarray] | None = None
     frame_geo: dict = {}
@@ -476,25 +480,36 @@ def decode_jpeg(data: bytes) -> dict:
                 syms = seg[p + 17 : p + 17 + n]
                 huff[(tc, th)] = _build_decode_table(bits, syms)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2/9
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise MediaDecodeError(f"unsupported JPEG precision {prec}")
             if prec == 12 and marker == 0xC0:
                 # T.81 baseline is 8-bit only; 12-bit rides extended
-                # sequential (SOF1) or progressive (SOF2)
+                # sequential (SOF1/SOF9) or progressive (SOF2)
                 raise MediaDecodeError("12-bit sample precision in SOF0")
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": prec}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
                 f"unsupported JPEG frame type SOF marker 0x{marker:02x}"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
@@ -531,10 +546,18 @@ def decode_jpeg(data: bytes) -> dict:
             ah, al = a >> 4, a & 15
             if not progressive:
                 ss, se, ah, al = 0, 63, 0, 0
-            pos = _decode_scan(
-                data, pos, scan, frame_geo, coefs, quant, huff, ri,
-                progressive, ss, se, ah, al,
-            )
+            if arith:
+                from dqe_spark.operators import jpeg_arith
+
+                pos = jpeg_arith.decode_scan_arith(
+                    data, pos, scan, frame_geo, coefs, ri,
+                    dc_cond, ac_cond,
+                )
+            else:
+                pos = _decode_scan(
+                    data, pos, scan, frame_geo, coefs, quant, huff, ri,
+                    progressive, ss, se, ah, al,
+                )
             any_scan = True
         # else: APPn/COM/DNL — skipped
     if frame is None or not any_scan:

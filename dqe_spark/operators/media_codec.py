@@ -10,11 +10,13 @@ fully decodable from the standard library + numpy:
     8-bit gray / RGB / RGBA, non-interlaced.
   * BMP  (image/bmp)  — ``struct`` parse of BITMAPINFOHEADER; 24-bpp
     uncompressed bottom-up pixel rows.
-  * JPEG (image/jpeg) — FULL entropy decode in numpy, baseline AND
-    progressive (operators/jpeg_codec: Huffman scans with spectral
-    selection / successive approximation / EOB runs, restarts,
-    dequantize, IDCT, chroma upsample, YCbCr→RGB); arithmetic-coded,
-    hierarchical payloads still raise, honestly (12-bit decodes since round 7).
+  * JPEG (image/jpeg) — FULL entropy decode in numpy, baseline,
+    progressive AND sequential-arithmetic (operators/jpeg_codec:
+    Huffman scans with spectral selection / successive approximation
+    / EOB runs, restarts, dequantize, IDCT, chroma upsample,
+    YCbCr→RGB; operators/jpeg_arith: the T.81 QM coder for SOF9,
+    added round 8 — 12-bit decodes since round 7); hierarchical and
+    progressive-arithmetic payloads still raise, honestly.
 
 These run inside mapInPandas batches (operators/multimodal.py), so the
 decode is per-executor, Arrow-batched, and never touches the driver.

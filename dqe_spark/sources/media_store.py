@@ -30,17 +30,31 @@ from pyspark.sql import DataFrame, SparkSession
 from dqe_spark.sources.store import STORE_ROOT
 
 
-def _store_dir(sf_dir: str) -> Path:
-    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / "media"
+def _store_dir(sf_dir: str, variant: str = "baseline") -> Path:
+    name = "media" if variant == "baseline" else f"media_{variant}"
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / name
 
 
 def build_media_store(
-    spark: SparkSession, sf_dir: str, force: bool = False
+    spark: SparkSession, sf_dir: str, force: bool = False,
+    variant: str = "baseline",
 ) -> Path:
     """Materialize the JPEG fixture corpus (idempotent, atomic
     tmp+rename). Encode runs executor-side in Arrow batches — one
-    map-only pass over doc_ids, no shuffle."""
-    out = _store_dir(sf_dir)
+    map-only pass over doc_ids, no shuffle.
+
+    Variants live in their OWN directories (the advisor-r7 lesson
+    from the gram-store subset fixture: never repurpose a shared
+    store for a differently-shaped corpus):
+
+      * ``baseline`` — Huffman SOF0, value doc_id%256 at
+        (8+8·(doc_id%4)) × (8+8·(doc_id%3));
+      * ``arith`` — T.81 QM arithmetic SOF9 (operators/jpeg_arith),
+        value (doc_id·7+13)%256 at (8+8·(doc_id%5)) × (8+8·(doc_id%2))
+        with restart interval doc_id%3, so the stored corpus
+        exercises coder flush/re-init segment boundaries too.
+    """
+    out = _store_dir(sf_dir, variant)
     if not force and (out / "_SUCCESS").exists():
         return out
 
@@ -48,6 +62,7 @@ def build_media_store(
     import pandas as pd
 
     from dqe_spark.operators import jpeg_codec as J
+    from dqe_spark.operators.jpeg_arith import encode_jpeg_arith
     from dqe_spark.operators.partitioning import spread
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -56,18 +71,27 @@ def build_media_store(
         for pdf in it:
             recs = []
             for doc_id in pdf["doc_id"]:
-                w = 8 * (1 + int(doc_id) % 4)
-                h = 8 * (1 + int(doc_id) % 3)
-                c = int(doc_id) % 256
-                enc = J.encode_jpeg_baseline(
-                    np.full((h, w), c, dtype=np.uint8)
-                )
+                if variant == "arith":
+                    w = 8 * (1 + int(doc_id) % 5)
+                    h = 8 * (1 + int(doc_id) % 2)
+                    c = (int(doc_id) * 7 + 13) % 256
+                    enc = encode_jpeg_arith(
+                        np.full((h, w), c, dtype=np.uint8),
+                        restart_interval=int(doc_id) % 3,
+                    )
+                else:
+                    w = 8 * (1 + int(doc_id) % 4)
+                    h = 8 * (1 + int(doc_id) % 3)
+                    c = int(doc_id) % 256
+                    enc = J.encode_jpeg_baseline(
+                        np.full((h, w), c, dtype=np.uint8)
+                    )
                 recs.append((int(doc_id), enc, "image/jpeg"))
             yield pd.DataFrame(
                 recs, columns=["doc_id", "content", "media_type"]
             )
 
-    tmp = out.parent / "_tmp_media"
+    tmp = out.parent / f"_tmp_{out.name}"
     if tmp.exists():
         shutil.rmtree(tmp)
     (
@@ -90,8 +114,10 @@ def build_media_store(
     return out
 
 
-def load_media_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _store_dir(sf_dir)
+def load_media_store(
+    spark: SparkSession, sf_dir: str, variant: str = "baseline"
+) -> DataFrame:
+    p = _store_dir(sf_dir, variant)
     if not (p / "_SUCCESS").exists():
-        build_media_store(spark, sf_dir)
+        build_media_store(spark, sf_dir, variant=variant)
     return spark.read.parquet(str(p))

@@ -338,25 +338,29 @@ def test_jpeg_roundtrip_error_bounds():
 
 
 def test_jpeg_dispatch_and_unsupported_raises():
-    """decode_media('image/jpeg') returns real pixels for baseline AND
-    progressive payloads; genuinely undecodable frame types
-    (arithmetic-coded SOF9) raise MediaDecodeError per row."""
+    """decode_media('image/jpeg') returns real pixels for baseline,
+    progressive AND sequential-arithmetic payloads; genuinely
+    undecodable frame types (progressive-arithmetic SOF10) raise
+    MediaDecodeError per row."""
     from dqe_spark.operators import jpeg_codec as J
+    from dqe_spark.operators.jpeg_arith import encode_jpeg_arith
 
     px = np.full((8, 8), 42, dtype=np.uint8)
     d = mc.decode_media(J.encode_jpeg_baseline(px), "image/jpeg")
     assert d["mean_luma"] == 42.0 and d["kind"] == "image"
     dp = mc.decode_media(J.encode_jpeg_progressive(px), "image/jpeg")
     assert dp["mean_luma"] == 42.0
+    da = mc.decode_media(encode_jpeg_arith(px), "image/jpeg")
+    assert da["mean_luma"] == 42.0
 
-    sof9 = (
+    sof10 = (
         b"\xff\xd8"
-        + b"\xff\xc9"
+        + b"\xff\xca"
         + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1)
         + b"\x01\x11\x00"
     )
     with pytest.raises(mc.MediaDecodeError, match="unsupported"):
-        mc.decode_media(sof9 + b"\xff\xd9", "image/jpeg")
+        mc.decode_media(sof10 + b"\xff\xd9", "image/jpeg")
     # the metadata-only marker scan reads any SOF header
     sof2 = (
         b"\xff\xd8"
