@@ -675,3 +675,136 @@ def unigram_surprisal(
         F.count("*").cast("long").alias("n_tokens"),
         F.expr("sum(s_e9) div count(*)").alias("mean_surprisal_e9"),
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, NeurIPS): pick the k raw-pool documents whose hashed n-gram
+    distribution looks most like a small trusted TARGET corpus.
+
+    The published recipe, made bit-exact across engines:
+
+      1. features: unigrams + space-joined bigrams of the index-rule
+         tokens, hashed into ``n_buckets`` buckets (md5-derived
+         hash60 % B — both engines agree);
+      2. bag-of-buckets models with add-1 smoothing fit on the target
+         split and the raw split in ONE aggregation pass;
+      3. per-bucket log-likelihood ratio
+         λ[b] = ln(n_t[b]+1) − ln(N_t+B) − ln(n_r[b]+1) + ln(N_r+B)
+         computed with the deterministic integer-ln of
+         operators/sketches.py and quantized to integer nano-nats —
+         per-doc importance log-weights are then INTEGER sums, immune
+         to float reduction order;
+      4. Gumbel-top-k resampling without replacement: the noise is
+         g = −ln(−ln u) with u derived from hash60('g:'‖doc_id), so
+         the "random" draw is a pure function of the doc id that
+         DuckDB replays exactly (−ln u is quantized to nano-nats,
+         then fed back through the integer-ln).
+
+    Scale shape: the model fit collapses to ≤ B rows via map-side
+    partial aggregation (B is a constant — the λ relation broadcasts
+    at any corpus size); scoring is the exploded-gram stream joined
+    broadcast-to-λ and summed per doc; selection is a distributed
+    top-k (TakeOrdered), never a global sort. Zero-gram raw docs stay
+    in the pool with logw = 0 via the final left join.
+
+    Output: (doc_id, n_grams, logw_e9, score_e9), the k selected rows,
+    ordered (score_e9 DESC, doc_id ASC).
+    """
+    from dqe_spark.operators.sketches import hash60_expr, ln_int_expr
+
+    B = int(n_buckets)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    d = df.select(
+        F.col(id_col), target.cast("boolean").alias("_is_t"),
+        toks.alias("_toks"),
+    )
+    grams = d.select(
+        id_col,
+        "_is_t",
+        F.explode(
+            F.concat(
+                F.col("_toks"),
+                F.expr(
+                    "zip_with(slice(_toks, 1, greatest(size(_toks)-1, 0)),"
+                    " slice(_toks, 2, greatest(size(_toks)-1, 0)),"
+                    " (x, y) -> concat(x, ' ', y))"
+                ),
+            )
+        ).alias("gram"),
+    )
+    bk = grams.select(
+        id_col,
+        "_is_t",
+        F.expr(f"{hash60_expr('gram', 'spark')} % {B}").alias("bucket"),
+    )
+    # one pass: per-bucket target/raw occurrence counts
+    model = bk.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = model.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    lam = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            "CAST(floor(("
+            f"{ln_int_expr('ct + 1', 'spark')}"
+            f" - {ln_int_expr(f'nt + {B}', 'spark')}"
+            f" - {ln_int_expr('cr + 1', 'spark')}"
+            f" + {ln_int_expr(f'nr + {B}', 'spark')}"
+            ") * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("lam_e9"),
+    )
+    logw = (
+        bk.where(~F.col("_is_t"))
+        .join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lam_e9").cast("long").alias("logw_e9"),
+        )
+    )
+    # deterministic Gumbel noise from the doc id, STAGED through
+    # short column refs — ln_int_expr repeats its argument ~20× per
+    # level, so nesting it on itself would blow the expression tree
+    # up exponentially (greatest(...,1) keeps the nested ln total on
+    # the measure-zero u == 1 corner)
+    h = hash60_expr(f"concat('g:', CAST({id_col} AS STRING))", "spark")
+    t_e9 = (
+        f"greatest(CAST(floor(({ln_int_expr(str(1 << 60), 'spark')}"
+        f" - {ln_int_expr('_h + 1', 'spark')})"
+        " * 1000000000.0 + 0.5) AS BIGINT), 1)"
+    )
+    g_e9 = (
+        f"CAST(floor(({ln_int_expr('1000000000', 'spark')}"
+        f" - {ln_int_expr('_t_e9', 'spark')})"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    pool = (
+        df.where(~target)
+        .select(id_col)
+        .join(logw, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("logw_e9", F.lit(0).cast("long")).alias("logw_e9"),
+            F.expr(h).alias("_h"),
+        )
+        .withColumn("_t_e9", F.expr(t_e9))
+        .withColumn("score_e9", F.expr(f"logw_e9 + ({g_e9})"))
+        .drop("_h", "_t_e9")
+    )
+    return pool.orderBy(
+        F.col("score_e9").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -4008,6 +4008,103 @@ def text_surprisal(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_oracle_sql(n_buckets: int = 4096, k: int = 100) -> str:
+    """DuckDB replay of operators/text.dsir_select: the same hashed
+    uni+bigram buckets (hash60 % B), add-1 smoothed target/raw models,
+    nano-nat-quantized log-likelihood ratios, integer per-doc sums,
+    and the hash-derived Gumbel-top-k — every non-integer step goes
+    through the shared deterministic integer-ln, so both engines
+    produce identical BIGINTs."""
+    from dqe_spark.operators import sketches as SK
+
+    B = n_buckets
+    d = "duckdb"
+    hb = SK.hash60_expr("gram", d)
+    lam = (
+        "CAST(floor(("
+        f"{SK.ln_int_expr('ct + 1', d)}"
+        f" - {SK.ln_int_expr(f'nt + {B}', d)}"
+        f" - {SK.ln_int_expr('cr + 1', d)}"
+        f" + {SK.ln_int_expr(f'nr + {B}', d)}"
+        ") * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    # the Gumbel ladder is STAGED through CTE columns h → t_e9 → g_e9
+    # for the same reason the Spark side stages it: ln_int_expr
+    # repeats its argument ~20× per nesting level
+    h = SK.hash60_expr("concat('g:', CAST(d.doc_id AS VARCHAR))", d)
+    t_e9 = (
+        f"greatest(CAST(floor(({SK.ln_int_expr(str(1 << 60), d)}"
+        f" - {SK.ln_int_expr('h + 1', d)})"
+        " * 1000000000.0 + 0.5) AS BIGINT), 1)"
+    )
+    g_e9 = (
+        f"CAST(floor(({SK.ln_int_expr('1000000000', d)}"
+        f" - {SK.ln_int_expr('t_e9', d)})"
+        " * 1000000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH ds_tk AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), ds_gr AS (
+  SELECT doc_id, is_t, unnest(toks) AS gram FROM ds_tk
+  UNION ALL
+  SELECT doc_id, is_t, toks[t.i] || ' ' || toks[t.i + 1] AS gram
+  FROM ds_tk, unnest(range(1, len(toks))) AS t(i)
+), ds_bk AS (
+  SELECT doc_id, is_t, {hb} % {B} AS bucket FROM ds_gr
+), ds_model AS (
+  SELECT bucket,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM ds_bk GROUP BY bucket
+), ds_tot AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr FROM ds_model
+), ds_lam AS (
+  SELECT bucket, {lam} AS lam_e9 FROM ds_model, ds_tot
+), ds_logw AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(l.lam_e9) AS BIGINT) AS logw_e9
+  FROM ds_bk b JOIN ds_lam l USING (bucket)
+  WHERE NOT b.is_t GROUP BY b.doc_id
+), ds_p0 AS (
+  SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
+         coalesce(w.logw_e9, 0) AS logw_e9, {h} AS h
+  FROM documents d LEFT JOIN ds_logw w ON w.doc_id = d.doc_id
+  WHERE d.lang <> 'en'
+), ds_p1 AS (
+  SELECT doc_id, n_grams, logw_e9, {t_e9} AS t_e9 FROM ds_p0
+), ds_pool AS (
+  SELECT doc_id, n_grams, logw_e9, {g_e9} AS g_e9 FROM ds_p1
+)
+SELECT doc_id, n_grams, logw_e9,
+       CAST(logw_e9 + g_e9 AS BIGINT) AS score_e9
+FROM ds_pool ORDER BY score_e9 DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@q("text_dsir_select", _dsir_oracle_sql())
+def text_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): rank the raw pool
+    (non-English docs) by how much their hashed uni+bigram bucket
+    distribution resembles the English target split, importance
+    log-weights perturbed by deterministic hash-derived Gumbel noise,
+    top-100 without replacement. The model fit is one partial-agg
+    pass to ≤4096 bucket rows (broadcastable at any corpus size);
+    scoring is a broadcast join over the exploded gram stream;
+    selection is a distributed top-k (operators/text.py
+    dsir_select)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.dsir_select(d, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
 # Cluster-level corpus profile (curation: where is the low-quality mass?)
 # ---------------------------------------------------------------------------
 

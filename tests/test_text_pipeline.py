@@ -314,3 +314,44 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     assert abs(got[2]["mean_surprisal_e9"] - (s(51) + s(1)) // 2) <= 2
     assert abs(got[3]["mean_surprisal_e9"] - s(1)) <= 2
     assert got[1]["mean_surprisal_e9"] < got[3]["mean_surprisal_e9"]
+
+
+def test_dsir_select_semantics(spark):
+    """DSIR (operators/text.dsir_select): docs sharing the target's
+    n-gram distribution must outrank distribution-foreign docs; the
+    selection draws only from the raw pool; zero-gram docs stay
+    eligible at logw 0; the hash-Gumbel draw is a pure function of
+    doc_id (re-run identical)."""
+    from dqe_spark.operators.text import dsir_select
+
+    tgt_text = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, tgt_text, True) for i in range(8)]
+    # raw pool: 0..3 echo the target distribution, 4..7 are foreign
+    rows += [(100 + i, tgt_text, False) for i in range(4)]
+    rows += [(200 + i, "zzz qqq xxx vvv kkk www yyy uuu", False)
+             for i in range(4)]
+    rows += [(300, "", False)]  # zero-gram doc stays in the pool
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+    out = dsir_select(df, F.col("is_t"), n_buckets=512, k=9).collect()
+    ids = [r.doc_id for r in out]
+    assert set(ids) <= {100, 101, 102, 103, 200, 201, 202, 203, 300}
+    assert len(ids) == 9
+    # importance weights: target-like docs strictly above foreign docs
+    w = {r.doc_id: r.logw_e9 for r in out}
+    assert min(w[i] for i in (100, 101, 102, 103)) > max(
+        w[i] for i in (200, 201, 202, 203)
+    )
+    assert w[300] == 0 and next(
+        r.n_grams for r in out if r.doc_id == 300
+    ) == 0
+    # echo docs share one text → identical logw; scores still total-
+    # ordered by the per-doc Gumbel tiebreak
+    assert len({w[i] for i in (100, 101, 102, 103)}) == 1
+    scores = [r.score_e9 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # determinism: same inputs → same rows in the same order
+    again = dsir_select(df, F.col("is_t"), n_buckets=512, k=9).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    # k truncates
+    assert len(dsir_select(df, F.col("is_t"), k=3).collect()) == 3
