@@ -4228,3 +4228,62 @@ def dedup_substring_incr(spark, sf_dir):
     # (advisor r7 #2)
     GS.build_gram_store(spark, sf_dir, docs=rest, variant="mod10ne7")
     return GS.spans_against_store(spark, sf_dir, new, variant="mod10ne7")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (Morton curve): multi-dimensional file-skipping
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql(bits: int = 16, bucket_bits: int = 6) -> str:
+    """DuckDB replay of operators/layout.zorder_locality on lineitem
+    (l_partkey × l_suppkey): identical integer quantization and bit
+    interleave, dialect-split only on shift syntax and integer
+    division."""
+    from dqe_spark.operators import layout as L
+
+    d = "duckdb"
+    xq, yq = L.zvalue_sql(
+        "CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)",
+        "mnx", "mxx", "mny", "mxy", bits, d,
+    )
+    z = L.interleave_sql("xq", "yq", bits, d)
+    top = (1 << bits) - 1
+    shift = 2 * bits - bucket_bits
+    return f"""
+WITH zo_ext AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS mnx,
+         CAST(max(l_partkey) AS BIGINT) AS mxx,
+         CAST(min(l_suppkey) AS BIGINT) AS mny,
+         CAST(max(l_suppkey) AS BIGINT) AS mxy
+  FROM lineitem
+), zo_q AS (
+  SELECT {xq} AS xq, {yq} AS yq FROM lineitem, zo_ext
+), zo_z AS (
+  SELECT xq, yq, {z} AS z FROM zo_q
+)
+SELECT z >> {shift} AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((max(xq) - min(xq)) * 10000 // {top} AS BIGINT) AS x_span_bp,
+       CAST((max(yq) - min(yq)) * 10000 // {top} AS BIGINT) AS y_span_bp
+FROM zo_z GROUP BY bucket ORDER BY bucket
+"""
+
+
+@q("layout_zorder_locality", _zorder_oracle_sql())
+def layout_zorder_locality(spark, sf_dir):
+    """Z-order (Morton-curve) layout diagnostic over lineitem's
+    (l_partkey, l_suppkey): interleave the bits of both min/max-
+    quantized keys, cut the curve into 64 prefix buckets (the files a
+    range partitioner would write), and report each bucket's
+    per-dimension span in basis points of the global range — the
+    min/max width parquet pruning would see. Z-order working means
+    spans ≪ 10000 on BOTH dimensions simultaneously (a single-column
+    sort gives ~0 on one and ~10000 on the other); the actual layout
+    writer (operators/layout.zorder_write, one range shuffle + local
+    sort) is pinned by tests/test_layout.py against real parquet
+    row-group statistics. Integer-exact on both engines, so the hash
+    gate proves the curve itself."""
+    from dqe_spark.operators import layout as L
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return L.zorder_locality(li, "l_partkey", "l_suppkey")

@@ -1,0 +1,128 @@
+"""Z-order layout (operators/layout.py): curve correctness against a
+python reference, and the claim that actually matters at 100 TB —
+after zorder_write, parquet row-group min/max statistics prune a
+two-dimensional predicate box down to a small fraction of row groups,
+where a single-column sort cannot."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from dqe_spark.operators import layout as L
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_interleave_matches_python_reference(spark):
+    rows = [(x, y) for x in range(0, 64, 7) for y in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    expr = L.interleave_sql("x", "y", 6, "spark")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", F.expr(expr)).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton_ref(x, y, 6), (x, y)
+
+
+def test_quantize_endpoints(spark):
+    df = spark.createDataFrame([(0,), (500,), (1000,)], "v long")
+    e = L.quantize_sql("v", "0", "1000", 16, "spark")
+    vals = [r.q for r in df.withColumn("q", F.expr(e)).collect()]
+    assert vals[0] == 0 and vals[2] == (1 << 16) - 1
+    assert 0 < vals[1] < (1 << 16) - 1
+
+
+def test_zorder_locality_bounds(spark):
+    """Every z-prefix bucket must be tight on BOTH dimensions — the
+    simultaneous-tightness single-column sorts cannot give."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rows = L.zorder_locality(li, "l_partkey", "l_suppkey").collect()
+    assert len(rows) > 8
+    # 64 buckets on a 2-d curve → per-dim span ≈ 1/8 of the range;
+    # allow generous slack for sparse key grids at smoke scale
+    assert max(r.x_span_bp for r in rows) < 4000
+    assert max(r.y_span_bp for r in rows) < 4000
+
+
+def _rowgroups_overlapping(path: str, col: str, lo: int, hi: int):
+    """(overlapping, total) row groups whose [min, max] for ``col``
+    intersects [lo, hi] — exactly the parquet predicate-pushdown
+    pruning decision, read from the real footers."""
+    overlap = total = 0
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            total += 1
+            if st is None or (st.min <= hi and st.max >= lo):
+                overlap += 1
+    return overlap, total
+
+
+@pytest.mark.parametrize("layout", ["zorder", "xsort"])
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path, layout):
+    """The end-to-end file-skipping claim: write lineitem z-ordered on
+    (l_partkey, l_suppkey) into many small row groups, then check the
+    row-group stats against a predicate box on EACH dimension. The
+    z-layout must prune hard on both; the single-column sort control
+    prunes only its own column — the contrast IS the reason the
+    operator exists."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    out = str(tmp_path / layout)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    if layout == "zorder":
+        L.zorder_write(li, out, "l_partkey", "l_suppkey", n_files=64)
+    else:
+        li.repartitionByRange(64, "l_partkey").sortWithinPartitions(
+            "l_partkey"
+        ).write.mode("overwrite").parquet(out)
+
+    ext = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    mnx, mxx, mny, mxy = ext
+    # a ~10%-wide box on each dimension, mid-range
+    xlo = mnx + (mxx - mnx) * 45 // 100
+    xhi = mnx + (mxx - mnx) * 55 // 100
+    ylo = mny + (mxy - mny) * 45 // 100
+    yhi = mny + (mxy - mny) * 55 // 100
+
+    xo, xt = _rowgroups_overlapping(out, "l_partkey", xlo, xhi)
+    yo, yt = _rowgroups_overlapping(out, "l_suppkey", ylo, yhi)
+    assert xt >= 32 and yt >= 32, "need enough row groups to measure"
+    if layout == "zorder":
+        # 64 z-files → 3 prefix bits per dimension → 12.5% spans; a
+        # 10% box overlaps at most 2 octants per dimension (≈ 25% of
+        # files) even when it crosses an octant boundary
+        assert xo / xt < 0.4, (xo, xt)
+        assert yo / yt < 0.4, (yo, yt)
+        # and the data still round-trips
+        back = spark.read.parquet(out)
+        assert back.count() == li.count()
+        assert back.where(
+            (F.col("l_partkey") >= xlo) & (F.col("l_partkey") <= xhi)
+        ).count() == li.where(
+            (F.col("l_partkey") >= xlo) & (F.col("l_partkey") <= xhi)
+        ).count()
+    else:
+        # the control: its own column prunes to almost nothing,
+        # the other column cannot prune at all
+        assert xo / xt <= 0.25, (xo, xt)
+        assert yo / yt > 0.8, (yo, yt)
