@@ -1,12 +1,13 @@
-"""Arithmetic-coded JPEG (ITU-T T.81 Annexes D and F): the QM coder
-and the sequential DCT arithmetic entropy layer (SOF9), encoder and
-decoder halves.
+"""Arithmetic-coded JPEG (ITU-T T.81 Annexes D, F and G): the QM
+coder and the DCT arithmetic entropy layer — sequential (SOF9) AND
+progressive (SOF10), encoder and decoder halves.
 
 This closes the last named gap in the media surface (round-7 verdict
 "What's missing" #2): arithmetic-coded JPEG previously raised an
-honest MediaDecodeError; it now decodes for sequential frames, and the
-encoder half makes the fixture corpus self-contained, exactly like the
-Huffman baseline/progressive pair in operators/jpeg_codec.py.
+honest MediaDecodeError; both arithmetic frame flavors now decode,
+and the encoder halves make the fixture corpus self-contained,
+exactly like the Huffman baseline/progressive pair in
+operators/jpeg_codec.py.
 
 Everything here is implemented from the published T.81 flowcharts:
 
@@ -378,12 +379,15 @@ def _decode_dc(
 
 def _encode_ac_block(
     enc: _ArithEncoder, st: bytearray, fixed: bytearray,
-    zz: np.ndarray, kx: int,
+    zz, kx: int, ss: int = 1, se: int = 63,
 ) -> None:
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+    """Encode the AC band [ss, se] of ``zz`` (zigzag-ordered signed
+    ints — already point-transformed for progressive first scans).
+    Sequential scans are the (1, 63) band."""
+    ke = se
+    while ke >= ss and zz[ke] == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.encode(st, base, 0)  # not EOB at this index
@@ -421,23 +425,25 @@ def _encode_ac_block(
             m >>= 1
             enc.encode(st, pos, 1 if (v1 & m) else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.encode(st, 3 * ke, 1)  # EOB decision at index ke+1
 
 
 def _decode_ac_block(
     dec: _ArithDecoder, st: bytearray, fixed: bytearray,
-    zz: np.ndarray, kx: int,
+    zz, kx: int, ss: int = 1, se: int = 63,
 ) -> None:
-    k = 1
-    while k <= 63:
+    """Decode the AC band [ss, se] into ``zz`` (zigzag-ordered);
+    values land un-shifted — progressive callers apply << Al."""
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):
             return  # EOB
         while dec.decode(st, base + 1) == 0:
             base += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise MediaDecodeError("arith JPEG AC run past block end")
         sign = dec.decode(fixed, 0)
         pos = base + 2
@@ -650,5 +656,271 @@ def encode_jpeg_arith(
                 stats.reset()
                 pred = [0] * ncomp
     out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF10) scan layer — T.81 G.1.3 / G.2: DC first scans
+# reuse the sequential DC model on point-transformed diffs, DC
+# refinement sends raw bits through the fixed bin, AC first scans are
+# the sequential AC model over the spectral band, AC refinement has
+# its own three-decision model (EOB beyond the previous stage's end,
+# newly-significant, correction bit) with signs in the fixed bin.
+
+
+def _encode_ac_refine(
+    enc: _ArithEncoder, st: bytearray, fixed: bytearray,
+    zz, ss: int, se: int, al: int,
+) -> None:
+    """``zz`` holds the TRUE partial coefficients accumulated by the
+    prior scans (bits ≥ Ah already placed); this scan codes bit Al."""
+    kex = se
+    while kex >= ss and (abs(int(zz[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not EOB yet
+        while True:
+            t = int(zz[k])
+            av = abs(t) >> al
+            if av:
+                if av > 1:  # previously significant: correction bit
+                    enc.encode(st, base + 2, av & 1)
+                else:  # newly significant
+                    enc.encode(st, base + 1, 1)
+                    enc.encode(fixed, 0, 1 if t < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * ke, 1)  # EOB at index ke+1 (ke ≥ kex)
+
+
+def _decode_ac_refine(
+    dec: _ArithDecoder, st: bytearray, fixed: bytearray,
+    zz, ss: int, se: int, al: int,
+) -> None:
+    kex = se
+    while kex >= ss and zz[kex] == 0:
+        kex -= 1
+    p1 = 1 << al
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # EOB: no more newly-significant coefficients
+        while True:
+            t = int(zz[k])
+            if t:  # previously significant: one correction bit
+                if dec.decode(st, base + 2):
+                    zz[k] = t - p1 if t < 0 else t + p1
+                break
+            if dec.decode(st, base + 1):  # newly significant
+                zz[k] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise MediaDecodeError(
+                    "arith JPEG AC refinement past band end"
+                )
+        k += 1
+
+
+def decode_scan_arith_progressive(
+    data: bytes, start: int, scan: list[dict], frame_geo: dict,
+    coefs: dict, ri: int, dc_cond: dict, ac_cond: dict,
+    ss: int, se: int, ah: int, al: int,
+) -> int:
+    """Decode one progressive arithmetic scan; the persistent natural-
+    order coefficient grids accumulate across scans exactly like the
+    Huffman progressive path's."""
+    dec = _ArithDecoder(data, start)
+    stats = _Stats(
+        {c["td"] for c in scan}, {c["ta"] for c in scan},
+        [c["id"] for c in scan],
+    )
+    pred = {c["id"]: 0 for c in scan}
+    interleaved = len(scan) > 1
+
+    def decode_block(c, by, bx):
+        cid = c["id"]
+        grid = coefs[cid][by, bx]
+        if ss == 0 and ah == 0:  # DC first
+            L, U = dc_cond.get(c["td"], DEFAULT_DC_COND)
+            diff, stats.dc_ctx[cid] = _decode_dc(
+                dec, stats.dc[c["td"]], stats.dc_ctx[cid], L, U
+            )
+            pred[cid] += diff
+            grid[0] = pred[cid] << al
+        elif ss == 0:  # DC refinement: one raw bit via the fixed bin
+            if dec.decode(stats.fixed, 0):
+                grid[0] |= 1 << al
+        else:
+            kx = ac_cond.get(c["ta"], DEFAULT_AC_KX)
+            zz = grid[ZIGZAG]
+            if ah == 0:  # AC first over the band (band was all-zero)
+                _decode_ac_block(
+                    dec, stats.ac[c["ta"]], stats.fixed, zz, kx, ss, se
+                )
+                if al:
+                    zz[ss:se + 1] <<= al
+            else:
+                _decode_ac_refine(
+                    dec, stats.ac[c["ta"]], stats.fixed, zz, ss, se, al
+                )
+            grid[ZIGZAG] = zz
+
+    def restart(expected_rst: int) -> "_ArithDecoder":
+        mp = dec.marker_pos()
+        if mp + 1 >= len(data) or data[mp] != 0xFF:
+            raise MediaDecodeError("arith JPEG missing restart marker")
+        mk = data[mp + 1]
+        if not (0xD0 <= mk <= 0xD7) or (mk - 0xD0) != expected_rst & 7:
+            raise MediaDecodeError(
+                f"arith JPEG bad restart marker 0x{mk:02x}"
+            )
+        stats.reset()
+        for kk in pred:
+            pred[kk] = 0
+        return _ArithDecoder(data, mp + 2)
+
+    rst = 0
+    if interleaved:
+        mcux, mcuy = frame_geo["mcux"], frame_geo["mcuy"]
+        total = mcux * mcuy
+        done = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                c, my * c["v"] + by, mx * c["h"] + bx
+                            )
+                done += 1
+                if ri and done % ri == 0 and done < total:
+                    dec = restart(rst)
+                    rst = (rst + 1) & 7
+    else:
+        (c,) = scan
+        total = c["bw"] * c["bh"]
+        done = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                decode_block(c, by, bx)
+                done += 1
+                if ri and done % ri == 0 and done < total:
+                    dec = restart(rst)
+                    rst = (rst + 1) & 7
+    return dec.marker_pos()
+
+
+def encode_jpeg_arith_progressive(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: tuple[int, int] = (1, 1),
+) -> bytes:
+    """PROGRESSIVE ARITHMETIC JPEG (SOF10) with the same 2 + 2-per-
+    component scan script as encode_jpeg_progressive: interleaved DC
+    first at Al=1, DC refinement, per-component AC band 1..63 first at
+    Al=1, per-component AC refinement to Al=0. Coefficients are
+    identical to every other encoder's (_prepare_coefs), so all four
+    JPEG flavors must decode to bit-identical pixels."""
+    coefs, factors, geo, _qnat, qzz = _prepare_coefs(pixels, quant, subsample)
+    L, U = DEFAULT_DC_COND
+    kx = DEFAULT_AC_KX
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qzz))
+    ncomp = 1 if geo["gray"] else 3
+    sof = struct.pack(">BHHB", 8, geo["h"], geo["w"], ncomp)
+    for i, (fv, fh) in enumerate(factors):
+        sof += bytes([i + 1, (fh << 4) | fv, 0])
+    out += _seg(0xCA, sof)
+    out += _dac_segment(0, L, U, 0, kx)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    comp_ids = list(range(1, ncomp + 1))
+    mcuy, mcux = geo["mcuy"], geo["mcux"]
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift of the
+    # SIGNED dc, same as the Huffman progressive encoder)
+    out += sos(comp_ids, 0, 0, 0, 1)
+    enc = _ArithEncoder()
+    stats = _Stats([0], [0], comp_ids)
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fv, fh) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(coefs[ci][(my * fv + by, mx * fh + bx)][0]) >> 1
+                        stats.dc_ctx[ci + 1] = _encode_dc(
+                            enc, stats.dc[0], stats.dc_ctx[ci + 1],
+                            v - pred[ci], L, U,
+                        )
+                        pred[ci] = v
+    out += enc.flush()
+
+    # scan 2: DC refinement Ah=1 → Al=0 (fixed-bin bits)
+    out += sos(comp_ids, 0, 0, 1, 0)
+    enc = _ArithEncoder()
+    stats = _Stats([0], [0], comp_ids)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fv, fh) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        dc = int(coefs[ci][(my * fv + by, mx * fh + bx)][0])
+                        enc.encode(stats.fixed, 0, dc & 1)
+    out += enc.flush()
+
+    # per-component AC scans over the REAL block grid
+    for ci, (fv, fh) in enumerate(factors):
+        cw = -(-geo["w"] * fh // geo["hmax"])
+        ch = -(-geo["h"] * fv // geo["vmax"])
+        bw_n, bh_n = -(-cw // 8), -(-ch // 8)
+        # AC first at Al=1: magnitude point transform sign·(|v|>>1)
+        out += sos([ci + 1], 1, 63, 0, 1)
+        enc = _ArithEncoder()
+        stats = _Stats([0], [0], [ci + 1])
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                zz = coefs[ci][(by, bx)]
+                vals = [
+                    (int(zz[k]) >> 1) if int(zz[k]) >= 0
+                    else -((-int(zz[k])) >> 1)
+                    for k in range(64)
+                ]
+                _encode_ac_block(
+                    enc, stats.ac[0], stats.fixed, vals, kx, 1, 63
+                )
+        out += enc.flush()
+        # AC refinement Ah=1 → Al=0
+        out += sos([ci + 1], 1, 63, 1, 0)
+        enc = _ArithEncoder()
+        stats = _Stats([0], [0], [ci + 1])
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                _encode_ac_refine(
+                    enc, stats.ac[0], stats.fixed,
+                    coefs[ci][(by, bx)], 1, 63, 0,
+                )
+        out += enc.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -423,14 +423,14 @@ def _decode_scan(
 
 def decode_jpeg(data: bytes) -> dict:
     """Full JPEG decode (baseline SOF0/SOF1, progressive SOF2, and
-    sequential ARITHMETIC SOF9 via operators/jpeg_arith) → pixels +
+    ARITHMETIC SOF9/SOF10 via operators/jpeg_arith) → pixels +
     metadata (same dict shape as media_codec.decode_png:
     kind/width/height/channels/pixels/mean_luma). 12-bit (extended
     sequential SOF1/SOF9 / progressive SOF2) decodes too — level
     shift 2048, clamp 0..4095, output normalized to uint8 by dropping
     the 4 low-order bits. Raises MediaDecodeError for hierarchical,
-    progressive-arithmetic (SOF10), and malformed payloads (and for
-    the illegal 12-bit SOF0 combination)."""
+    lossless, and malformed payloads (and for the illegal 12-bit
+    SOF0 combination)."""
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeError("bad JPEG SOI")
     quant: dict[int, np.ndarray] = {}
@@ -480,22 +480,22 @@ def decode_jpeg(data: bytes) -> dict:
                 syms = seg[p + 17 : p + 17 + n]
                 huff[(tc, th)] = _build_decode_table(bits, syms)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1/2/9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # SOF0/1/2/9/10
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec not in (8, 12):
                 raise MediaDecodeError(f"unsupported JPEG precision {prec}")
             if prec == 12 and marker == 0xC0:
                 # T.81 baseline is 8-bit only; 12-bit rides extended
-                # sequential (SOF1/SOF9) or progressive (SOF2)
+                # sequential (SOF1/SOF9) or progressive (SOF2/SOF10)
                 raise MediaDecodeError("12-bit sample precision in SOF0")
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": prec}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
                 f"unsupported JPEG frame type SOF marker 0x{marker:02x}"
@@ -546,7 +546,14 @@ def decode_jpeg(data: bytes) -> dict:
             ah, al = a >> 4, a & 15
             if not progressive:
                 ss, se, ah, al = 0, 63, 0, 0
-            if arith:
+            if arith and progressive:
+                from dqe_spark.operators import jpeg_arith
+
+                pos = jpeg_arith.decode_scan_arith_progressive(
+                    data, pos, scan, frame_geo, coefs, ri,
+                    dc_cond, ac_cond, ss, se, ah, al,
+                )
+            elif arith:
                 from dqe_spark.operators import jpeg_arith
 
                 pos = jpeg_arith.decode_scan_arith(

@@ -10,13 +10,14 @@ fully decodable from the standard library + numpy:
     8-bit gray / RGB / RGBA, non-interlaced.
   * BMP  (image/bmp)  — ``struct`` parse of BITMAPINFOHEADER; 24-bpp
     uncompressed bottom-up pixel rows.
-  * JPEG (image/jpeg) — FULL entropy decode in numpy, baseline,
-    progressive AND sequential-arithmetic (operators/jpeg_codec:
-    Huffman scans with spectral selection / successive approximation
-    / EOB runs, restarts, dequantize, IDCT, chroma upsample,
-    YCbCr→RGB; operators/jpeg_arith: the T.81 QM coder for SOF9,
+  * JPEG (image/jpeg) — FULL entropy decode in numpy across all four
+    DCT frame flavors: Huffman baseline SOF0/SOF1 and progressive
+    SOF2 (operators/jpeg_codec: spectral selection / successive
+    approximation / EOB runs, restarts, dequantize, IDCT, chroma
+    upsample, YCbCr→RGB) plus arithmetic sequential SOF9 and
+    progressive SOF10 (operators/jpeg_arith: the T.81 QM coder,
     added round 8 — 12-bit decodes since round 7); hierarchical and
-    progressive-arithmetic payloads still raise, honestly.
+    lossless payloads still raise, honestly.
 
 These run inside mapInPandas batches (operators/multimodal.py), so the
 decode is per-executor, Arrow-batched, and never touches the driver.

@@ -3778,18 +3778,20 @@ FROM documents
 """,
 )
 def multimodal_jpeg_arith(spark, sf_dir):
-    """REAL arithmetic-coded JPEG (T.81 SOF9, QM coder) entropy decode
+    """REAL arithmetic-coded JPEG (T.81 QM coder) entropy decode
     verified analytically — round 8 closes the last named media gap
     (round-7 verdict "What's missing" #2): each doc's fixture is a
-    constant-gray SEQUENTIAL ARITHMETIC JPEG of value (doc_id·7+13)%256
-    at (8+8·(doc_id%5)) × (8+8·(doc_id%2)) with restart interval
-    doc_id%3, decoded through operators/jpeg_arith (QM decoder with
-    carry/stuffing/restart handling, DC conditioning categories, AC
-    EOB/run bins) behind the same decode_jpeg front door as the
-    Huffman frames. Constant blocks are DC-only and integer
-    end-to-end at quantizer 1, so mean_luma must equal the painted
-    constant EXACTLY; the hash match proves the QM encode→decode loop
-    bit-correct over the whole corpus, restart segments included.
+    constant-gray ARITHMETIC JPEG of value (doc_id·7+13)%256 at
+    (8+8·(doc_id%5)) × (8+8·(doc_id%2)) — SEQUENTIAL SOF9 with
+    restart interval doc_id%3 for even doc_ids, PROGRESSIVE SOF10
+    (DC first/refine + per-component AC first/refine scans) for odd —
+    decoded through operators/jpeg_arith (QM decoder with carry/
+    stuffing/restart handling, DC conditioning categories, AC
+    EOB/run bins, the refinement model) behind the same decode_jpeg
+    front door as the Huffman frames. Constant blocks are DC-only and
+    integer end-to-end at quantizer 1, so mean_luma must equal the
+    painted constant EXACTLY; the hash match proves both QM
+    encode→decode loops bit-correct over the whole corpus.
 
     Fixture bytes come from the persisted media store's ``arith``
     variant directory (sources/media_store.py) — encode is a one-time

@@ -49,19 +49,32 @@ def build_media_store(
 
       * ``baseline`` — Huffman SOF0, value doc_id%256 at
         (8+8·(doc_id%4)) × (8+8·(doc_id%3));
-      * ``arith`` — T.81 QM arithmetic SOF9 (operators/jpeg_arith),
-        value (doc_id·7+13)%256 at (8+8·(doc_id%5)) × (8+8·(doc_id%2))
-        with restart interval doc_id%3, so the stored corpus
-        exercises coder flush/re-init segment boundaries too.
+      * ``arith`` — T.81 QM arithmetic (operators/jpeg_arith), value
+        (doc_id·7+13)%256 at (8+8·(doc_id%5)) × (8+8·(doc_id%2)):
+        even doc_ids are SEQUENTIAL (SOF9) with restart interval
+        doc_id%3 (coder flush/re-init boundaries), odd doc_ids are
+        PROGRESSIVE (SOF10, the full 2+2-scan script) — one corpus
+        exercises both arithmetic decoders.
+
+    A fixture-version marker invalidates stores built by an older
+    synth recipe (the _SUCCESS marker alone can't tell).
     """
+    ver = {"baseline": "v1", "arith": "v2"}.get(variant, "v1")
     out = _store_dir(sf_dir, variant)
-    if not force and (out / "_SUCCESS").exists():
+    marker = out / "_FIXTURE"
+    if (
+        not force
+        and (out / "_SUCCESS").exists()
+        and marker.exists()
+        and marker.read_text() == ver
+    ):
         return out
 
     import numpy as np
     import pandas as pd
 
     from dqe_spark.operators import jpeg_codec as J
+    from dqe_spark.operators import jpeg_arith as J2
     from dqe_spark.operators.jpeg_arith import encode_jpeg_arith
     from dqe_spark.operators.partitioning import spread
 
@@ -75,10 +88,13 @@ def build_media_store(
                     w = 8 * (1 + int(doc_id) % 5)
                     h = 8 * (1 + int(doc_id) % 2)
                     c = (int(doc_id) * 7 + 13) % 256
-                    enc = encode_jpeg_arith(
-                        np.full((h, w), c, dtype=np.uint8),
-                        restart_interval=int(doc_id) % 3,
-                    )
+                    px = np.full((h, w), c, dtype=np.uint8)
+                    if int(doc_id) % 2:
+                        enc = J2.encode_jpeg_arith_progressive(px)
+                    else:
+                        enc = encode_jpeg_arith(
+                            px, restart_interval=int(doc_id) % 3
+                        )
                 else:
                     w = 8 * (1 + int(doc_id) % 4)
                     h = 8 * (1 + int(doc_id) % 3)
@@ -111,13 +127,14 @@ def build_media_store(
         if not (out / "_SUCCESS").exists():
             raise
         shutil.rmtree(tmp, ignore_errors=True)
+    (out / "_FIXTURE").write_text(ver)
     return out
 
 
 def load_media_store(
     spark: SparkSession, sf_dir: str, variant: str = "baseline"
 ) -> DataFrame:
-    p = _store_dir(sf_dir, variant)
-    if not (p / "_SUCCESS").exists():
-        build_media_store(spark, sf_dir, variant=variant)
+    # build_media_store is the no-op fast path when the store exists
+    # AND carries the current fixture version (stale recipes rebuild)
+    p = build_media_store(spark, sf_dir, variant=variant)
     return spark.read.parquet(str(p))

@@ -197,3 +197,75 @@ def test_arith_compresses_better_than_flat_huffman():
     rng = np.random.default_rng(17)
     px = rng.integers(0, 256, size=(48, 48), dtype=np.uint8)
     assert len(encode_jpeg_arith(px)) < len(J.encode_jpeg_baseline(px))
+
+
+def test_arith_progressive_decodes_identical_to_baseline():
+    """SOF10: the progressive arithmetic scan script (DC first at
+    Al=1 → DC refine via the fixed bin → per-component AC first at
+    Al=1 → AC refine with its own EOB/newly-significant/correction
+    model) carries the same quantized coefficients as every other
+    encoder, so all four JPEG flavors decode bit-identically."""
+    from dqe_spark.operators.jpeg_arith import encode_jpeg_arith_progressive
+
+    rng = np.random.default_rng(19)
+    gray = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(encode_jpeg_arith_progressive(gray))["pixels"],
+        J.decode_jpeg(J.encode_jpeg_baseline(gray))["pixels"],
+    )
+    rgb = rng.integers(0, 256, size=(21, 26, 3), dtype=np.uint8)
+    for sub in ((1, 1), (2, 2), (2, 1)):
+        assert np.array_equal(
+            J.decode_jpeg(
+                encode_jpeg_arith_progressive(rgb, subsample=sub)
+            )["pixels"],
+            J.decode_jpeg(J.encode_jpeg_baseline(rgb, subsample=sub))[
+                "pixels"
+            ],
+        ), sub
+    # coarse quantization: EOB-heavy bands exercise the refinement
+    # model's kex/ke asymmetry and the empty-band corner
+    q = np.full(64, 32, np.int64)
+    assert np.array_equal(
+        J.decode_jpeg(
+            encode_jpeg_arith_progressive(rgb, quant=q, subsample=(2, 2))
+        )["pixels"],
+        J.decode_jpeg(
+            J.encode_jpeg_baseline(rgb, quant=q, subsample=(2, 2))
+        )["pixels"],
+    )
+
+
+def test_arith_ac_refine_model_roundtrip():
+    """The AC refinement model in isolation: random partial
+    coefficients (bits above Al placed), one refinement pass must
+    reconstruct bit Al exactly."""
+    from dqe_spark.operators.jpeg_arith import (
+        _decode_ac_refine,
+        _encode_ac_refine,
+    )
+
+    rng = np.random.RandomState(23)
+    for _ in range(10):
+        blocks = []
+        for _ in range(int(rng.randint(1, 15))):
+            full = np.zeros(64, np.int64)
+            for _ in range(int(rng.randint(0, 20))):
+                full[int(rng.randint(1, 64))] = int(rng.randint(-64, 64))
+            blocks.append(full)
+        enc = _ArithEncoder()
+        st = bytearray(AC_STAT_BINS)
+        fx = bytearray([113])
+        for full in blocks:
+            _encode_ac_refine(enc, st, fx, full, 1, 63, 0)
+        dec = _ArithDecoder(enc.flush() + b"\xff\xd9", 0)
+        st2 = bytearray(AC_STAT_BINS)
+        fx2 = bytearray([113])
+        for full in blocks:
+            # decoder starts from the prior-stage state: bit 0 cleared
+            part = np.array(
+                [(abs(v) >> 1 << 1) * (1 if v >= 0 else -1) for v in full],
+                np.int64,
+            )
+            _decode_ac_refine(dec, st2, fx2, part, 1, 63, 0)
+            assert np.array_equal(part[1:], full[1:])

@@ -338,12 +338,15 @@ def test_jpeg_roundtrip_error_bounds():
 
 
 def test_jpeg_dispatch_and_unsupported_raises():
-    """decode_media('image/jpeg') returns real pixels for baseline,
-    progressive AND sequential-arithmetic payloads; genuinely
-    undecodable frame types (progressive-arithmetic SOF10) raise
+    """decode_media('image/jpeg') returns real pixels for all four
+    DCT frame flavors (Huffman/arithmetic × sequential/progressive);
+    genuinely undecodable frame types (lossless SOF3) raise
     MediaDecodeError per row."""
     from dqe_spark.operators import jpeg_codec as J
-    from dqe_spark.operators.jpeg_arith import encode_jpeg_arith
+    from dqe_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
 
     px = np.full((8, 8), 42, dtype=np.uint8)
     d = mc.decode_media(J.encode_jpeg_baseline(px), "image/jpeg")
@@ -352,15 +355,17 @@ def test_jpeg_dispatch_and_unsupported_raises():
     assert dp["mean_luma"] == 42.0
     da = mc.decode_media(encode_jpeg_arith(px), "image/jpeg")
     assert da["mean_luma"] == 42.0
+    dap = mc.decode_media(encode_jpeg_arith_progressive(px), "image/jpeg")
+    assert dap["mean_luma"] == 42.0
 
-    sof10 = (
+    sof3 = (
         b"\xff\xd8"
-        + b"\xff\xca"
+        + b"\xff\xc3"
         + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1)
         + b"\x01\x11\x00"
     )
     with pytest.raises(mc.MediaDecodeError, match="unsupported"):
-        mc.decode_media(sof10 + b"\xff\xd9", "image/jpeg")
+        mc.decode_media(sof3 + b"\xff\xd9", "image/jpeg")
     # the metadata-only marker scan reads any SOF header
     sof2 = (
         b"\xff\xd8"
