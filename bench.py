@@ -109,9 +109,12 @@ EXT_HEADLINE = [
     # quality filter (vocab top-k + broadcast join + series-ln)
     "dedup_substring_strip",
     "text_surprisal",
-    # round-8 addition: arithmetic-coded JPEG (T.81 QM coder, SOF9)
-    # decode over the persisted arith fixture store
+    # round-8 additions: arithmetic-coded JPEG (T.81 QM coder,
+    # SOF9+SOF10) decode over the persisted arith fixture store, DSIR
+    # importance resampling, and the z-order locality diagnostic
     "multimodal_jpeg_arith",
+    "text_dsir_select",
+    "layout_zorder_locality",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the

@@ -765,6 +765,8 @@ class Compiler:
             return self._knn(node, approximate=(name == "ann"))
         if name == "surprisal":
             return self._surprisal(node)
+        if name == "dsir":
+            return self._dsir(node)
         series = [a for a in node.inputs
                   if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
                                     A.Timeshift, A.Var))]
@@ -1303,6 +1305,42 @@ class Compiler:
 
         out = unigram_surprisal(
             load_table(self.metrics.sparkSession, self.sf_dir, "documents")
+        )
+        return EventsFrame(out, unparse(node))
+
+    def _dsir(self, node: A.FCall) -> EventsFrame:
+        """dsir('<target lang>'[, k]): DSIR importance resampling in
+        the language (Xie et al. 2023) — select the k raw-pool
+        documents (lang ≠ target) whose hashed uni+bigram bucket
+        distribution best matches the target-language split, via
+        nano-nat log-likelihood ratios and hash-derived Gumbel top-k
+        (operators/text.dsir_select — same bit-exact ladder the
+        text_dsir_select registry oracle replays). The statement
+        timeframe does not apply (the corpus is not a time series)."""
+        if self.sf_dir is None:
+            raise PlanError("dsir needs a document corpus (no sf_dir bound)")
+        args = list(node.inputs)
+        if not args or not isinstance(args[0], A.Var):
+            raise PlanError(
+                "dsir('<target lang>'[, k])",
+                "not_found_fun", "dsir", arg_types(node.inputs),
+            )
+        k = 100
+        if len(args) == 2:
+            if not isinstance(args[1], int) or isinstance(
+                args[1], A.TimeUnit
+            ) or not 1 <= args[1] <= 1_000_000:
+                raise PlanError("dsir('<target lang>', k in 1..1000000)")
+            k = int(args[1])
+        elif len(args) > 2:
+            raise PlanError("dsir('<target lang>'[, k])")
+        from dqe_spark.operators.text import dsir_select
+        from dqe_spark.sources.metric_store import load_table
+
+        out = dsir_select(
+            load_table(self.metrics.sparkSession, self.sf_dir, "documents"),
+            F.col("lang") == args[0].name,
+            k=k,
         )
         return EventsFrame(out, unparse(node))
 

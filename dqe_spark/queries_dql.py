@@ -1037,3 +1037,15 @@ def dql_surprisal(spark, sf_dir):
     the operator twin)."""
     df = _one(spark, "SELECT surprisal() LAST 1d", sf_dir)
     return df.select("doc_id", "n_tokens", "mean_surprisal_e9")
+
+
+@q("dql_dsir", EXT_ORACLES["text_dsir_select"])
+def dql_dsir(spark, sf_dir):
+    """`dsir('en', 100)` in the language: DSIR importance resampling
+    (Xie et al. 2023) — the 100 non-English documents whose hashed
+    uni+bigram distribution best matches the English split, Gumbel
+    top-k on nano-nat importance weights (dql/compiler._dsir ->
+    operators/text.dsir_select; hash-gated against the same DuckDB
+    oracle as the operator twin)."""
+    df = _one(spark, "SELECT dsir('en', 100) LAST 1d", sf_dir)
+    return df.select("doc_id", "n_grams", "logw_e9", "score_e9")

@@ -671,3 +671,32 @@ def test_neardup_sizing_pass_is_cached_per_session(spark):
     c = sorted(map(tuple, res3.df.collect()))
     assert a == c
     S._SIZING_CACHE.clear()
+
+
+def test_dql_dsir_errors_and_shape(spark):
+    """dsir('<lang>'[, k]) argument surface: bad arities/types raise
+    PlanError; the happy path returns the top-k selection frame."""
+    import pytest
+
+    from dqe_spark import engine
+    from dqe_spark.dql.compiler import PlanError
+    from tests.conftest import SF_SMOKE
+
+    out = engine.run(
+        spark, "SELECT dsir('en', 5) LAST 1d", sf_dir=SF_SMOKE
+    )[0].df
+    rows = out.collect()
+    assert len(rows) == 5
+    assert {"doc_id", "n_grams", "logw_e9", "score_e9"} <= set(
+        out.columns
+    )
+    scores = [r.score_e9 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for bad in (
+        "SELECT dsir() LAST 1d",
+        "SELECT dsir(3) LAST 1d",
+        "SELECT dsir('en', 0) LAST 1d",
+        "SELECT dsir('en', 1, 2) LAST 1d",
+    ):
+        with pytest.raises(PlanError):
+            engine.run(spark, bad, sf_dir=SF_SMOKE)
