@@ -113,6 +113,7 @@ EXT_HEADLINE = [
     # SOF9+SOF10) decode over the persisted arith fixture store, DSIR
     # importance resampling, and the z-order locality diagnostic
     "multimodal_jpeg_arith",
+    "multimodal_jpeg_lossless",
     "text_dsir_select",
     "layout_zorder_locality",
 ]
@@ -159,6 +160,7 @@ def main() -> None:
     ann_store.ingest_ann(spark, SF_DIR)
     media_store.build_media_store(spark, SF_DIR)
     media_store.build_media_store(spark, SF_DIR, variant="arith")
+    media_store.build_media_store(spark, SF_DIR, variant="lossless")
 
     # warmup: JVM + whole-stage codegen + parquet footer reads, plus
     # the Arrow python-worker pool (first pandas UDF pays its startup)

@@ -16,8 +16,12 @@ Decode supports:
     the AC refinement correction-bit algorithm, T.81 G.1.2.3), EOB
     runs (EOBn), non-interleaved per-component block walks, and
     restart markers resetting predictors and the EOB run;
+  * SOF9/SOF10 — ARITHMETIC sequential and progressive, via the
+    T.81 QM coder in operators/jpeg_arith (round 8);
+  * SOF3 — LOSSLESS (Annex H): predictor + Huffman-coded modulo-2^16
+    differences, exact sample round-trip, precisions 2..16;
   * 8/16-bit quantization tables, tables redefined between scans.
-Arithmetic-coded and hierarchical payloads raise
+Hierarchical and arithmetic-lossless (SOF11) payloads raise
 MediaDecodeError per row — honest, like the rest of media_codec.
 
 Determinism: the IDCT runs in float64 with a fixed orthonormal basis
@@ -44,7 +48,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg_baseline", "encode_jpeg_progressive"]
+__all__ = ["decode_jpeg", "encode_jpeg_baseline",
+           "encode_jpeg_progressive", "encode_jpeg_lossless"]
 
 #: zigzag[i] = natural (row-major) index of the i-th coefficient in
 #: zigzag scan order (T.81 figure A.6)
@@ -428,9 +433,10 @@ def decode_jpeg(data: bytes) -> dict:
     kind/width/height/channels/pixels/mean_luma). 12-bit (extended
     sequential SOF1/SOF9 / progressive SOF2) decodes too — level
     shift 2048, clamp 0..4095, output normalized to uint8 by dropping
-    the 4 low-order bits. Raises MediaDecodeError for hierarchical,
-    lossless, and malformed payloads (and for the illegal 12-bit
-    SOF0 combination)."""
+    the 4 low-order bits. LOSSLESS SOF3 decodes to exact samples (no
+    color transform, components as stored). Raises MediaDecodeError
+    for hierarchical, arithmetic-lossless (SOF11), and malformed
+    payloads (and for the illegal 12-bit SOF0 combination)."""
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeError("bad JPEG SOI")
     quant: dict[int, np.ndarray] = {}
@@ -440,6 +446,8 @@ def decode_jpeg(data: bytes) -> dict:
     frame = None
     progressive = False
     arith = False
+    lossless = False
+    ll_planes: dict[int, np.ndarray] = {}
     ri = 0
     coefs: dict[int, np.ndarray] | None = None
     frame_geo: dict = {}
@@ -495,7 +503,21 @@ def decode_jpeg(data: bytes) -> dict:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": prec}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker == 0xC3:  # SOF3: lossless (Annex H)
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if not 2 <= prec <= 16:
+                raise MediaDecodeError(f"unsupported JPEG precision {prec}")
+            lossless = True
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                if hv != 0x11:
+                    raise MediaDecodeError(
+                        "subsampled lossless JPEG unsupported"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps, "prec": prec}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
                 f"unsupported JPEG frame type SOF marker 0x{marker:02x}"
@@ -516,6 +538,30 @@ def decode_jpeg(data: bytes) -> dict:
             if frame is None:
                 raise MediaDecodeError("JPEG SOS before SOF")
             comps = frame["comps"]
+            if lossless:
+                if ri:
+                    raise MediaDecodeError(
+                        "restart intervals in lossless JPEG unsupported"
+                    )
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    (c,) = [c for c in comps if c["id"] == cs]
+                    scan.append({**c, "td": tt >> 4})
+                psel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 15
+                for c in scan:
+                    ll_planes.setdefault(
+                        c["id"],
+                        np.zeros((frame["h"], frame["w"]), np.int64),
+                    )
+                pos = _decode_scan_lossless(
+                    data, pos, scan, frame, huff, psel, pt, ll_planes
+                )
+                frame["pt"] = pt
+                any_scan = True
+                continue
             if coefs is None:
                 w, h = frame["w"], frame["h"]
                 hmax = max(c["h"] for c in comps)
@@ -572,6 +618,29 @@ def decode_jpeg(data: bytes) -> dict:
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     prec = frame.get("prec", 8)
+    if lossless:
+        # exact samples, no color transform (T.81 defines none for
+        # lossless); normalize to uint8 by dropping extra precision
+        pt = frame.get("pt", 0)
+        planes = [
+            (ll_planes[c["id"]] << pt) for c in comps
+            if c["id"] in ll_planes
+        ]
+        if len(planes) != len(comps):
+            raise MediaDecodeError("lossless JPEG scan missing components")
+        wide = np.stack(planes, axis=2)
+        pixels = (
+            (wide >> (prec - 8)).astype(np.uint8) if prec > 8
+            else wide.astype(np.uint8)
+        )
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "channels": len(planes),
+            "pixels": pixels,
+            "mean_luma": float(pixels.astype(np.float64).mean()),
+        }
     half = float(1 << (prec - 1))
     maxv = (1 << prec) - 1
     hmax, vmax = frame_geo["hmax"], frame_geo["vmax"]
@@ -1066,5 +1135,140 @@ def encode_jpeg_progressive(
         w.flush()
         out += w.out
 
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3, T.81 Annex H): predictor + Huffman-coded
+# modulo-2^16 differences — no DCT, exact sample round-trip
+
+
+#: T.81 Table H.1 predictor selections (Ss field of the scan header)
+def _predict(plane: np.ndarray, y: int, x: int, psel: int, default: int):
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1])  # first line: Ra
+    if x == 0:
+        return int(plane[y - 1, 0])  # first column: Rb
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    if psel == 7:
+        return (ra + rb) >> 1
+    raise MediaDecodeError(f"lossless JPEG predictor {psel} out of range")
+
+
+def _decode_scan_lossless(
+    data, start, scan, frame, huff, psel, pt, planes
+) -> int:
+    """Decode one lossless scan (interleaved h=v=1 components or a
+    single component) into ``planes`` (cid → int32 (h, w)); returns
+    the next-marker position. Differences are DC-style Huffman
+    categories with SSSS=16 meaning 32768 and reconstruction is
+    modulo 2^16 (T.81 H.1.2.1). Restart intervals are not emitted by
+    the fixture encoder and rejected here — mid-line prediction reset
+    semantics would otherwise be convention, not spec."""
+    r = _BitReader(data, start)
+    prec = frame["prec"]
+    default = 1 << (prec - 1 - pt)
+    h, w = frame["h"], frame["w"]
+
+    def sample(c, y, x):
+        pl = planes[c["id"]]
+        t = huff.get((0, c["td"]))
+        if t is None:
+            raise MediaDecodeError("missing DHT for lossless scan")
+        s = _decode_symbol(r, t)
+        if s == 16:
+            diff = 32768
+        elif s:
+            diff = _extend(r.receive(s), s)
+        else:
+            diff = 0
+        pl[y, x] = (_predict(pl, y, x, psel, default) + diff) & 0xFFFF
+
+    try:
+        for y in range(h):
+            for x in range(w):
+                for c in scan:
+                    sample(c, y, x)
+    except _MarkerReached as m:
+        raise MediaDecodeError(
+            f"unexpected marker 0x{m.marker:02x} inside lossless scan"
+        ) from None
+    return r.skip_to_marker()
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray,
+    predictor: int = 4,
+    precision: int = 8,
+    point_transform: int = 0,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB pixels as LOSSLESS
+    JPEG (SOF3): predictor-based modulo-2^16 differences, DC-style
+    Huffman categories 0..16 in a self-describing flat DHT, no color
+    transform (lossless components are stored as-is — T.81 defines
+    none). decode_jpeg must reproduce the input samples EXACTLY
+    (shifted by ``point_transform`` if nonzero). ``precision`` up to
+    16; all components full-resolution (h=v=1)."""
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision must be 2..16: {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor must be 1..7: {predictor}")
+    px = np.asarray(pixels).astype(np.int64)
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None]
+    h, w, ncomp = px.shape
+    bits, syms = _flat_table(list(range(17)))
+    enc_t = _build_encode_table(bits, syms)
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(bits) + syms)
+    body = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        body += bytes([cid, 0x00])
+    body += bytes([predictor, 0, point_transform])
+    out += _seg(0xDA, body)
+
+    wtr = _BitWriter()
+    default = 1 << (precision - 1 - point_transform)
+    shifted = px >> point_transform
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                pred = _predict(
+                    shifted[:, :, ci], y, x, predictor, default
+                )
+                d = (int(shifted[y, x, ci]) - pred + 32768) % 65536 - 32768
+                if d == -32768:
+                    code, ln = enc_t[16]
+                    wtr.write(code, ln)
+                    continue
+                s = _category(d)
+                code, ln = enc_t[s]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(d if d >= 0 else d + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)

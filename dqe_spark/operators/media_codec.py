@@ -16,8 +16,10 @@ fully decodable from the standard library + numpy:
     approximation / EOB runs, restarts, dequantize, IDCT, chroma
     upsample, YCbCr→RGB) plus arithmetic sequential SOF9 and
     progressive SOF10 (operators/jpeg_arith: the T.81 QM coder,
-    added round 8 — 12-bit decodes since round 7); hierarchical and
-    lossless payloads still raise, honestly.
+    added round 8 — 12-bit decodes since round 7) AND lossless SOF3
+    (Annex H predictors, exact sample round-trip, also round 8);
+    hierarchical and arithmetic-lossless payloads still raise,
+    honestly.
 
 These run inside mapInPandas batches (operators/multimodal.py), so the
 decode is per-executor, Arrow-batched, and never touches the driver.

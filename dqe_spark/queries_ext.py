@@ -3828,6 +3828,71 @@ def multimodal_jpeg_arith(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_jpeg_lossless",
+    """
+WITH jl_g AS (
+  SELECT doc_id,
+         8 + 4 * (doc_id % 5) AS w,
+         8 + 4 * (doc_id % 3) AS h
+  FROM documents
+), jl_px AS (
+  SELECT doc_id, w, h,
+         (doc_id + 3 * x.i + 7 * y.i) % 256 AS v
+  FROM jl_g, unnest(range(0, w)) AS x(i), unnest(range(0, h)) AS y(i)
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(sum(v) AS DOUBLE) / (w * h) AS mean_luma
+FROM jl_px GROUP BY doc_id, w, h
+""",
+)
+def multimodal_jpeg_lossless(spark, sf_dir):
+    """LOSSLESS JPEG (T.81 SOF3, Annex H) decode verified on
+    NON-constant content: each doc's fixture is a gradient image
+    (doc_id + 3x + 7y) % 256 at (8+4·(doc_id%5)) × (8+4·(doc_id%3)),
+    encoded with predictor 1 + doc_id%7 — the corpus sweeps all seven
+    predictor selections. Lossless decode reproduces every sample
+    exactly, so the DuckDB oracle regenerates the pixel grid in SQL
+    and compares the true mean — a stronger contract than the DC-only
+    constant-gray trick the DCT fixtures must rely on (the mean is an
+    exact integer sum divided once, bit-identical in both engines).
+
+    Fixture bytes come from the persisted media store's ``lossless``
+    variant; the query times decode. Plan: one parquet scan → one
+    MapInPandas, zero shuffles (operators/jpeg_codec.py
+    encode_jpeg_lossless / _decode_scan_lossless)."""
+    import pandas as pd
+
+    from dqe_spark.operators import media_codec as mc
+    from dqe_spark.sources.media_store import load_media_store
+
+    media = load_media_store(spark, sf_dir, variant="lossless").select(
+        "doc_id", "content"
+    )
+
+    def decode(it):
+        for pdf in it:
+            recs = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                dd = mc.decode_media(bytes(content), "image/jpeg")
+                recs.append(
+                    (int(doc_id), dd["width"], dd["height"],
+                     dd["channels"], dd["mean_luma"])
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "channels",
+                         "mean_luma"],
+            )
+
+    return media.mapInPandas(
+        decode,
+        "doc_id long, width long, height long, channels long, "
+        "mean_luma double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact substring dedup (Lee et al. 2021): report, cut list, strip
 # ---------------------------------------------------------------------------

@@ -54,12 +54,19 @@ def build_media_store(
         even doc_ids are SEQUENTIAL (SOF9) with restart interval
         doc_id%3 (coder flush/re-init boundaries), odd doc_ids are
         PROGRESSIVE (SOF10, the full 2+2-scan script) — one corpus
-        exercises both arithmetic decoders.
+        exercises both arithmetic decoders;
+      * ``lossless`` — SOF3 (Annex H), a NON-constant gradient
+        (doc_id + 3x + 7y) % 256 at (8+4·(doc_id%5)) × (8+4·(doc_id%3))
+        with predictor 1 + doc_id%7 — lossless round-trips exactly, so
+        the oracle can pin arbitrary content, not just DC-only
+        constants, and the corpus sweeps all seven predictors.
 
     A fixture-version marker invalidates stores built by an older
     synth recipe (the _SUCCESS marker alone can't tell).
     """
-    ver = {"baseline": "v1", "arith": "v2"}.get(variant, "v1")
+    ver = {"baseline": "v1", "arith": "v2", "lossless": "v1"}.get(
+        variant, "v1"
+    )
     out = _store_dir(sf_dir, variant)
     marker = out / "_FIXTURE"
     if (
@@ -84,7 +91,17 @@ def build_media_store(
         for pdf in it:
             recs = []
             for doc_id in pdf["doc_id"]:
-                if variant == "arith":
+                if variant == "lossless":
+                    w = 8 + 4 * (int(doc_id) % 5)
+                    h = 8 + 4 * (int(doc_id) % 3)
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = ((int(doc_id) + 3 * xx + 7 * yy) % 256).astype(
+                        np.uint8
+                    )
+                    enc = J.encode_jpeg_lossless(
+                        px, predictor=1 + int(doc_id) % 7
+                    )
+                elif variant == "arith":
                     w = 8 * (1 + int(doc_id) % 5)
                     h = 8 * (1 + int(doc_id) % 2)
                     c = (int(doc_id) * 7 + 13) % 256

@@ -216,3 +216,63 @@ def test_single_hot_tag_key_group_by(spark):
         .collect()
     }
     assert got == want and len(got) == 1
+
+
+def test_dsir_degenerate_pools(spark):
+    """DSIR corners: an all-target corpus has an empty raw pool
+    (empty frame, not an error); an all-raw corpus scores against an
+    empty target model (every bucket count 0 — smoothing keeps the
+    lns total); identical docs get identical importance weights."""
+    from dqe_spark.operators.text import dsir_select
+
+    all_t = spark.createDataFrame(
+        [(i, "alpha beta", True) for i in range(4)],
+        "doc_id long, text string, is_t boolean",
+    )
+    assert dsir_select(all_t, F.col("is_t"), k=5).count() == 0
+
+    all_r = spark.createDataFrame(
+        [(i, "alpha beta", False) for i in range(4)],
+        "doc_id long, text string, is_t boolean",
+    )
+    rows = dsir_select(all_r, F.col("is_t"), k=5).collect()
+    assert len(rows) == 4
+    assert len({r.logw_e9 for r in rows}) == 1  # identical docs
+
+
+def test_zorder_constant_dimension(spark):
+    """A constant column has range 0 — greatest(...,1) pins the
+    quantizer; every row lands in one z bucket per constant dim and
+    the curve degrades to a 1-d sort on the varying dim."""
+    from dqe_spark.operators import layout as L
+
+    df = spark.createDataFrame(
+        [(7, i) for i in range(256)], "x long, y long"
+    )
+    rows = L.zorder_locality(df, "x", "y", bits=8, bucket_bits=4).collect()
+    assert sum(r.n_rows for r in rows) == 256
+    assert all(r.x_span_bp == 0 for r in rows)  # constant dim is a point
+    # the varying dim owns only the odd bit positions, so a 4-bit
+    # bucket prefix sees 2 of its bits → exactly 4 buckets at ~1/4
+    # of the y range each
+    assert len(rows) == 4
+    assert max(r.y_span_bp for r in rows) < 3000
+
+
+def test_jpeg_arith_degenerate_sizes(spark):
+    """1×1 and single-row/column images round-trip through both
+    arithmetic flavors (MCU padding, empty AC bands, EOB-only
+    blocks)."""
+    import numpy as np
+
+    from dqe_spark.operators import jpeg_codec as J
+    from dqe_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+
+    for shape in ((1, 1), (1, 37), (37, 1), (8, 8)):
+        px = np.full(shape, 200, np.uint8)
+        for enc in (encode_jpeg_arith, encode_jpeg_arith_progressive):
+            d = J.decode_jpeg(enc(px))
+            assert d["mean_luma"] == 200.0, (enc.__name__, shape)

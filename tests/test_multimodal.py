@@ -340,8 +340,8 @@ def test_jpeg_roundtrip_error_bounds():
 def test_jpeg_dispatch_and_unsupported_raises():
     """decode_media('image/jpeg') returns real pixels for all four
     DCT frame flavors (Huffman/arithmetic × sequential/progressive);
-    genuinely undecodable frame types (lossless SOF3) raise
-    MediaDecodeError per row."""
+    plus exact lossless SOF3; genuinely undecodable frame types
+    (arithmetic-lossless SOF11) raise MediaDecodeError per row."""
     from dqe_spark.operators import jpeg_codec as J
     from dqe_spark.operators.jpeg_arith import (
         encode_jpeg_arith,
@@ -358,14 +358,17 @@ def test_jpeg_dispatch_and_unsupported_raises():
     dap = mc.decode_media(encode_jpeg_arith_progressive(px), "image/jpeg")
     assert dap["mean_luma"] == 42.0
 
-    sof3 = (
+    dl = mc.decode_media(J.encode_jpeg_lossless(px), "image/jpeg")
+    assert dl["mean_luma"] == 42.0
+
+    sof11 = (
         b"\xff\xd8"
-        + b"\xff\xc3"
+        + b"\xff\xcb"
         + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1)
         + b"\x01\x11\x00"
     )
     with pytest.raises(mc.MediaDecodeError, match="unsupported"):
-        mc.decode_media(sof3 + b"\xff\xd9", "image/jpeg")
+        mc.decode_media(sof11 + b"\xff\xd9", "image/jpeg")
     # the metadata-only marker scan reads any SOF header
     sof2 = (
         b"\xff\xd8"
@@ -460,3 +463,27 @@ def test_jpeg_12bit_roundtrip_and_gates():
         encode_jpeg_baseline(np.full((8, 8), 5000), precision=12)
     with pytest.raises(ValueError, match="8 or 12"):
         encode_jpeg_baseline(gray, precision=10)
+
+
+def test_jpeg_lossless_roundtrip_exact():
+    """SOF3 lossless: decode must reproduce the input samples EXACTLY
+    for every predictor selection, gray and RGB, and the precision
+    ladder (8/12/16-bit with the uint8 normalization contract)."""
+    from dqe_spark.operators import jpeg_codec as J
+
+    rng = np.random.default_rng(29)
+    gray = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    for pred in range(1, 8):
+        d = J.decode_jpeg(J.encode_jpeg_lossless(gray, predictor=pred))
+        assert np.array_equal(d["pixels"][:, :, 0], gray), pred
+        d3 = J.decode_jpeg(J.encode_jpeg_lossless(rgb, predictor=pred))
+        assert np.array_equal(d3["pixels"], rgb), pred
+        assert d3["channels"] == 3
+    px16 = rng.integers(0, 65536, size=(9, 8)).astype(np.int64)
+    d = J.decode_jpeg(J.encode_jpeg_lossless(px16, precision=16))
+    assert np.array_equal(d["pixels"][:, :, 0], (px16 >> 8).astype(np.uint8))
+    with pytest.raises(ValueError):
+        J.encode_jpeg_lossless(gray, predictor=0)
+    with pytest.raises(ValueError):
+        J.encode_jpeg_lossless(gray, precision=17)
