@@ -708,12 +708,14 @@ def dsir_select(
          DuckDB replays exactly (−ln u is quantized to nano-nats,
          then fed back through the integer-ln).
 
-    Scale shape: the model fit collapses to ≤ B rows via map-side
-    partial aggregation (B is a constant — the λ relation broadcasts
-    at any corpus size); scoring is the exploded-gram stream joined
-    broadcast-to-λ and summed per doc; selection is a distributed
-    top-k (TakeOrdered), never a global sort. Zero-gram raw docs stay
-    in the pool with logw = 0 via the final left join.
+    Scale shape: the exploded gram stream collapses ONCE to
+    (doc, bucket) occurrence counts (map-side-combined — the only
+    corpus-sized shuffle); the model fit reduces that to ≤ B rows
+    (B is a constant — the λ relation broadcasts at any corpus size);
+    scoring is the count relation joined broadcast-to-λ with
+    Σ c·λ per doc; selection is a distributed top-k (TakeOrdered),
+    never a global sort. Zero-gram raw docs stay in the pool with
+    logw = 0 via the final left join.
 
     Output: (doc_id, n_grams, logw_e9, score_e9), the k selected rows,
     ordered (score_e9 DESC, doc_id ASC).
@@ -742,15 +744,21 @@ def dsir_select(
             )
         ).alias("gram"),
     )
+    # collapse the exploded gram stream to (doc, bucket) occurrence
+    # counts FIRST — one map-side-combined shuffle at the finest
+    # granularity any consumer needs; the model fit (B rows) and the
+    # per-doc scoring both derive from this far smaller relation
+    # instead of each re-shuffling the raw stream
     bk = grams.select(
         id_col,
         "_is_t",
         F.expr(f"{hash60_expr('gram', 'spark')} % {B}").alias("bucket"),
+    ).groupBy(id_col, "_is_t", "bucket").agg(
+        F.count("*").cast("long").alias("c")
     )
-    # one pass: per-bucket target/raw occurrence counts
     model = bk.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("cr"),
+        F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_is_t"), 0).otherwise(F.col("c"))).alias("cr"),
     )
     tot = model.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
@@ -771,8 +779,10 @@ def dsir_select(
         .join(F.broadcast(lam), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum("lam_e9").cast("long").alias("logw_e9"),
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lam_e9")).cast("long").alias(
+                "logw_e9"
+            ),
         )
     )
     # deterministic Gumbel noise from the doc id, STAGED through
