@@ -63,12 +63,22 @@ def quantize_sql(col: str, mn: str, mx: str, bits: int, dialect: str) -> str:
 def interleave_sql(xq: str, yq: str, bits: int, dialect: str) -> str:
     """Morton interleave of two ``bits``-wide non-negative integers:
     x's bit i lands at 2i, y's at 2i+1."""
+    return interleave_n_sql([xq, yq], bits, dialect)
+
+
+def interleave_n_sql(cols: list[str], bits: int, dialect: str) -> str:
+    """Morton interleave of n ``bits``-wide non-negative integers:
+    column d's bit i lands at position n·i + d. n·bits must stay
+    under 63 (signed-int64 z values in both engines)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"z value would need {n * bits} bits (> 62)")
     terms = []
     for i in range(bits):
-        terms.append(_shl(f"({_shr(xq, i, dialect)} & 1)", 2 * i, dialect))
-        terms.append(
-            _shl(f"({_shr(yq, i, dialect)} & 1)", 2 * i + 1, dialect)
-        )
+        for d, c in enumerate(cols):
+            terms.append(
+                _shl(f"({_shr(c, i, dialect)} & 1)", n * i + d, dialect)
+            )
     return "(" + " + ".join(terms) + ")"
 
 

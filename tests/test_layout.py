@@ -126,3 +126,21 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path, layout):
         # the other column cannot prune at all
         assert xo / xt <= 0.25, (xo, xt)
         assert yo / yt > 0.8, (yo, yt)
+
+
+def test_interleave_n_three_dims(spark):
+    """3-d Morton interleave against a python reference; the 2-arg
+    form must equal interleave_n_sql([x, y]) bit-for-bit."""
+    rows = [(x, y, z) for x in (0, 3, 7) for y in (0, 5, 6) for z in (1, 4)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    e3 = L.interleave_n_sql(["x", "y", "z"], 3, "spark")
+    got = df.withColumn("m", F.expr(e3)).collect()
+    for r in got:
+        want = 0
+        for i in range(3):
+            want |= ((r.x >> i) & 1) << (3 * i)
+            want |= ((r.y >> i) & 1) << (3 * i + 1)
+            want |= ((r.z >> i) & 1) << (3 * i + 2)
+        assert r.m == want, (r.x, r.y, r.z)
+    with pytest.raises(ValueError):
+        L.interleave_n_sql(["a", "b", "c", "d"], 16, "spark")
