@@ -116,6 +116,10 @@ EXT_HEADLINE = [
     "multimodal_jpeg_lossless",
     "text_dsir_select",
     "layout_zorder_locality",
+    # round-8 late additions: register-algebra retention served from
+    # the packed portable-HLL store (union sketch + inclusion-
+    # exclusion, no raw scan)
+    "rollup_retention_1d_serve",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the

@@ -4354,3 +4354,127 @@ def layout_zorder_locality(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return L.zorder_locality(li, "l_partkey", "l_suppkey")
+
+
+def _hll_retention_oracle_sql() -> str:
+    """DuckDB replay of the register-algebra retention estimate: the
+    day registers (hll_dreg, from _hll_day_oracle_ctes) are re-keyed
+    to consecutive-day PAIRS and max-merged — the union sketch of the
+    pair — then inclusion-exclusion on the rounded BIGINT estimates.
+    Every number is either an exact integer fold or the shared
+    deterministic estimate expression, so the hash gate proves the
+    whole set-algebra chain."""
+    from dqe_spark.operators import sketches as SK
+
+    z, v = SK.z_v_aggs("duckdb")
+    est = SK.estimate_expr("__z", "__v", "duckdb")
+    return f"""
+WITH {_hll_day_oracle_ctes()},
+pairreg AS (
+  SELECT event_type, p, bucket, max(r) AS r FROM (
+    SELECT event_type, wts AS p, bucket, r FROM hll_dreg
+    UNION ALL
+    SELECT event_type, wts - 86400000 AS p, bucket, r FROM hll_dreg
+  ) GROUP BY ALL
+), pairest AS (
+  SELECT event_type, p,
+         CAST(floor(({est}) + 0.5) AS BIGINT) AS union_users
+  FROM (
+    SELECT event_type, p, {z} AS __z, {v} AS __v
+    FROM pairreg GROUP BY ALL
+  )
+)
+SELECT d1.event_type,
+       d1.wts AS day1,
+       d1.wts + 86400000 AS day2,
+       d1.approx_users AS day1_users,
+       d2.approx_users AS day2_users,
+       p.union_users,
+       greatest(d1.approx_users + d2.approx_users - p.union_users,
+                0) AS returning_users,
+       greatest(d1.approx_users + d2.approx_users - p.union_users, 0)
+         * 10000 // d1.approx_users AS retention_bp
+FROM hday d1
+JOIN hday d2 ON d2.event_type = d1.event_type
+            AND d2.wts = d1.wts + 86400000
+JOIN pairest p ON p.event_type = d1.event_type AND p.p = d1.wts
+"""
+
+
+@q("rollup_retention_1d_serve", _hll_retention_oracle_sql())
+def rollup_retention_1d_serve(spark, sf_dir):
+    """Day-over-day user retention served PURELY from the packed
+    portable-HLL register store — the set-algebra payoff of keeping
+    registers instead of counts: |A∩B| is not mergeable, but
+    |A| + |B| − |A∪B| is three register folds away, and the union
+    sketch of two days is just max-merge under a pair key. Per
+    (event_type, consecutive day pair): both day estimates, the union
+    estimate, the inclusion–exclusion returning-user estimate
+    (clamped at 0 — sketch noise can push tiny intersections
+    negative), and retention in basis points of day1. No raw-events
+    scan anywhere in the plan (tests/test_serving_paths.py); at
+    100 TB this serve reads KB-sized register rows for any day pair
+    ever ingested, the shape a growth dashboard needs. Bit-exact
+    across engines for the same reason the distinct ladder is: exact
+    integer register folds + the deterministic estimate expression
+    (operators/sketches.py), integer arithmetic after rounding."""
+    from dqe_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_unpack,
+    )
+    from dqe_spark.sources.rollup import load_portable_distinct_rollup
+
+    DAY = 86_400_000
+    sk = load_portable_distinct_rollup(spark, sf_dir, 3_600_000)
+    hreg = hll_unpack(sk, ["event_type", "wts"])
+    dreg = hll_merge(
+        hreg.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
+        ["event_type", "wts"],
+    )
+    dest = hll_estimate(dreg, ["event_type", "wts"], "approx_users")
+    preg = hll_merge(
+        dreg.select(
+            "event_type",
+            F.explode(
+                F.array(F.col("wts"), F.col("wts") - F.lit(DAY))
+            ).alias("p"),
+            "bucket",
+            "r",
+        ),
+        ["event_type", "p"],
+    )
+    pest = hll_estimate(preg, ["event_type", "p"], "union_users")
+    d1 = dest.select(
+        "event_type",
+        F.col("wts").alias("day1"),
+        F.col("approx_users").alias("day1_users"),
+    )
+    d2 = dest.select(
+        "event_type",
+        (F.col("wts") - F.lit(DAY)).alias("day1"),
+        F.col("approx_users").alias("day2_users"),
+    )
+    ret = F.greatest(
+        F.col("day1_users") + F.col("day2_users") - F.col("union_users"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        d1.join(d2, ["event_type", "day1"])
+        .join(
+            pest.withColumnRenamed("p", "day1"), ["event_type", "day1"]
+        )
+        .select(
+            "event_type",
+            "day1",
+            (F.col("day1") + F.lit(DAY)).alias("day2"),
+            "day1_users",
+            "day2_users",
+            "union_users",
+            ret.alias("returning_users"),
+            F.expr(
+                "greatest(day1_users + day2_users - union_users, "
+                "CAST(0 AS BIGINT)) * 10000 div day1_users"
+            ).alias("retention_bp"),
+        )
+    )

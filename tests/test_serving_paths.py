@@ -92,3 +92,55 @@ def test_neardup_serving_operator_scans_less_than_diagnostic(spark):
         "either the invariant is free (update this test) or the "
         "serving path started paying it"
     )
+
+
+def test_retention_serve_has_no_raw_events_scan(spark):
+    """The retention serve is register algebra all the way down: the
+    plan may touch only the packed portable-HLL store. Also bound the
+    estimate against the exact day-pair intersection — inclusion-
+    exclusion compounds three ~1.6%-sigma estimates, so allow a
+    looser (but still tight at smoke scale) absolute-error budget."""
+    from dqe_spark.entry import all_queries
+    from dqe_spark.sources.metric_store import load_events
+
+    from pyspark.sql import functions as F
+
+    serve = all_queries()["rollup_retention_1d_serve"](spark, SF_SMOKE)
+    plan = _plan(serve)
+    assert "events.parquet" not in plan, (
+        "retention serve re-scans raw events — the set algebra must "
+        "run on the register store alone"
+    )
+    assert "rollup_pdistinct" in plan
+    got = {
+        (r["event_type"], r["day1"]): r["returning_users"]
+        for r in serve.collect()
+    }
+    DAY = 86_400_000
+    ev = load_events(spark, SF_SMOKE).select(
+        "event_type",
+        (F.col("ts_ms") - F.col("ts_ms") % F.lit(DAY)).alias("day"),
+        "user_id",
+    )
+    exact = {
+        (r["event_type"], r["day"]): r["n"]
+        for r in ev.alias("a")
+        .join(
+            ev.alias("b"),
+            [
+                F.col("a.event_type") == F.col("b.event_type"),
+                F.col("b.day") == F.col("a.day") + F.lit(DAY),
+                F.col("a.user_id") == F.col("b.user_id"),
+            ],
+        )
+        .groupBy(F.col("a.event_type").alias("et"), F.col("a.day").alias("day"))
+        .agg(F.count_distinct("a.user_id").alias("n"))
+        .withColumnRenamed("et", "event_type")
+        .collect()
+    }
+    assert set(exact) <= set(got)
+    for k, est in got.items():
+        true = exact.get(k, 0)
+        assert abs(est - true) <= max(3, 0.25 * max(true, 1)), (
+            f"{k}: returning_users={est} vs exact={true}"
+        )
