@@ -118,8 +118,10 @@ EXT_HEADLINE = [
     "layout_zorder_locality",
     # round-8 late additions: register-algebra retention served from
     # the packed portable-HLL store (union sketch + inclusion-
-    # exclusion, no raw scan)
+    # exclusion, no raw scan), and the portable Bloom runtime-filter
+    # semijoin (map-side probe pruning ahead of the exchange)
     "rollup_retention_1d_serve",
+    "bloom_semijoin_revenue",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the

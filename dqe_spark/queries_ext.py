@@ -4478,3 +4478,138 @@ def rollup_retention_1d_serve(spark, sf_dir):
             ).alias("retention_bp"),
         )
     )
+
+
+_BLOOM_CUT = 450_000  # o_totalprice cutoff: ~8% of orders at any sf
+_WK_MS = 7 * 86_400_000
+
+
+def _bloom_ctes():
+    from dqe_spark.operators import bloomfilter as B
+
+    return B.bloom_oracle_ctes(
+        f"SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_CUT}",
+        "o_orderkey",
+        "SELECT l_orderkey FROM lineitem",
+        "l_orderkey",
+    )
+
+
+@q(
+    "bloom_semijoin_revenue",
+    f"""
+SELECT ((epoch_us(l_shipdate) // 1000) // {_WK_MS}) * {_WK_MS} AS wts,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_extprice
+FROM lineitem
+WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_CUT})
+GROUP BY 1
+""",
+)
+def bloom_semijoin_revenue(spark, sf_dir):
+    """Weekly shipment volume of high-value orders via the portable
+    Bloom runtime-filter semijoin (operators/bloomfilter.py): the
+    filtered orders keys build a ~KB bitset, the lineitem probe is
+    pruned MAP-SIDE by K broadcast word-joins before any exchange,
+    and the exact leftsemi join then removes the Bloom's false
+    positives — so the answer is EXACTLY the plain semijoin (that is
+    the oracle) while the probe rows reaching the shuffle drop to
+    ~match-rate. At 100 TB this is the fact-table shape where the dim
+    key set is too big to broadcast as rows but trivial as bits; at
+    this sf the exact join IS broadcastable, so the win shows in
+    shuffle row counts, not wall time (tests/test_bloom.py pins the
+    no-false-negative equality and the all-broadcast prefilter plan).
+    Money exactness: l_extendedprice folds as DECIMAL(18,2) before
+    the final double cast (li_weekly_sum pattern)."""
+    from dqe_spark.operators.bloomfilter import bloom_semijoin
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _BLOOM_CUT
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    hit = bloom_semijoin(li, "l_orderkey", o, "o_orderkey")
+    wts = F.expr(
+        "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 1000 AS LONG)"
+        f" div {_WK_MS} * {_WK_MS}"
+    )
+    return (
+        hit.withColumn("wts", wts)
+        .groupBy("wts")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_extprice"),
+        )
+    )
+
+
+@q(
+    "bloom_prefilter_stats",
+    f"""
+WITH {_bloom_ctes()},
+n_b AS (SELECT count(*) AS n_build_keys FROM bloom_bkeys),
+n_p AS (SELECT count(*) AS n_probe_keys FROM bloom_pkeys),
+n_s AS (SELECT count(*) AS n_pass FROM bloom_pass),
+n_t AS (SELECT count(DISTINCT l_orderkey) AS n_true FROM lineitem
+        WHERE l_orderkey IN
+              (SELECT o_orderkey FROM orders
+               WHERE o_totalprice > {_BLOOM_CUT}))
+SELECT (SELECT m FROM bloom_m) AS m_bits,
+       n_build_keys, n_probe_keys, n_pass, n_true,
+       n_pass - n_true AS false_pos,
+       (n_pass - n_true) * 10000
+         // greatest(n_probe_keys - n_true, 1) AS fpr_bp
+FROM n_b, n_p, n_s, n_t
+""",
+)
+def bloom_prefilter_stats(spark, sf_dir):
+    """False-positive-rate diagnostic of the Bloom runtime filter —
+    HASH-GATED, not merely bounded: the DuckDB oracle rebuilds the
+    same md5-double-hashed bitset and replays the same K-bit
+    membership test, so n_pass (and therefore the measured FPR in
+    basis points of the true-negative population) must match
+    bit-for-bit. One row: bitset size, build/probe key counts, pass
+    count, true-match count, false positives, FPR. The engine's
+    sizing count is the bounded small-side scan every auto-scaled
+    sketch pays; everything after is integer-exact in both engines."""
+    from dqe_spark.operators import bloomfilter as B
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > _BLOOM_CUT
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bkeys = o.select("o_orderkey")
+    pkeys = li.select("l_orderkey").distinct()
+    words, m_bits = B.sized_bloom_build(bkeys, "o_orderkey")
+    n_b = bkeys.distinct().agg(F.count("*").alias("n_build_keys"))
+    n_p = pkeys.agg(F.count("*").alias("n_probe_keys"))
+    n_s = B.bloom_prefilter(pkeys, "l_orderkey", words, m_bits).agg(
+        F.count("*").alias("n_pass")
+    )
+    n_t = pkeys.join(
+        bkeys.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "leftsemi",
+    ).agg(F.count("*").alias("n_true"))
+    return (
+        n_b.crossJoin(n_p)
+        .crossJoin(n_s)
+        .crossJoin(n_t)
+        .select(
+            F.lit(m_bits).cast("long").alias("m_bits"),
+            "n_build_keys",
+            "n_probe_keys",
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("false_pos"),
+            F.expr(
+                "(n_pass - n_true) * 10000 "
+                "div greatest(n_probe_keys - n_true, CAST(1 AS BIGINT))"
+            ).alias("fpr_bp"),
+        )
+    )

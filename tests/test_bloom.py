@@ -1,0 +1,114 @@
+"""Portable Bloom runtime filter (operators/bloomfilter.py): the
+no-false-negative contract that makes bloom_semijoin EXACT, the
+bitset's mergeability (incremental build sides), the auto-sizing
+ladder, and the plan shape the 100 TB story rests on (prefilter =
+broadcast joins only — no probe-side exchange, no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqe_spark.operators import bloomfilter as B
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_false_negatives_and_exact_semijoin(spark):
+    build = spark.range(0, 9000, 13).select(F.col("id").alias("k"))
+    probe = spark.range(0, 30000).select(F.col("id").alias("k"))
+    words, m = B.sized_bloom_build(build, "k")
+    pre = B.bloom_prefilter(probe, "k", words, m)
+    exact = probe.join(build, "k", "leftsemi")
+    # a Bloom filter never drops a member:
+    assert exact.join(pre, "k", "left_anti").count() == 0
+    # and the composed semijoin equals the plain one exactly:
+    got = sorted(r["k"] for r in B.bloom_semijoin(probe, "k", build, "k").collect())
+    want = sorted(r["k"] for r in exact.collect())
+    assert got == want
+
+
+def test_false_positive_rate_within_budget(spark):
+    """BITS_PER_KEY=16, K=4 → worst-case (m at its 16n floor) FPR
+    ≈ 0.24 %; allow 3× for hash variance at this sample size."""
+    build = spark.range(0, 50000, 11).select(F.col("id").alias("k"))
+    probe = spark.range(0, 200000).select(F.col("id").alias("k"))
+    words, m = B.sized_bloom_build(build, "k")
+    n_pass = B.bloom_prefilter(probe, "k", words, m).count()
+    n_true = probe.join(build, "k", "leftsemi").count()
+    negatives = probe.count() - n_true
+    fpr = (n_pass - n_true) / negatives
+    assert fpr <= 3 * 0.0024, f"FPR {fpr:.4%} exceeds budget"
+
+
+def test_bitset_is_mergeable(spark):
+    """bit_or-merging two partial builds equals building from the
+    union — the property incremental landing relies on."""
+    a = spark.range(0, 4000, 7).select(F.col("id").alias("k"))
+    b = spark.range(1, 4000, 9).select(F.col("id").alias("k"))
+    m = 1 << 14
+    merged = (
+        B.bloom_build(a, "k", m)
+        .unionAll(B.bloom_build(b, "k", m))
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    once = B.bloom_build(a.unionAll(b), "k", m)
+    got = {(r["word"], r["bits"]) for r in merged.collect()}
+    want = {(r["word"], r["bits"]) for r in once.collect()}
+    assert got == want
+
+
+def test_auto_sizing_is_next_pow2_of_bits_per_key(spark):
+    assert B.next_pow2(1) == 1
+    assert B.next_pow2(64) == 64
+    assert B.next_pow2(65) == 128
+    build = spark.range(0, 700).select(F.col("id").alias("k"))
+    _, m = B.sized_bloom_build(build, "k")
+    assert m == B.next_pow2(700 * B.BITS_PER_KEY) == 16384
+
+
+def test_prefilter_plan_is_broadcast_only_and_jvm_only(spark):
+    """The probe must reach the filter without an exchange of its own
+    rows: K BroadcastHashJoins, zero SortMergeJoin, zero Python —
+    otherwise the 100 TB claim (prune BEFORE the shuffle) is false."""
+    build = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    words, m = B.sized_bloom_build(build, "k")
+    plan = _plan(B.bloom_prefilter(probe, "k", words, m))
+    assert plan.count("BroadcastHashJoin") == B.K
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bit63_masks_agree_with_duckdb(spark, duck):
+    """The sign-bit word: Spark shiftleft(1,63) wraps to int64 min,
+    DuckDB raises on the same shift — _mask_duck spells the literal.
+    Build a bitset big enough that some key lands on bit 63 of some
+    word in BOTH engines and compare whole relations."""
+    n, m = 3000, 1 << 14
+    build = spark.range(0, n).select(F.col("id").alias("k"))
+    got = {
+        (r["word"], r["bits"])
+        for r in B.bloom_build(build, "k", m).collect()
+    }
+    # any bit-63 mask shows up as a negative bits word somewhere
+    assert any(bits < 0 for _, bits in got), "construction never hit bit 63"
+    ctes = B.bloom_oracle_ctes(
+        f"SELECT range AS k FROM range(0, {n})",
+        "k",
+        "SELECT 1 AS k",  # probe unused here
+        "k",
+    )
+    # replace the auto-sized m with the fixed test m for the replay
+    rows = duck.execute(
+        f"WITH {ctes} SELECT word, bits FROM bloom_words"
+        .replace(
+            "length(bin(greatest(count(*) * 16, 64) - 1))",
+            f"length(bin({m} - 1))",
+        )
+    ).fetchall()
+    assert {(w, b) for w, b in rows} == got
