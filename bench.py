@@ -122,6 +122,10 @@ EXT_HEADLINE = [
     # semijoin (map-side probe pruning ahead of the exchange)
     "rollup_retention_1d_serve",
     "bloom_semijoin_revenue",
+    # binned interval join (equi-join shape for a range predicate) and
+    # the Count-Min watchlist serve (frequency member of the ladder)
+    "range_join_click_near_error",
+    "events_watchlist_cms_serve",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the

@@ -307,3 +307,169 @@ def hll_estimate_packed(
             F.expr(f"CAST(floor(({est}) + 0.5) AS BIGINT)").alias(out),
         )
     )
+
+
+# ---------------------------------------------------------------- CMS
+# Portable Count-Min sketch (Cormode & Muthukrishnan 2005): the
+# frequency twin of the portable HLL above. The sketch is a RELATION
+# (keys…, d, pos, c) — D hash rows × W counters, c = exact count of
+# items landing on (d, pos) — so it merges by SUM (associative,
+# lossless for the additive semantic) and point-estimates by
+# min_d(counter[d][pos_d(x)]), which never underestimates and
+# overestimates by ≤ εN with ε = e/W. Every number is an exact
+# integer from the shared 60-bit md5 hash, so a DuckDB oracle replays
+# build → merge → probe bit-for-bit — the same determinism contract
+# as the HLL registers. Positions come from Kirsch-Mitzenmacher
+# double hashing (h1 + d·h2, the bloomfilter.py trick), one md5 per
+# item instead of D independent hashes.
+
+#: CMS depth: error probability δ = e^-D ≈ 1.8 %.
+CMS_D = 4
+#: CMS width: ε = e/W ≈ 0.066 % of the cell's total count.
+CMS_W = 4096
+_CMS_SPLIT = 1 << 30
+
+
+def cms_pos_expr(h: str, d: int, dialect: str, w: int = CMS_W) -> str:
+    """Counter position of hash ``h`` in row ``d`` — double hashing
+    with the step forced odd; h < 2^60, step < 2^30, d ≤ D → every
+    intermediate fits int64 identically in both engines."""
+    div = "//" if dialect == "duckdb" else "div"
+    return (
+        f"(({h} {div} {_CMS_SPLIT}) + {d} * (({h} % {_CMS_SPLIT}) | 1))"
+        f" % {w}"
+    )
+
+
+def cms_registers(
+    df: DataFrame, keys: list[str], value_col: str, w: int = CMS_W
+) -> DataFrame:
+    """Sketch ``value_col`` occurrences per ``keys`` cell: the counter
+    relation (keys…, d, pos, c). One shuffle on (keys, d, pos) with
+    map-side partial count; ≤ D·W rows per cell regardless of row
+    count (and ∝ D·distinct(value) below saturation). NULLs dropped,
+    matching the WHERE the oracle CTEs carry."""
+    h = hash60_expr(value_col, "spark")
+    hashed = df.where(F.col(value_col).isNotNull()).select(
+        *keys, F.expr(h).alias("__h")
+    )
+    pos = hashed.select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(cms_pos_expr("__h", d, "spark", w)).alias(
+                            "pos"
+                        ),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("__e"),
+    )
+    return (
+        pos.select(*keys, F.col("__e.d").alias("d"), F.col("__e.pos").alias("pos"))
+        .groupBy(*keys, "d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold counter relations to coarser cells — SUM per (d, pos).
+    Lossless: counts are additive, so hourly sketches summed to a day
+    equal the sketch built directly at day grain (pinned in
+    tests/test_cms.py)."""
+    return registers.groupBy(*keys, "d", "pos").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def cms_probe(
+    registers: DataFrame,
+    keys: list[str],
+    probe: DataFrame,
+    value_col: str,
+    out: str = "est_count",
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-estimate each probe value against every ``keys`` cell:
+    min over the D counters the value hashes to, 0 where a counter
+    row is absent (sparse relation ⇒ absent = zero). The probe side
+    is the SMALL side (a watchlist) — it broadcasts, so the estimate
+    is one broadcast join + one groupBy over the sketch rows, never a
+    raw-data scan. Output: (keys…, value_col, out)."""
+    ph = F.expr(hash60_expr(value_col, "spark"))
+    pr = probe.select(F.col(value_col), ph.alias("__h")).select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(cms_pos_expr("__h", d, "spark", w)).alias(
+                            "pos"
+                        ),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("__e"),
+    ).select(value_col, F.col("__e.d").alias("d"), F.col("__e.pos").alias("pos"))
+    cells = registers.select(*keys).distinct()
+    # every (cell × probe × d) needs a row so an absent counter reads 0
+    grid = cells.crossJoin(F.broadcast(pr))
+    joined = grid.join(registers, [*keys, "d", "pos"], "left").select(
+        *keys, value_col, "d", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy(*keys, value_col).agg(
+        F.min("c").cast("long").alias(out)
+    )
+
+
+def cms_oracle_ctes(
+    source_sql: str,
+    keys: list[str],
+    value: str,
+    probe_sql: str,
+    w: int = CMS_W,
+) -> str:
+    """DuckDB replay of cms_registers + cms_probe: CTEs ending in
+    ``cms_est`` (keys…, value, est_count). ``source_sql`` projects the
+    keys + ``value`` column; ``probe_sql`` projects the probe values
+    (column named like ``value``)."""
+    h = hash60_expr(value, "duckdb")
+    kl = ", ".join(keys)
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {kl}, {d} AS d, {cms_pos_expr('__h', d, 'duckdb', w)} AS pos "
+        f"FROM cms_hashed"
+        for d in range(CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {value}, {d} AS d, "
+        f"{cms_pos_expr('__h', d, 'duckdb', w)} AS pos FROM cms_phashed"
+        for d in range(CMS_D)
+    )
+    return f"""cms_src AS (
+  SELECT * FROM ({source_sql}) WHERE {value} IS NOT NULL
+), cms_hashed AS (
+  SELECT {kl}, {h} AS __h FROM cms_src
+), cms_reg AS (
+  SELECT {kl}, d, pos, count(*) AS c FROM ({pos_rows}) GROUP BY ALL
+), cms_phashed AS (
+  SELECT {value}, {h} AS __h FROM (SELECT DISTINCT {value} FROM ({probe_sql}))
+), cms_ppos AS (
+  {probe_rows}
+), cms_cells AS (
+  SELECT DISTINCT {kl} FROM cms_reg
+), cms_est AS (
+  SELECT {kl}, {value},
+         CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+  FROM (
+    SELECT g.*, r.c FROM (SELECT * FROM cms_cells, cms_ppos) g
+    LEFT JOIN cms_reg r
+      ON {' AND '.join(f'r.{k} = g.{k}' for k in keys)}
+     AND r.d = g.d AND r.pos = g.pos
+  ) GROUP BY ALL
+)"""

@@ -210,3 +210,66 @@ def window_gaps(points: DataFrame, res_ms: int) -> DataFrame:
             .alias("n_missing"),
         )
     )
+
+
+def range_agg_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    radius_ms: int,
+    aggs: dict,
+    left_ts: str = "ts_ms",
+    right_ts: str = "ts_ms",
+) -> DataFrame:
+    """Interval (range) aggregate join: for each left row, fold the
+    right rows of the same ``key`` whose ``right_ts`` lies within
+    ±``radius_ms`` of ``left_ts`` — "clicks near each error", "sensor
+    readings around each alert". ``aggs`` maps output names to
+    aggregate Columns over the RIGHT side's columns; unmatched left
+    rows keep their aggregate identity (count → 0, max → NULL). Output
+    = all left columns + one column per agg; |output| = |left| always
+    — this operator deliberately does NOT emit matched pairs, whose
+    count is unbounded on hot keys.
+
+    Scale shape — the reason this is not ``l JOIN r ON key AND
+    abs(Δts) ≤ radius``: Spark plans a raw range predicate on a key
+    join as a per-key cross product (every error × every click of
+    that user). Binning both sides to ``radius_ms``-wide buckets and
+    replicating the LEFT side to its 3 adjacent bins turns it into an
+    EQUI-join on (key, bin) — one ordinary hash shuffle, candidates
+    bounded by bin co-occupancy, the exact range test applied inside
+    the join condition. A right match is in exactly one of the three
+    bins, so no pair is seen twice; replication cost is a flat 3×|left|
+    before aggregation collapses it back. At 100 TB the bin width IS
+    the skew knob: radius-wide bins mean a key must be hot within ±1
+    window to matter, and AQE's skew-join split handles the rest."""
+    lcols = left.columns
+    lpref = [F.col(c).alias(f"__l_{c}") for c in lcols]
+    bin0 = f"__l_{left_ts} div {radius_ms}"
+    l = left.select(*lpref).withColumn(  # noqa: E741
+        "__lbin",
+        F.explode(
+            F.array(
+                F.expr(f"{bin0} - 1"), F.expr(bin0), F.expr(f"{bin0} + 1")
+            )
+        ),
+    )
+    r = right.withColumn("__rbin", F.expr(f"{right_ts} div {radius_ms}"))
+    cond = (
+        (F.col(f"__l_{key}") == F.col(key))
+        & (F.col("__lbin") == F.col("__rbin"))
+        & (
+            F.abs(F.col(right_ts) - F.col(f"__l_{left_ts}"))
+            <= F.lit(radius_ms)
+        )
+    )
+    joined = l.join(r, cond, "left")
+    out = (
+        joined.groupBy(*[F.col(f"__l_{c}") for c in lcols])
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            *[F.col(f"__l_{c}").alias(c) for c in lcols],
+            *[F.col(n) for n in aggs],
+        )
+    )
+    return out

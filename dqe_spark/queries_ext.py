@@ -4613,3 +4613,109 @@ def bloom_prefilter_stats(spark, sf_dir):
             ).alias("fpr_bp"),
         )
     )
+
+
+@q(
+    "range_join_click_near_error",
+    f"""
+WITH ev AS ({_EV_MS}),
+e AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
+c AS (SELECT user_id, ts_ms, value FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts_ms,
+       count(c.user_id) AS n_nearby_clicks,
+       max(c.value) AS max_click_value
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id AND abs(c.ts_ms - e.ts_ms) <= 300000
+GROUP BY 1, 2, 3
+""",
+)
+def range_join_click_near_error(spark, sf_dir):
+    """Interval join: each error event with the count and max value of
+    the SAME user's clicks within ±5 minutes — the "activity around an
+    incident" enrichment. The oracle states the textbook range join;
+    the engine runs operators/temporal.range_agg_join, which bins both
+    sides to radius-wide buckets and replicates the error side to its
+    3 adjacent bins so Spark gets an EQUI-join on (user, bin) — one
+    hash shuffle with the exact |Δts| ≤ r test inside the join
+    condition — instead of the per-user cross product a raw range
+    predicate plans to (tests/test_temporal.py pins both the equality
+    to a literal range join and the no-cartesian plan). max is a
+    single-double fold (no accumulation ordering), so the hash gate
+    holds without rounding."""
+    from dqe_spark.operators.temporal import range_agg_join
+    from dqe_spark.sources.metric_store import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_ms", "event_type", "value"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_ms", "value"
+    )
+    return range_agg_join(
+        errors,
+        clicks,
+        key="user_id",
+        radius_ms=300_000,
+        aggs={
+            "n_nearby_clicks": F.count(F.col("user_id")),
+            "max_click_value": F.max("value"),
+        },
+    )
+
+
+def _cms_watch_oracle_ctes() -> str:
+    from dqe_spark.operators import sketches as SK
+
+    return SK.cms_oracle_ctes(
+        "SELECT event_type, "
+        "(epoch_ns(ts) // 1000000 // 86400000) * 86400000 AS wts, user_id "
+        "FROM events",
+        ["event_type", "wts"],
+        "user_id",
+        "SELECT user_id FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY 1 ORDER BY count(*) DESC, user_id ASC LIMIT 20",
+    )
+
+
+@q(
+    "events_watchlist_cms_serve",
+    f"""
+WITH {_cms_watch_oracle_ctes()}
+SELECT event_type, wts, user_id, est_count AS est_events FROM cms_est
+""",
+)
+def events_watchlist_cms_serve(spark, sf_dir):
+    """Per-day event counts for a 20-user watchlist served purely from
+    the hourly portable Count-Min store — the frequency member of the
+    sketch ladder (HLL = distinct, HDR = percentile, CMS = per-key
+    count): hourly counter relations SUM-merge to day cells (lossless,
+    additive), then each watchlist user reads min over its D=4
+    counters — a broadcast probe join over ≤ D·W counter rows per
+    cell, never the raw events (plan-guarded in
+    tests/test_serving_paths.py). HASH-GATED like the HLL ladder: the
+    DuckDB oracle rebuilds the same md5-double-hashed counters at day
+    grain (sum-merge exactness makes hour→day == direct-day) and
+    replays the same min-probe, so the estimate — overcount included —
+    must match bit-for-bit. Watchlist selection is deterministic (top
+    20 by exact total count, ties to the smaller user_id) so both
+    engines probe the same keys; accuracy (est ≥ exact, bounded
+    overcount) is pinned in tests/test_cms.py."""
+    from dqe_spark.operators.sketches import cms_merge, cms_probe
+    from dqe_spark.sources.rollup import (
+        load_cms_rollup,
+        load_cms_watchlist,
+    )
+
+    DAY = 86_400_000
+    regs = load_cms_rollup(spark, sf_dir, 3_600_000)
+    watch = load_cms_watchlist(spark, sf_dir)
+    dregs = cms_merge(
+        regs.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
+        ["event_type", "wts"],
+    )
+    return cms_probe(
+        dregs, ["event_type", "wts"], watch, "user_id", out="est_events"
+    )

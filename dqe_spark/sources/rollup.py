@@ -1042,3 +1042,108 @@ def expire_rollup_before(
         part_cols=part_cols,
         sort_cols=sort_cols,
     )
+
+
+# ----------------------------------------------------- CMS frequency
+
+def _cms_dir(sf_dir: str, res_ms: int) -> Path:
+    return (
+        STORE_ROOT / Path(sf_dir.rstrip("/")).name / f"rollup_cms_{res_ms}ms"
+    )
+
+
+def _cms_watch_dir(sf_dir: str) -> Path:
+    return STORE_ROOT / Path(sf_dir.rstrip("/")).name / "cms_watchlist"
+
+
+#: watchlist size: the serving probe set is deliberately tiny — a
+#: monitoring caller brings a bounded key set, never "all keys".
+CMS_WATCH_K = 20
+
+
+def build_cms_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    res_ms: int = 3_600_000,
+    force: bool = False,
+) -> Path:
+    """Portable Count-Min partials per (event_type, window) over
+    user_id — the frequency member of the sketch ladder (HLL =
+    distinct, HDR histogram = percentile, CMS = per-key count).
+    Stored as the counter relation (event_type, wts, d, pos, c):
+    ≤ D·W rows per cell by construction, ∝ D·active-users below that
+    — at hourly grain the relation IS sparse, so the HLL round-7
+    packing lesson doesn't bite a serve here. Merges to any coarser
+    window by SUM (lossless for the additive semantic)."""
+    from dqe_spark.operators.sketches import cms_registers
+    from dqe_spark.sources.metric_store import load_events
+
+    out = _cms_dir(sf_dir, res_ms)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    ev = load_events(spark, sf_dir)
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    regs = cms_registers(
+        ev.select("event_type", wts, "user_id"),
+        ["event_type", "wts"],
+        "user_id",
+    )
+    return _atomic_write(
+        regs, out, f"_tmp_rollup_cms_{res_ms}ms", part_cols=("event_type",)
+    )
+
+
+def build_cms_watchlist(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> Path:
+    """The bounded probe set a CMS serve answers for: the top-K users
+    by exact total event count at BUILD time (ties broken by smaller
+    user_id — fully deterministic, so the oracle reselects the same
+    set). Built once alongside the sketch store; a production caller
+    would land its own watchlist instead."""
+    from dqe_spark.sources.metric_store import load_events
+
+    out = _cms_watch_dir(sf_dir)
+    if not force and (out / "_SUCCESS").exists():
+        return out
+    ev = load_events(spark, sf_dir)
+    top = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(CMS_WATCH_K)
+        .select("user_id")
+    )
+    tmp = out.parent / "_tmp_cms_watchlist"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    top.coalesce(1).sortWithinPartitions("user_id").write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    if out.exists():
+        shutil.rmtree(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not (out / "_SUCCESS").exists():
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def load_cms_rollup(
+    spark: SparkSession, sf_dir: str, res_ms: int = 3_600_000
+) -> DataFrame:
+    p = _cms_dir(sf_dir, res_ms)
+    if not (p / "_SUCCESS").exists():
+        build_cms_rollup(spark, sf_dir, res_ms)
+    return spark.read.parquet(str(p))
+
+
+def load_cms_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _cms_watch_dir(sf_dir)
+    if not (p / "_SUCCESS").exists():
+        build_cms_watchlist(spark, sf_dir)
+    return spark.read.parquet(str(p))

@@ -1,0 +1,113 @@
+"""Portable Count-Min sketch (operators/sketches.py CMS section):
+the additive-merge losslessness the ladder rests on, the one-sided
+error contract (never undercounts, overcount bounded by ε·N), and the
+serving-path plan guard for the watchlist query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dqe_spark.operators import sketches as SK
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _toy(spark):
+    rows = [
+        ("a", h * 3_600_000, f"u{i % 40}")
+        for h in range(30)
+        for i in range(h + 1)
+    ] + [("b", 0, "u1"), ("b", 0, None)]
+    return spark.createDataFrame(rows, "k STRING, wts LONG, v STRING")
+
+
+def test_cms_merge_hourly_to_day_equals_direct_day_build(spark):
+    """Counters are additive, so sum-merging hour cells to a day must
+    equal sketching at day grain directly — the invariant that lets
+    the ladder serve ANY window from one base resolution."""
+    DAY = 86_400_000
+    df = _toy(spark)
+    hourly = SK.cms_registers(df, ["k", "wts"], "v")
+    merged = SK.cms_merge(
+        hourly.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
+        ["k", "wts"],
+    )
+    direct = SK.cms_registers(
+        df.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
+        ["k", "wts"],
+        "v",
+    )
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want
+
+
+def test_cms_probe_never_undercounts_and_bounds_overcount(spark):
+    """CMS error is one-sided: est ≥ exact always; over a cell of N
+    items the expected overcount is N/W per row, and min over D rows
+    keeps the realized error well under ε·N = (e/W)·N — assert the
+    hard floor exactly and the ceiling with slack."""
+    df = _toy(spark).where(F.col("v").isNotNull())
+    regs = SK.cms_registers(df, ["k"], "v")
+    probe = df.select("v").distinct()
+    est = {
+        (r["k"], r["v"]): r["est_count"]
+        for r in SK.cms_probe(regs, ["k"], probe, "v").collect()
+    }
+    exact = {
+        (r["k"], r["v"]): r["n"]
+        for r in df.groupBy("k", "v").agg(F.count("*").alias("n")).collect()
+    }
+    n_cell = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    for cell_key, true in exact.items():
+        e = est[cell_key]
+        assert e >= true, f"{cell_key}: CMS undercounted {e} < {true}"
+        budget = max(3, int(2.72 / SK.CMS_W * n_cell[cell_key[0]]) + 1)
+        assert e - true <= budget, (
+            f"{cell_key}: overcount {e - true} exceeds ε·N budget {budget}"
+        )
+    # absent keys probe to collisions only — tiny, never negative
+    ghost = SK.cms_probe(
+        regs, ["k"], spark.createDataFrame([("zzz-never",)], "v STRING"), "v"
+    ).collect()
+    for r in ghost:
+        assert 0 <= r["est_count"] <= 3
+
+
+def test_cms_register_shape_is_bounded(spark):
+    """≤ D·W rows per cell by construction; with few distinct values
+    the relation is ∝ D·distinct (sparse — the reason the relation
+    layout serves fine where the HLL needed packing)."""
+    df = _toy(spark)
+    regs = SK.cms_registers(df, ["k"], "v")
+    per_cell = {
+        r["k"]: r["n"]
+        for r in regs.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    n_distinct = {
+        r["k"]: r["n"]
+        for r in df.where(F.col("v").isNotNull())
+        .groupBy("k")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    for k, n in per_cell.items():
+        assert n <= SK.CMS_D * SK.CMS_W
+        assert n <= SK.CMS_D * n_distinct[k]  # ≤, == absent collisions
+
+
+def test_watchlist_serve_plan_reads_store_not_raw(spark):
+    from dqe_spark.entry import all_queries
+
+    df = all_queries()["events_watchlist_cms_serve"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "events.parquet" not in plan
+    assert "rollup_cms" in plan
+    assert "cms_watchlist" in plan
+    assert "EvalPython" not in plan and "CartesianProduct" not in plan

@@ -369,3 +369,88 @@ def test_window_ops_bit_identical_under_forced_spill(spark, name):
             else:
                 spark.conf.set(k, v)
     assert base and base == spilled
+
+
+def test_range_agg_join_equals_literal_range_join(spark):
+    """range_agg_join's binned equi-join must reproduce the textbook
+    range join exactly — including zero-match left rows (count 0,
+    max NULL) and matches straddling bin boundaries."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.temporal import range_agg_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 1000), (2, "u1", 5000), (3, "u2", 999), (4, "u3", 50)],
+        "event_id INT, user_id STRING, ts_ms LONG",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 900, 1.0),    # within 1000±1000, bin boundary below
+            ("u1", 2001, 2.0),   # outside radius of event 1 by 1ms? 1001>1000 -> no; within 5000±1000? no
+            ("u1", 4000, 3.0),   # exactly at radius edge of 5000 (|Δ|=1000)
+            ("u1", 6050, 4.0),   # outside 5000+1000 by 50
+            ("u2", 1998, 5.0),   # |Δ|=999 within
+            ("u9", 0, 9.0),      # other key
+        ],
+        "user_id STRING, ts_ms LONG, value DOUBLE",
+    )
+    got = range_agg_join(
+        left,
+        right,
+        key="user_id",
+        radius_ms=1000,
+        aggs={"n": F.count("value"), "mx": F.max("value")},
+    )
+    lit = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.abs(F.col("r.ts_ms") - F.col("l.ts_ms")) <= 1000),
+            "left",
+        )
+        .groupBy("l.event_id", "l.user_id", "l.ts_ms")
+        .agg(F.count("r.value").alias("n"), F.max("r.value").alias("mx"))
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in lit.collect()}
+    assert g == w
+    # spot-pin the semantics the fixture encodes
+    by_id = {r["event_id"]: (r["n"], r["mx"]) for r in got.collect()}
+    assert by_id[1] == (1, 1.0)      # only the 900 click
+    assert by_id[2] == (1, 3.0)      # radius edge inclusive
+    assert by_id[4] == (0, None)     # no matches at all
+
+
+def test_range_agg_join_plan_is_equijoin_even_without_broadcast(spark):
+    """The 100 TB claim: with broadcast off, the plan must be a
+    shuffled EQUI-join on (key, bin) — never a per-key cross product
+    (BroadcastNestedLoop/Cartesian is what Spark plans for a raw
+    `ON key AND abs(Δts) <= r` when it cannot broadcast)."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.temporal import range_agg_join
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(1000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 50).alias("user_id"),
+            (F.col("id") * 137).alias("ts_ms"),
+        )
+        right = spark.range(5000).select(
+            (F.col("id") % 50).alias("user_id"),
+            (F.col("id") * 31).alias("ts_ms"),
+            F.rand(7).alias("value"),
+        )
+        df = range_agg_join(
+            left, right, key="user_id", radius_ms=500,
+            aggs={"n": F.count("value")},
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
