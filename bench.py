@@ -126,6 +126,8 @@ EXT_HEADLINE = [
     # the Count-Min watchlist serve (frequency member of the ladder)
     "range_join_click_near_error",
     "events_watchlist_cms_serve",
+    # Hilbert locality diagnostic (the 16-level integer fold's cost)
+    "layout_hilbert_locality",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the
@@ -164,6 +166,9 @@ def main() -> None:
     rollup.build_tagged_rollup(spark, SF_DIR, 60_000)
     rollup.build_tagged_hist_rollup(spark, SF_DIR, 60_000)
     rollup.build_distinct_rollup(spark, SF_DIR, 3_600_000)
+    rollup.build_portable_distinct_rollup(spark, SF_DIR, 3_600_000)
+    rollup.build_cms_rollup(spark, SF_DIR, 3_600_000)
+    rollup.build_cms_watchlist(spark, SF_DIR)
     from dqe_spark.sources import ann_store, media_store, text_index
 
     text_index.build_text_index(spark, SF_DIR)

@@ -4719,3 +4719,59 @@ def events_watchlist_cms_serve(spark, sf_dir):
     return cms_probe(
         dregs, ["event_type", "wts"], watch, "user_id", out="est_events"
     )
+
+
+def _hilbert_oracle_sql(bits: int = 16, bucket_bits: int = 6) -> str:
+    """DuckDB replay of operators/layout.hilbert_locality on lineitem
+    (l_partkey × l_suppkey): identical quantization (shared with the
+    z-order oracle), then the same unrolled 16-level xy2d fold as
+    chained CTEs — only +, −, &, CASE, so the curve replays exactly."""
+    from dqe_spark.operators import layout as L
+
+    d = "duckdb"
+    xq, yq = L.zvalue_sql(
+        "CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)",
+        "mnx", "mxx", "mny", "mxy", bits, d,
+    )
+    fold = L.hilbert_oracle_fold_ctes("hq", bits)
+    top = (1 << bits) - 1
+    shift = 2 * bits - bucket_bits
+    return f"""
+WITH hq_ext AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS mnx,
+         CAST(max(l_partkey) AS BIGINT) AS mxx,
+         CAST(min(l_suppkey) AS BIGINT) AS mny,
+         CAST(max(l_suppkey) AS BIGINT) AS mxy
+  FROM lineitem
+), hq AS (
+  SELECT {xq} AS xq, {yq} AS yq FROM lineitem, hq_ext
+),
+{fold}
+SELECT h >> {shift} AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST((max(xq) - min(xq)) * 10000 // {top} AS BIGINT) AS x_span_bp,
+       CAST((max(yq) - min(yq)) * 10000 // {top} AS BIGINT) AS y_span_bp
+FROM hfold GROUP BY bucket ORDER BY bucket
+"""
+
+
+@q("layout_hilbert_locality", _hilbert_oracle_sql())
+def layout_hilbert_locality(spark, sf_dir):
+    """Hilbert-curve layout diagnostic over lineitem's
+    (l_partkey, l_suppkey) — the Morton diagnostic's
+    better-locality twin, same output schema so the two are
+    comparable bucket for bucket. The Hilbert index is the unrolled
+    16-level xy2d fold staged through real columns (the DSIR
+    expression-tree lesson); the curve is proven genuine by the
+    exhaustive grid-vs-reference and unit-step tests in
+    tests/test_layout.py, which also pin the layout claim where the
+    curves truly differ: under the WRITER's arbitrary equal-depth
+    cuts (repartitionByRange bounds), a Morton file straddling a quad
+    boundary holds two far-apart rectangles (the Z jump, 6534 bp worst
+    combined span on a uniform 128² grid) while every Hilbert segment
+    stays connected (3621 bp) — aligned PREFIX buckets, as in this
+    diagnostic, are quadtree nodes on both curves and tie.
+    Integer-exact in both engines — the hash gate proves the curve."""
+    from dqe_spark.operators import layout as L
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return L.hilbert_locality(li, "l_partkey", "l_suppkey")
