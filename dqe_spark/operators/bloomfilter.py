@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from dqe_spark.operators.sketches import hash60_expr
+from dqe_spark.operators.sketches import hash60_expr, with_hash60
 
 #: number of hash probes per key (double hashing h1 + i·h2).
 K = 4
@@ -99,8 +99,7 @@ def bloom_build(df: DataFrame, col: str, m_bits: int) -> DataFrame:
     ≤ m/64 rows regardless of key count; one groupBy on word (the
     build side is the small side by assumption). Mergeable: two
     builds union + bit_or to the build of the union."""
-    h = hash60_expr(col, "spark")
-    keyed = df.select(F.expr(h).alias("__h")).distinct()
+    keyed = with_hash60(df.select(col), col).select("__h").distinct()
     pos = keyed.select(
         F.explode(
             F.array(
@@ -126,7 +125,12 @@ def sized_bloom_build(df: DataFrame, col: str) -> tuple[DataFrame, int]:
     sizing pass every auto-scaled sketch in this repo pays once."""
     n = df.select(col).distinct().count()
     m_bits = next_pow2(max(BITS_PER_KEY * n, 64))
-    return bloom_build(df, col, m_bits), m_bits
+    # materialize the (≤ m/64)-row bitset ONCE: the prefilter
+    # broadcasts it K times, and without this each broadcast re-runs
+    # the whole build-side scan + distinct + groupBy (measured 10.9 s
+    # vs ~1 s at sf0.1 — the bitset itself is KBs)
+    words = bloom_build(df, col, m_bits).localCheckpoint(eager=True)
+    return words, m_bits
 
 
 def bloom_prefilter(
@@ -136,8 +140,13 @@ def bloom_prefilter(
     hash joins on word + shift-free mask tests. Map-only over the
     probe — the plan moves no probe row to an exchange, which is the
     entire point at 100 TB. May pass false positives (bounded by the
-    sizing above), never drops a true match."""
-    out = probe.withColumn("__h", F.expr(hash60_expr(col, "spark")))
+    sizing above), never drops a true match.
+
+    The hash rides the with_hash60 Generate barrier: the K join keys
+    and K mask tests all derive from it, and Catalyst inlines plain
+    aliases — 8 inlined md5 chains measured 9.6 s where the barrier
+    form runs 1.0 s on the same sf0.1 probe."""
+    out = with_hash60(probe, col)
     cond = F.lit(True)
     for i in range(K):
         out = (

@@ -94,6 +94,24 @@ def hash60_expr(col: str, dialect: str) -> str:
     return f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
 
 
+def with_hash60(df: DataFrame, col: str, out: str = "__h") -> DataFrame:
+    """Attach the 60-bit hash as column ``out`` EVALUATED EXACTLY ONCE
+    per row, behind a Generate barrier: ``explode(array(h))`` makes
+    the hash a generator OUTPUT — an opaque attribute Catalyst cannot
+    inline — where a plain alias gets substituted into every
+    downstream reference (CollapseProject/predicate pushdown inline
+    deterministic exprs freely, and there is no determinism escape
+    hatch that survives the optimizer). The md5→hex→conv chain costs
+    ~1.6 µs/row, so k references multiply a corpus pass k-fold:
+    the round-8 bloom prefilter measured 9.6 s at sf0.1 with 8
+    inlined references and 1.0 s behind this barrier. Row count and
+    NULL semantics are unchanged (a 1-element array always explodes
+    to one row; NULL hashes stay NULL)."""
+    return df.select(
+        "*", F.explode(F.array(F.expr(hash60_expr(col, "spark")))).alias(out)
+    )
+
+
 def _bitlen(v: str, dialect: str) -> str:
     """Bit length of a positive integer (≥1): length of its binary
     string — same semantics, dialect-specific builtin."""
@@ -182,11 +200,15 @@ def hll_registers(
     partial max; output ≤ m rows per cell. NULL values are dropped
     before hashing (a NULL hashes to a NULL-bucket row that inflates
     count(*) in z_v_aggs and silently biases V — advisor r7 #3); the
-    oracle CTEs carry the matching WHERE."""
-    w = hash60_expr(value_col, "spark")
+    oracle CTEs carry the matching WHERE. The hash rides the
+    with_hash60 Generate barrier — bucket and rho both reference it,
+    and without the barrier each reference re-evaluates the md5."""
     return (
-        df.where(F.col(value_col).isNotNull())
-        .select(*keys, F.expr(w).alias("__w"))
+        with_hash60(
+            df.where(F.col(value_col).isNotNull()).select(*keys, value_col),
+            value_col,
+            "__w",
+        )
         .select(
             *keys,
             F.expr(f"__w div {TAILMOD}").alias("bucket"),
@@ -348,11 +370,12 @@ def cms_registers(
     relation (keys…, d, pos, c). One shuffle on (keys, d, pos) with
     map-side partial count; ≤ D·W rows per cell regardless of row
     count (and ∝ D·distinct(value) below saturation). NULLs dropped,
-    matching the WHERE the oracle CTEs carry."""
-    h = hash60_expr(value_col, "spark")
-    hashed = df.where(F.col(value_col).isNotNull()).select(
-        *keys, F.expr(h).alias("__h")
-    )
+    matching the WHERE the oracle CTEs carry. The hash rides the
+    with_hash60 barrier — the D position structs all reference it."""
+    hashed = with_hash60(
+        df.where(F.col(value_col).isNotNull()).select(*keys, value_col),
+        value_col,
+    ).select(*keys, "__h")
     pos = hashed.select(
         *keys,
         F.explode(
@@ -400,8 +423,7 @@ def cms_probe(
     is the SMALL side (a watchlist) — it broadcasts, so the estimate
     is one broadcast join + one groupBy over the sketch rows, never a
     raw-data scan. Output: (keys…, value_col, out)."""
-    ph = F.expr(hash60_expr(value_col, "spark"))
-    pr = probe.select(F.col(value_col), ph.alias("__h")).select(
+    pr = with_hash60(probe.select(value_col), value_col).select(
         value_col,
         F.explode(
             F.array(
