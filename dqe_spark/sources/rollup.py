@@ -1147,3 +1147,45 @@ def load_cms_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (p / "_SUCCESS").exists():
         build_cms_watchlist(spark, sf_dir)
     return spark.read.parquet(str(p))
+
+
+def merge_cms_increment(
+    spark: SparkSession,
+    new_events: DataFrame,
+    sf_dir: str,
+    res_ms: int = 3_600_000,
+) -> Path:
+    """Fold newly-landed events into the CMS store: sketch the new
+    points, SUM-merge against the stored counters of the touched
+    event_types — cost proportional to the new data, result equals a
+    from-scratch rebuild (counts are additive; pinned in
+    tests/test_cms.py). Same touched-partition dynamic-overwrite
+    contract as every other ladder."""
+    from dqe_spark.operators.sketches import cms_merge, cms_registers
+
+    out = _cms_dir(sf_dir, res_ms)
+    if not (out / "_SUCCESS").exists():
+        build_cms_rollup(spark, sf_dir, res_ms)
+        return out
+    wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
+    inc = cms_registers(
+        new_events.select("event_type", wts, "user_id"),
+        ["event_type", "wts"],
+        "user_id",
+    )
+    touched = inc.select("event_type").distinct()
+    existing = spark.read.parquet(str(out)).join(
+        F.broadcast(touched), "event_type", "left_semi"
+    )
+    merged = cms_merge(
+        existing.unionByName(inc), ["event_type", "wts"]
+    ).localCheckpoint(eager=True)
+    (
+        merged.repartition("event_type")
+        .sortWithinPartitions("wts")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(str(out))
+    )
+    return out

@@ -484,3 +484,71 @@ def stream_ann_vectors(
         vecs.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_cms_counters(
+    spark: SparkSession,
+    source_dir: str,
+    res: str = "1 hour",
+    watermark: str = "6 hours",
+    schema: str = STREAM_SCHEMA,
+) -> DataFrame:
+    """Continuous maintenance of the Count-Min counter relation — the
+    streaming twin of sources/rollup.build_cms_rollup, completing the
+    ladder symmetry (every persisted sketch store has a streaming
+    maintenance path). The per-row work is two Generates (the
+    with_hash60 barrier, then the D position structs) before an
+    ordinary windowed count, so a drained stream's counters for
+    closed windows are BIT-IDENTICAL to the batch build's (counts are
+    additive and both paths see the same rows; pinned in
+    tests/test_streaming.py). Late events beyond the watermark belong
+    to the batch merge_cms_increment backfill, which sum-merges
+    losslessly into the same cells."""
+    from dqe_spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_pos_expr,
+        with_hash60,
+    )
+
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(ev.dtypes)["ts"].startswith("timestamp"):
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    hashed = with_hash60(
+        ev.select("event_type", ts.alias("ts"), "user_id")
+        .withWatermark("ts", watermark)
+        .where(F.col("user_id").isNotNull()),
+        "user_id",
+    )
+    pos = hashed.select(
+        "event_type",
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(
+                            cms_pos_expr("__h", d, "spark", CMS_W)
+                        ).alias("pos"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("__e"),
+    ).select(
+        "event_type", "ts", F.col("__e.d").alias("d"), F.col("__e.pos").alias("pos")
+    )
+    return (
+        pos.groupBy("event_type", F.window("ts", res).alias("w"), "d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type",
+            F.unix_millis(F.col("w.start")).alias("wts"),
+            "d",
+            "pos",
+            "c",
+        )
+    )

@@ -619,3 +619,45 @@ def test_stream_gram_store_matches_rebuild(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         GS.build_gram_store(spark, SF_SMOKE, force=True)  # restore
+
+
+def test_stream_cms_counters_match_batch_bitwise(spark):
+    """Drained CMS counters are BIT-IDENTICAL to the batch build's for
+    closed windows — counts are additive and both paths see the same
+    rows; open windows belong to the merge_cms_increment backfill."""
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.streaming.ingest import stream_cms_counters
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamcms_"))
+    landing, out, ckpt = tmp / "landing", tmp / "out", tmp / "ckpt"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "batch0.parquet")
+    try:
+        agg = stream_cms_counters(spark, str(landing))
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["event_type"], r["wts"], r["d"], r["pos"]): r["c"]
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+        want = {
+            (r["event_type"], r["wts"], r["d"], r["pos"]): r["c"]
+            for r in spark.read.parquet(
+                str(R._cms_dir(SF_SMOKE, 3_600_000))
+            ).collect()
+        }
+        assert got and all(got[k] == want[k] for k in got)
+        horizon = max(w for _, w, _, _ in want) - 7 * 3_600_000
+        missing = set(want) - set(got)
+        assert all(w >= horizon for _, w, _, _ in missing)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
