@@ -128,6 +128,8 @@ EXT_HEADLINE = [
     "events_watchlist_cms_serve",
     # Hilbert locality diagnostic (the 16-level integer fold's cost)
     "layout_hilbert_locality",
+    # retention through the language (register-algebra serve, filtered)
+    "dql_retention",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the

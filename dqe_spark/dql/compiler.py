@@ -767,6 +767,8 @@ class Compiler:
             return self._surprisal(node)
         if name == "dsir":
             return self._dsir(node)
+        if name == "retention":
+            return self._retention(node)
         series = [a for a in node.inputs
                   if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
                                     A.Timeshift, A.Var))]
@@ -1342,6 +1344,34 @@ class Compiler:
             F.col("lang") == args[0].name,
             k=k,
         )
+        return EventsFrame(out, unparse(node))
+
+    def _retention(self, node: A.FCall) -> EventsFrame:
+        """retention(['<event_type>']): day-over-day returning-user
+        estimates served from the packed portable-HLL register store
+        (sources/rollup.portable_retention_1d) — |A∩B| via
+        |A|+|B|−|A∪B| on max-merged day/pair sketches, never a raw
+        scan. No argument → every event type; one string argument
+        filters. The statement timeframe does not apply (the serve
+        reads whatever day cells the store holds — retention is a
+        store-resolution product, not a point scan)."""
+        if self.sf_dir is None:
+            raise PlanError(
+                "retention needs an event store (no sf_dir bound)"
+            )
+        args = list(node.inputs)
+        if len(args) > 1 or (args and not isinstance(args[0], A.Var)):
+            raise PlanError(
+                "retention(['<event_type>'])",
+                "not_found_fun", "retention", arg_types(node.inputs),
+            )
+        from dqe_spark.sources.rollup import portable_retention_1d
+
+        out = portable_retention_1d(
+            self.metrics.sparkSession, self.sf_dir
+        )
+        if args:
+            out = out.where(F.col("event_type") == args[0].name)
         return EventsFrame(out, unparse(node))
 
     def _dedup(self, node: A.FCall) -> EventsFrame:

@@ -1049,3 +1049,26 @@ def dql_dsir(spark, sf_dir):
     oracle as the operator twin)."""
     df = _one(spark, "SELECT dsir('en', 100) LAST 1d", sf_dir)
     return df.select("doc_id", "n_grams", "logw_e9", "score_e9")
+
+
+@q(
+    "dql_retention",
+    f"""
+SELECT * FROM ({EXT_ORACLES["rollup_retention_1d_serve"]})
+WHERE event_type = 'click'
+""",
+)
+def dql_retention(spark, sf_dir):
+    """`retention('click')` in the language: day-over-day returning-
+    user estimates for one event type, served purely from the packed
+    portable-HLL register store (dql/compiler._retention ->
+    sources/rollup.portable_retention_1d; hash-gated against the same
+    register→pair-merge→inclusion-exclusion oracle as the serve twin,
+    filtered). The language surface keeps pace with the serving layer:
+    all six corpus/serving functions (dedup/neardup/knn/ann/surprisal/
+    dsir) plus retention are language-reachable and oracle-gated."""
+    df = _one(spark, "SELECT retention('click') LAST 1d", sf_dir)
+    return df.select(
+        "event_type", "day1", "day2", "day1_users", "day2_users",
+        "union_users", "returning_users", "retention_bp",
+    )

@@ -4418,66 +4418,9 @@ def rollup_retention_1d_serve(spark, sf_dir):
     across engines for the same reason the distinct ladder is: exact
     integer register folds + the deterministic estimate expression
     (operators/sketches.py), integer arithmetic after rounding."""
-    from dqe_spark.operators.sketches import (
-        hll_estimate,
-        hll_merge,
-        hll_unpack,
-    )
-    from dqe_spark.sources.rollup import load_portable_distinct_rollup
+    from dqe_spark.sources.rollup import portable_retention_1d
 
-    DAY = 86_400_000
-    sk = load_portable_distinct_rollup(spark, sf_dir, 3_600_000)
-    hreg = hll_unpack(sk, ["event_type", "wts"])
-    dreg = hll_merge(
-        hreg.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
-        ["event_type", "wts"],
-    )
-    dest = hll_estimate(dreg, ["event_type", "wts"], "approx_users")
-    preg = hll_merge(
-        dreg.select(
-            "event_type",
-            F.explode(
-                F.array(F.col("wts"), F.col("wts") - F.lit(DAY))
-            ).alias("p"),
-            "bucket",
-            "r",
-        ),
-        ["event_type", "p"],
-    )
-    pest = hll_estimate(preg, ["event_type", "p"], "union_users")
-    d1 = dest.select(
-        "event_type",
-        F.col("wts").alias("day1"),
-        F.col("approx_users").alias("day1_users"),
-    )
-    d2 = dest.select(
-        "event_type",
-        (F.col("wts") - F.lit(DAY)).alias("day1"),
-        F.col("approx_users").alias("day2_users"),
-    )
-    ret = F.greatest(
-        F.col("day1_users") + F.col("day2_users") - F.col("union_users"),
-        F.lit(0).cast("long"),
-    )
-    return (
-        d1.join(d2, ["event_type", "day1"])
-        .join(
-            pest.withColumnRenamed("p", "day1"), ["event_type", "day1"]
-        )
-        .select(
-            "event_type",
-            "day1",
-            (F.col("day1") + F.lit(DAY)).alias("day2"),
-            "day1_users",
-            "day2_users",
-            "union_users",
-            ret.alias("returning_users"),
-            F.expr(
-                "greatest(day1_users + day2_users - union_users, "
-                "CAST(0 AS BIGINT)) * 10000 div day1_users"
-            ).alias("retention_bp"),
-        )
-    )
+    return portable_retention_1d(spark, sf_dir)
 
 
 _BLOOM_CUT = 450_000  # o_totalprice cutoff: ~8% of orders at any sf

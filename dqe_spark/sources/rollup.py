@@ -1189,3 +1189,73 @@ def merge_cms_increment(
         .parquet(str(out))
     )
     return out
+
+
+def portable_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning-user estimates from the packed
+    portable-HLL store alone (the engine body of the
+    rollup_retention_1d_serve registry query and the DQL
+    ``retention()`` front door): day registers by max-merge, the
+    union sketch per consecutive-day pair via an exploded pair key,
+    then inclusion–exclusion on the rounded estimates, clamped at 0.
+    Output: (event_type, day1, day2, day1_users, day2_users,
+    union_users, returning_users, retention_bp). No raw-events scan —
+    register algebra end to end (see operators/sketches.py for why
+    every number replays bit-exact in DuckDB)."""
+    from dqe_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_unpack,
+    )
+
+    DAY = 86_400_000
+    sk = load_portable_distinct_rollup(spark, sf_dir, 3_600_000)
+    hreg = hll_unpack(sk, ["event_type", "wts"])
+    dreg = hll_merge(
+        hreg.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
+        ["event_type", "wts"],
+    )
+    dest = hll_estimate(dreg, ["event_type", "wts"], "approx_users")
+    preg = hll_merge(
+        dreg.select(
+            "event_type",
+            F.explode(
+                F.array(F.col("wts"), F.col("wts") - F.lit(DAY))
+            ).alias("p"),
+            "bucket",
+            "r",
+        ),
+        ["event_type", "p"],
+    )
+    pest = hll_estimate(preg, ["event_type", "p"], "union_users")
+    d1 = dest.select(
+        "event_type",
+        F.col("wts").alias("day1"),
+        F.col("approx_users").alias("day1_users"),
+    )
+    d2 = dest.select(
+        "event_type",
+        (F.col("wts") - F.lit(DAY)).alias("day1"),
+        F.col("approx_users").alias("day2_users"),
+    )
+    ret = F.greatest(
+        F.col("day1_users") + F.col("day2_users") - F.col("union_users"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        d1.join(d2, ["event_type", "day1"])
+        .join(pest.withColumnRenamed("p", "day1"), ["event_type", "day1"])
+        .select(
+            "event_type",
+            "day1",
+            (F.col("day1") + F.lit(DAY)).alias("day2"),
+            "day1_users",
+            "day2_users",
+            "union_users",
+            ret.alias("returning_users"),
+            F.expr(
+                "greatest(day1_users + day2_users - union_users, "
+                "CAST(0 AS BIGINT)) * 10000 div day1_users"
+            ).alias("retention_bp"),
+        )
+    )

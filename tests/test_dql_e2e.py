@@ -700,3 +700,35 @@ def test_dql_dsir_errors_and_shape(spark):
     ):
         with pytest.raises(PlanError):
             engine.run(spark, bad, sf_dir=SF_SMOKE)
+
+
+def test_dql_retention_errors_and_shape(spark):
+    """retention(['<event_type>']) argument surface: bad arities/types
+    raise PlanError; the happy path serves the register-algebra
+    retention frame (filtered and unfiltered) from the store."""
+    import pytest
+
+    from dqe_spark import engine
+    from dqe_spark.dql.compiler import PlanError
+    from tests.conftest import SF_SMOKE
+
+    out = engine.run(
+        spark, "SELECT retention('click') LAST 1d", sf_dir=SF_SMOKE
+    )[0].df
+    rows = out.collect()
+    assert rows and all(r.event_type == "click" for r in rows)
+    assert {"day1", "day2", "returning_users", "retention_bp"} <= set(
+        out.columns
+    )
+    assert all(0 <= r.retention_bp <= 10000 or r.returning_users == 0
+               for r in rows)
+    every = engine.run(
+        spark, "SELECT retention() LAST 1d", sf_dir=SF_SMOKE
+    )[0].df
+    assert every.select("event_type").distinct().count() > 1
+    for bad in (
+        "SELECT retention(3) LAST 1d",
+        "SELECT retention('click', 'view') LAST 1d",
+    ):
+        with pytest.raises(PlanError):
+            engine.run(spark, bad, sf_dir=SF_SMOKE)
