@@ -1001,7 +1001,13 @@ _LADDER_DIRS = {
     "tagged": _tagged_dir,
     "tagged_hist": _tagged_hist_dir,
     "distinct": _distinct_dir,
+    "pdistinct": _pdistinct_dir,
+    # lambda: _cms_dir is defined below this table (the CMS section)
+    "cms": lambda sf_dir, res_ms: _cms_dir(sf_dir, res_ms),
 }
+
+#: ladders keyed by event_type instead of (bucket, metric)
+_EVENT_LADDERS = {"distinct", "pdistinct", "cms"}
 
 
 def expire_rollup_before(
@@ -1032,7 +1038,7 @@ def expire_rollup_before(
     aligned = cutoff_ms - (cutoff_ms % res_ms)
     kept = spark.read.parquet(str(out)).where(F.col("wts") >= aligned)
     part_cols = (
-        ("event_type",) if ladder == "distinct" else ("bucket", "metric")
+        ("event_type",) if ladder in _EVENT_LADDERS else ("bucket", "metric")
     )
     sort_cols = ("wts", "v100") if ladder.endswith("hist") else ("wts",)
     return _atomic_write(

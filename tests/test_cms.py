@@ -161,3 +161,37 @@ def test_cms_increment_merge_equals_rebuild(spark, tmp_path):
         assert merged == full
     finally:
         R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+
+
+def test_expire_cms_and_pdistinct_ladders(spark):
+    """TTL parity for the round-8 sketch stores: 'cms' and 'pdistinct'
+    are expire_rollup_before ladders like every other level — windows
+    strictly older than the aligned cutoff disappear, survivors are
+    byte-identical, the store stays atomic-loadable."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.sources import rollup as R
+
+    res = 3_600_000
+    for ladder, build, dir_of in (
+        ("cms", R.build_cms_rollup, R._cms_dir),
+        ("pdistinct", R.build_portable_distinct_rollup, R._pdistinct_dir),
+    ):
+        build(spark, SF_SMOKE, res, force=True)
+        out = dir_of(SF_SMOKE, res)
+        before = spark.read.parquet(str(out))
+        lo, hi = before.agg(F.min("wts"), F.max("wts")).first()
+        cutoff = (lo + hi) // 2 + 17
+        aligned = cutoff - (cutoff % res)
+        want = {
+            tuple(r)
+            for r in before.where(F.col("wts") >= aligned)
+            .drop("regs")  # packed arrays aren't hashable; compare keys
+            .collect()
+        }
+        assert R.expire_rollup_before(spark, SF_SMOKE, cutoff, res, ladder)
+        after = spark.read.parquet(str(out))
+        got = {tuple(r) for r in after.drop("regs").collect()}
+        assert got == want and got, ladder
+        assert after.agg(F.min("wts")).first()[0] >= aligned
+        build(spark, SF_SMOKE, res, force=True)  # restore

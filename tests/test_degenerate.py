@@ -276,3 +276,80 @@ def test_jpeg_arith_degenerate_sizes(spark):
         for enc in (encode_jpeg_arith, encode_jpeg_arith_progressive):
             d = J.decode_jpeg(enc(px))
             assert d["mean_luma"] == 200.0, (enc.__name__, shape)
+
+
+def test_bloom_degenerate_builds(spark):
+    """Empty build side → m floors at 64 bits, nothing passes; single
+    key → only that key (plus possible FPs that the exact semijoin
+    then removes — the composed result is exactly one key)."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators import bloomfilter as B
+
+    probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+    empty = probe.where(F.lit(False))
+    words, m = B.sized_bloom_build(empty, "k")
+    assert m == 64 and words.count() == 0
+    assert B.bloom_prefilter(probe, "k", words, m).count() == 0
+    assert B.bloom_semijoin(probe, "k", empty, "k").count() == 0
+    one = spark.createDataFrame([(7,)], "k LONG")
+    got = [r["k"] for r in B.bloom_semijoin(probe, "k", one, "k").collect()]
+    assert got == [7]
+
+
+def test_retention_degenerate_overlaps(spark):
+    """Full overlap (same users every day) → returning ≈ day1_users
+    (retention ≈ 10000 bp); zero overlap (disjoint user ranges per
+    day) → returning near 0. Built through the real sketch functions,
+    not the store, so the test is corpus-shaped, not fixture-shaped."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    DAY = 86_400_000
+    rows_full = [("e", d * DAY, f"u{i}") for d in range(3) for i in range(300)]
+    rows_disj = [
+        ("e", d * DAY, f"u{d}_{i}") for d in range(3) for i in range(300)
+    ]
+    for rows, full_overlap in ((rows_full, True), (rows_disj, False)):
+        df = spark.createDataFrame(rows, "event_type STRING, wts LONG, user_id STRING")
+        dreg = hll_merge(hll_registers(df, ["event_type", "wts"], "user_id"),
+                         ["event_type", "wts"])
+        dest = hll_estimate(dreg, ["event_type", "wts"], "n")
+        preg = hll_merge(
+            dreg.select(
+                "event_type",
+                F.explode(F.array(F.col("wts"), F.col("wts") - F.lit(DAY))).alias("p"),
+                "bucket", "r",
+            ),
+            ["event_type", "p"],
+        )
+        pest = {r["p"]: r["n"] for r in
+                hll_estimate(preg, ["event_type", "p"], "n").collect()}
+        day = {r["wts"]: r["n"] for r in dest.collect()}
+        for d in (0, DAY):
+            inter = day[d] + day[d + DAY] - pest[d]
+            if full_overlap:
+                assert abs(inter - day[d]) <= 0.1 * day[d]
+            else:
+                assert inter <= 0.1 * day[d]
+
+
+def test_cms_degenerate_single_and_empty(spark):
+    """A single hot key's estimate is exact (min over D counters it
+    alone occupies... unless a collision adds, never subtracts); an
+    all-NULL value column sketches to an empty relation."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators import sketches as SK
+
+    hot = spark.createDataFrame(
+        [("k", "u1")] * 500, "k STRING, v STRING"
+    )
+    regs = SK.cms_registers(hot, ["k"], "v")
+    est = SK.cms_probe(regs, ["k"], hot.select("v").distinct(), "v").first()
+    assert est["est_count"] == 500
+    nulls = spark.createDataFrame(
+        [("k", None)] * 10, "k STRING, v STRING"
+    )
+    assert SK.cms_registers(nulls, ["k"], "v").count() == 0
