@@ -1217,11 +1217,19 @@ def portable_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAY = 86_400_000
     sk = load_portable_distinct_rollup(spark, sf_dir, 3_600_000)
     hreg = hll_unpack(sk, ["event_type", "wts"])
+    # the day-register relation feeds FOUR consumers (two day-estimate
+    # sides and the pair union); without a materialization barrier
+    # Spark recomputes the unpack+merge per branch (14 exchanges
+    # measured). Registers are sketch-bounded (≤ m rows per day cell
+    # at ANY corpus size), so an eager localCheckpoint is safe and
+    # keeps the serve one store read.
     dreg = hll_merge(
         hreg.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
         ["event_type", "wts"],
-    )
-    dest = hll_estimate(dreg, ["event_type", "wts"], "approx_users")
+    ).localCheckpoint(eager=True)
+    dest = hll_estimate(
+        dreg, ["event_type", "wts"], "approx_users"
+    ).localCheckpoint(eager=True)
     preg = hll_merge(
         dreg.select(
             "event_type",
