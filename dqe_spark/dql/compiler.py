@@ -1347,7 +1347,7 @@ class Compiler:
         return EventsFrame(out, unparse(node))
 
     def _retention(self, node: A.FCall) -> EventsFrame:
-        """retention(['<event_type>']): day-over-day returning-user
+        """retention(['<event_type>'[, offset_days]]): returning-user
         estimates served from the packed portable-HLL register store
         (sources/rollup.portable_retention_1d) — |A∩B| via
         |A|+|B|−|A∪B| on max-merged day/pair sketches, never a raw
@@ -1360,15 +1360,26 @@ class Compiler:
                 "retention needs an event store (no sf_dir bound)"
             )
         args = list(node.inputs)
-        if len(args) > 1 or (args and not isinstance(args[0], A.Var)):
+        if len(args) > 2 or (args and not isinstance(args[0], A.Var)):
             raise PlanError(
-                "retention(['<event_type>'])",
+                "retention(['<event_type>'[, offset_days]])",
                 "not_found_fun", "retention", arg_types(node.inputs),
             )
+        offset = 1
+        if len(args) == 2:
+            if (
+                not isinstance(args[1], int)
+                or isinstance(args[1], A.TimeUnit)
+                or not 1 <= args[1] <= 365
+            ):
+                raise PlanError(
+                    "retention('<event_type>', offset_days in 1..365)"
+                )
+            offset = int(args[1])
         from dqe_spark.sources.rollup import portable_retention_1d
 
         out = portable_retention_1d(
-            self.metrics.sparkSession, self.sf_dir
+            self.metrics.sparkSession, self.sf_dir, offset_days=offset
         )
         if args:
             out = out.where(F.col("event_type") == args[0].name)

@@ -1072,3 +1072,25 @@ def dql_retention(spark, sf_dir):
         "event_type", "day1", "day2", "day1_users", "day2_users",
         "union_users", "returning_users", "retention_bp",
     )
+
+
+from dqe_spark.queries_ext import _hll_retention_oracle_sql as _ret_sql  # noqa: E402
+
+
+@q(
+    "dql_retention_7d",
+    f"""
+SELECT * FROM ({_ret_sql(7)})
+WHERE event_type = 'purchase'
+""",
+)
+def dql_retention_7d(spark, sf_dir):
+    """`retention('purchase', 7)` in the language: WEEKLY return rate
+    — the same three register folds with a 7-day pair stride, proving
+    the horizon is a parameter of the algebra, not a new store. Same
+    bit-exact oracle chain at the wider offset."""
+    df = _one(spark, "SELECT retention('purchase', 7) LAST 1d", sf_dir)
+    return df.select(
+        "event_type", "day1", "day2", "day1_users", "day2_users",
+        "union_users", "returning_users", "retention_bp",
+    )

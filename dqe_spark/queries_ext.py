@@ -4356,7 +4356,7 @@ def layout_zorder_locality(spark, sf_dir):
     return L.zorder_locality(li, "l_partkey", "l_suppkey")
 
 
-def _hll_retention_oracle_sql() -> str:
+def _hll_retention_oracle_sql(offset_days: int = 1) -> str:
     """DuckDB replay of the register-algebra retention estimate: the
     day registers (hll_dreg, from _hll_day_oracle_ctes) are re-keyed
     to consecutive-day PAIRS and max-merged — the union sketch of the
@@ -4368,13 +4368,14 @@ def _hll_retention_oracle_sql() -> str:
 
     z, v = SK.z_v_aggs("duckdb")
     est = SK.estimate_expr("__z", "__v", "duckdb")
+    off = offset_days * 86_400_000
     return f"""
 WITH {_hll_day_oracle_ctes()},
 pairreg AS (
   SELECT event_type, p, bucket, max(r) AS r FROM (
     SELECT event_type, wts AS p, bucket, r FROM hll_dreg
     UNION ALL
-    SELECT event_type, wts - 86400000 AS p, bucket, r FROM hll_dreg
+    SELECT event_type, wts - {off} AS p, bucket, r FROM hll_dreg
   ) GROUP BY ALL
 ), pairest AS (
   SELECT event_type, p,
@@ -4386,7 +4387,7 @@ pairreg AS (
 )
 SELECT d1.event_type,
        d1.wts AS day1,
-       d1.wts + 86400000 AS day2,
+       d1.wts + {off} AS day2,
        d1.approx_users AS day1_users,
        d2.approx_users AS day2_users,
        p.union_users,
@@ -4396,7 +4397,7 @@ SELECT d1.event_type,
          * 10000 // d1.approx_users AS retention_bp
 FROM hday d1
 JOIN hday d2 ON d2.event_type = d1.event_type
-            AND d2.wts = d1.wts + 86400000
+            AND d2.wts = d1.wts + {off}
 JOIN pairest p ON p.event_type = d1.event_type AND p.p = d1.wts
 """
 

@@ -1197,13 +1197,18 @@ def merge_cms_increment(
     return out
 
 
-def portable_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def portable_retention_1d(
+    spark: SparkSession, sf_dir: str, offset_days: int = 1
+) -> DataFrame:
     """Day-over-day returning-user estimates from the packed
     portable-HLL store alone (the engine body of the
     rollup_retention_1d_serve registry query and the DQL
     ``retention()`` front door): day registers by max-merge, the
     union sketch per consecutive-day pair via an exploded pair key,
     then inclusion–exclusion on the rounded estimates, clamped at 0.
+    ``offset_days`` sets the horizon: 1 = day-over-day, 7 = weekly
+    return rate — the pair key just explodes with a different stride,
+    so every horizon costs the same three register folds.
     Output: (event_type, day1, day2, day1_users, day2_users,
     union_users, returning_users, retention_bp). No raw-events scan —
     register algebra end to end (see operators/sketches.py for why
@@ -1230,11 +1235,12 @@ def portable_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = hll_estimate(
         dreg, ["event_type", "wts"], "approx_users"
     ).localCheckpoint(eager=True)
+    OFF = offset_days * DAY
     preg = hll_merge(
         dreg.select(
             "event_type",
             F.explode(
-                F.array(F.col("wts"), F.col("wts") - F.lit(DAY))
+                F.array(F.col("wts"), F.col("wts") - F.lit(OFF))
             ).alias("p"),
             "bucket",
             "r",
@@ -1249,7 +1255,7 @@ def portable_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d2 = dest.select(
         "event_type",
-        (F.col("wts") - F.lit(DAY)).alias("day1"),
+        (F.col("wts") - F.lit(OFF)).alias("day1"),
         F.col("approx_users").alias("day2_users"),
     )
     ret = F.greatest(
@@ -1262,7 +1268,7 @@ def portable_retention_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "day1",
-            (F.col("day1") + F.lit(DAY)).alias("day2"),
+            (F.col("day1") + F.lit(OFF)).alias("day2"),
             "day1_users",
             "day2_users",
             "union_users",

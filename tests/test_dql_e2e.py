@@ -732,3 +732,27 @@ def test_dql_retention_errors_and_shape(spark):
     ):
         with pytest.raises(PlanError):
             engine.run(spark, bad, sf_dir=SF_SMOKE)
+
+
+def test_dql_retention_offset_arg(spark):
+    """retention('<type>', offset_days): day2 must sit offset days
+    after day1; bad offsets raise."""
+    import pytest
+
+    from dqe_spark import engine
+    from dqe_spark.dql.compiler import PlanError
+    from tests.conftest import SF_SMOKE
+
+    DAY = 86_400_000
+    out = engine.run(
+        spark, "SELECT retention('click', 7) LAST 1d", sf_dir=SF_SMOKE
+    )[0].df
+    rows = out.collect()
+    assert rows and all(r.day2 - r.day1 == 7 * DAY for r in rows)
+    for bad in (
+        "SELECT retention('click', 0) LAST 1d",
+        "SELECT retention('click', 400) LAST 1d",
+        "SELECT retention('click', 1s) LAST 1d",
+    ):
+        with pytest.raises(PlanError):
+            engine.run(spark, bad, sf_dir=SF_SMOKE)
