@@ -93,14 +93,11 @@ def _mask_duck(bit: str) -> str:
     )
 
 
-def bloom_build(df: DataFrame, col: str, m_bits: int) -> DataFrame:
-    """Bitset relation (word:long, bits:long) over the distinct values
-    of ``df.col``: K positions per key, OR-folded per 64-bit word.
-    ≤ m/64 rows regardless of key count; one groupBy on word (the
-    build side is the small side by assumption). Mergeable: two
-    builds union + bit_or to the build of the union."""
-    keyed = with_hash60(df.select(col), col).select("__h").distinct()
-    pos = keyed.select(
+def _bloom_words(keys: DataFrame, col: str, m_bits: int) -> DataFrame:
+    """Bitset words from an ALREADY-DISTINCT key relation — the shared
+    tail of bloom_build/sized_bloom_build/bloom_semijoin, so the
+    ~1.6 µs/row md5 runs once per distinct key, never per source row."""
+    pos = with_hash60(keys, col).select("__h").select(
         F.explode(
             F.array(
                 *[F.expr(_pos_sql("__h", i, m_bits)) for i in range(K)]
@@ -119,17 +116,28 @@ def bloom_build(df: DataFrame, col: str, m_bits: int) -> DataFrame:
     )
 
 
+def bloom_build(df: DataFrame, col: str, m_bits: int) -> DataFrame:
+    """Bitset relation (word:long, bits:long) over the distinct values
+    of ``df.col``: K positions per key, OR-folded per 64-bit word.
+    ≤ m/64 rows regardless of key count; one groupBy on word (the
+    build side is the small side by assumption). Mergeable: two
+    builds union + bit_or to the build of the union. Keys dedupe
+    BEFORE hashing — hash work ∝ distinct keys, not source rows."""
+    return _bloom_words(df.select(col).distinct(), col, m_bits)
+
+
 def sized_bloom_build(df: DataFrame, col: str) -> tuple[DataFrame, int]:
     """Auto-sized build: m = next_pow2(BITS_PER_KEY · n_distinct).
-    The sizing count scans only the (small) build side — the bounded
-    sizing pass every auto-scaled sketch in this repo pays once."""
-    n = df.select(col).distinct().count()
-    m_bits = next_pow2(max(BITS_PER_KEY * n, 64))
-    # materialize the (≤ m/64)-row bitset ONCE: the prefilter
+    The distinct key relation is materialized ONCE (checkpoint) and
+    feeds both the sizing count and the bitset — one build-side scan,
+    one dedupe, however many consumers."""
+    keys = df.select(col).distinct().localCheckpoint(eager=True)
+    m_bits = next_pow2(max(BITS_PER_KEY * keys.count(), 64))
+    # materialize the (≤ m/64)-row bitset too: the prefilter
     # broadcasts it K times, and without this each broadcast re-runs
-    # the whole build-side scan + distinct + groupBy (measured 10.9 s
-    # vs ~1 s at sf0.1 — the bitset itself is KBs)
-    words = bloom_build(df, col, m_bits).localCheckpoint(eager=True)
+    # the bitset aggregation (measured 10.9 s vs ~1 s at sf0.1 — the
+    # bitset itself is KBs)
+    words = _bloom_words(keys, col, m_bits).localCheckpoint(eager=True)
     return words, m_bits
 
 
@@ -188,15 +196,18 @@ def bloom_semijoin(
     the probe map-side, then the ordinary leftsemi join removes the
     Bloom's false positives. Result == probe.join(build, leftsemi) by
     the no-false-negative property; only the shuffled row count
-    differs. The build side is scanned twice (sizing count + bitset)
-    — both scans are of the SMALL side."""
-    words, m_bits = sized_bloom_build(build, bcol)
-    pre = bloom_prefilter(probe, pcol, words, m_bits)
-    return pre.join(
-        build.select(F.col(bcol).alias(pcol)).distinct(),
-        pcol,
-        "leftsemi",
+    differs. The build side is scanned ONCE into a checkpointed
+    distinct key relation that feeds the sizing count, the bitset,
+    and the exact semijoin."""
+    keys = (
+        build.select(F.col(bcol).alias(pcol))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    m_bits = next_pow2(max(BITS_PER_KEY * keys.count(), 64))
+    words = _bloom_words(keys, pcol, m_bits).localCheckpoint(eager=True)
+    pre = bloom_prefilter(probe, pcol, words, m_bits)
+    return pre.join(keys, pcol, "leftsemi")
 
 
 def bloom_oracle_ctes(

@@ -246,7 +246,12 @@ def range_agg_join(
     lcols = left.columns
     lpref = [F.col(c).alias(f"__l_{c}") for c in lcols]
     bin0 = f"__l_{left_ts} div {radius_ms}"
+    # per-row id BEFORE replication: byte-identical left rows must
+    # stay separate groups, or their aggregates silently merge and
+    # double (the |output| = |left| contract above)
     l = left.select(*lpref).withColumn(  # noqa: E741
+        "__lrid", F.monotonically_increasing_id()
+    ).withColumn(
         "__lbin",
         F.explode(
             F.array(
@@ -265,7 +270,7 @@ def range_agg_join(
     )
     joined = l.join(r, cond, "left")
     out = (
-        joined.groupBy(*[F.col(f"__l_{c}") for c in lcols])
+        joined.groupBy("__lrid", *[F.col(f"__l_{c}") for c in lcols])
         .agg(*[c.alias(n) for n, c in aggs.items()])
         .select(
             *[F.col(f"__l_{c}").alias(c) for c in lcols],

@@ -84,13 +84,15 @@ def _atomic_write(
     tmp = out.parent / tmp_name
     if tmp.exists():
         shutil.rmtree(tmp)
-    (
+    laid = (
         partials.repartition(*part_cols)
-        .sortWithinPartitions(*sort_cols)
-        .write.mode("overwrite")
-        .partitionBy(*part_cols)
-        .parquet(str(tmp))
-    )
+        if part_cols
+        else partials.coalesce(1)
+    ).sortWithinPartitions(*sort_cols)
+    writer = laid.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(str(tmp))
     if out.exists():
         shutil.rmtree(out)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -1121,22 +1123,9 @@ def build_cms_watchlist(
         .limit(CMS_WATCH_K)
         .select("user_id")
     )
-    tmp = out.parent / "_tmp_cms_watchlist"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    top.coalesce(1).sortWithinPartitions("user_id").write.mode(
-        "overwrite"
-    ).parquet(str(tmp))
-    if out.exists():
-        shutil.rmtree(out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        if not (out / "_SUCCESS").exists():
-            raise
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return _atomic_write(
+        top, out, "_tmp_cms_watchlist", part_cols=(), sort_cols=("user_id",)
+    )
 
 
 def load_cms_rollup(

@@ -454,3 +454,28 @@ def test_range_agg_join_plan_is_equijoin_even_without_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_range_agg_join_keeps_duplicate_left_rows_separate(spark):
+    """Byte-identical left rows are distinct EVENTS: each must keep
+    its own aggregate row (|output| = |left|), not merge into one
+    group with doubled counts."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.temporal import range_agg_join
+
+    left = spark.createDataFrame(
+        [("u1", 1000), ("u1", 1000), ("u2", 50)],
+        "user_id STRING, ts_ms LONG",
+    )
+    right = spark.createDataFrame(
+        [("u1", 900, 1.0), ("u1", 1400, 2.0)],
+        "user_id STRING, ts_ms LONG, value DOUBLE",
+    )
+    got = range_agg_join(
+        left, right, key="user_id", radius_ms=1000,
+        aggs={"n": F.count("value")},
+    ).collect()
+    assert len(got) == 3
+    ns = sorted(r["n"] for r in got)
+    assert ns == [0, 2, 2]  # each duplicate row counts its own 2 matches
