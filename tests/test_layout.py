@@ -73,7 +73,7 @@ def _rowgroups_overlapping(path: str, col: str, lo: int, hi: int):
     return overlap, total
 
 
-@pytest.mark.parametrize("layout", ["zorder", "xsort"])
+@pytest.mark.parametrize("layout", ["zorder", "hilbert", "xsort"])
 def test_zorder_write_prunes_both_dimensions(spark, tmp_path, layout):
     """The end-to-end file-skipping claim: write lineitem z-ordered on
     (l_partkey, l_suppkey) into many small row groups, then check the
@@ -88,6 +88,8 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path, layout):
     spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
     if layout == "zorder":
         L.zorder_write(li, out, "l_partkey", "l_suppkey", n_files=64)
+    elif layout == "hilbert":
+        L.hilbert_write(li, out, "l_partkey", "l_suppkey", n_files=64)
     else:
         li.repartitionByRange(64, "l_partkey").sortWithinPartitions(
             "l_partkey"
@@ -107,8 +109,8 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path, layout):
     xo, xt = _rowgroups_overlapping(out, "l_partkey", xlo, xhi)
     yo, yt = _rowgroups_overlapping(out, "l_suppkey", ylo, yhi)
     assert xt >= 32 and yt >= 32, "need enough row groups to measure"
-    if layout == "zorder":
-        # 64 z-files → 3 prefix bits per dimension → 12.5% spans; a
+    if layout in ("zorder", "hilbert"):
+        # 64 curve-files → 3 prefix bits per dimension → 12.5% spans; a
         # 10% box overlaps at most 2 octants per dimension (≈ 25% of
         # files) even when it crosses an octant boundary
         assert xo / xt < 0.4, (xo, xt)
