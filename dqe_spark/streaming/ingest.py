@@ -552,3 +552,67 @@ def stream_cms_counters(
             "c",
         )
     )
+
+
+def stream_click_near_error_pairs(
+    spark: SparkSession,
+    source_dir: str,
+    radius: str = "5 minutes",
+    watermark: str = "6 hours",
+    schema: str = STREAM_SCHEMA,
+) -> DataFrame:
+    """Continuous interval join — the streaming twin of
+    operators/temporal.range_agg_join's registry query: every (error,
+    click) pair of the SAME user within ±radius, as the events land.
+    Structured Streaming plans the time-range condition as a
+    watermarked stream-stream join natively (state bounded by
+    watermark + radius on both sides; Spark evicts rows that can no
+    longer match), so the operator needs no custom state at all —
+    declare the range predicate and let the engine keep exactly the
+    buffer the semantics require. Same-source self-join: both sides
+    read the one landing directory. A drained stream's pairs equal
+    the batch literal range join row-for-row
+    (tests/test_streaming.py); the batch registry twin additionally
+    aggregates per error, which streaming callers do downstream of
+    this pair stream."""
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(ev.dtypes)["ts"].startswith("timestamp"):
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    base = ev.select(
+        "event_id", "user_id", ts.alias("ts"), "event_type", "value"
+    )
+    errors = (
+        base.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("ets"),
+        )
+        .withWatermark("ets", watermark)
+    )
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    return errors.join(
+        clicks,
+        F.expr(
+            f"e_user = c_user AND "
+            f"cts BETWEEN ets - INTERVAL {radius} "
+            f"AND ets + INTERVAL {radius}"
+        ),
+        "inner",
+    ).select(
+        "error_id",
+        F.col("e_user").alias("user_id"),
+        F.unix_millis("ets").alias("error_ts_ms"),
+        F.unix_millis("cts").alias("click_ts_ms"),
+        "click_value",
+    )

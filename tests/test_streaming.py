@@ -661,3 +661,60 @@ def test_stream_cms_counters_match_batch_bitwise(spark):
         assert all(w >= horizon for _, w, _, _ in missing)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_interval_join_matches_batch_range_join(spark):
+    """Drained stream-stream interval-join pairs equal the batch
+    literal range join row-for-row — the streaming twin of
+    range_agg_join's registry query (pairs; the batch twin aggregates
+    them). Watermark + radius bound the join state on both sides."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.sources.metric_store import load_events
+    from dqe_spark.streaming.ingest import stream_click_near_error_pairs
+
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamrj_"))
+    landing, out, ckpt = tmp / "landing", tmp / "out", tmp / "ckpt"
+    landing.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", landing / "batch0.parquet")
+    try:
+        pairs = stream_click_near_error_pairs(spark, str(landing))
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["error_id"], r["click_ts_ms"], r["click_value"])
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        ev = load_events(spark, SF_SMOKE).select(
+            "event_id", "user_id", "ts_ms", "event_type", "value"
+        )
+        e = ev.where(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("u"),
+            F.col("ts_ms").alias("ets"),
+        )
+        c = ev.where(F.col("event_type") == "click")
+        want = {
+            (r["error_id"], r["ts_ms"], r["value"])
+            for r in e.join(
+                c,
+                (F.col("u") == F.col("user_id"))
+                & (F.abs(F.col("ts_ms") - F.col("ets")) <= 300_000),
+            ).collect()
+        }
+        # closed-window pairs must all be present and correct; pairs
+        # near the stream's end may be held back by the watermark
+        assert got <= want
+        horizon = max(t for _, t, _ in want) - 7 * 3_600_000
+        missing = want - got
+        assert all(t >= horizon for _, t, _ in missing)
+        assert len(got) >= 0.5 * len(want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
