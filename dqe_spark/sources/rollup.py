@@ -1187,7 +1187,10 @@ def merge_cms_increment(
 
 
 def portable_retention_1d(
-    spark: SparkSession, sf_dir: str, offset_days: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    offset_days: int = 1,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Day-over-day returning-user estimates from the packed
     portable-HLL store alone (the engine body of the
@@ -1217,13 +1220,23 @@ def portable_retention_1d(
     # measured). Registers are sketch-bounded (≤ m rows per day cell
     # at ANY corpus size), so an eager localCheckpoint is safe and
     # keeps the serve one store read.
-    dreg = hll_merge(
-        hreg.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
-        ["event_type", "wts"],
-    ).localCheckpoint(eager=True)
-    dest = hll_estimate(
-        dreg, ["event_type", "wts"], "approx_users"
-    ).localCheckpoint(eager=True)
+    # ``checkpoint=False`` keeps full lineage in the plan so the
+    # serving-path guard can assert store-only scans; the default
+    # serves through the barriers.
+    _bar = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint
+        else (lambda df: df)
+    )
+    dreg = _bar(
+        hll_merge(
+            hreg.withColumn(
+                "wts", F.col("wts") - F.col("wts") % F.lit(DAY)
+            ),
+            ["event_type", "wts"],
+        )
+    )
+    dest = _bar(hll_estimate(dreg, ["event_type", "wts"], "approx_users"))
     OFF = offset_days * DAY
     preg = hll_merge(
         dreg.select(

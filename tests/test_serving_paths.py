@@ -106,7 +106,13 @@ def test_retention_serve_has_no_raw_events_scan(spark):
     from pyspark.sql import functions as F
 
     serve = all_queries()["rollup_retention_1d_serve"](spark, SF_SMOKE)
-    plan = _plan(serve)
+    # the serving build checkpoints its register intermediates, which
+    # hides lineage from the plan string — audit the UNBARRIERED twin
+    # (same logical shape minus the materialization points)
+    from dqe_spark.sources.rollup import portable_retention_1d
+
+    audit = portable_retention_1d(spark, SF_SMOKE, checkpoint=False)
+    plan = _plan(audit)
     assert "events.parquet" not in plan, (
         "retention serve re-scans raw events — the set algebra must "
         "run on the register store alone"
