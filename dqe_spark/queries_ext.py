@@ -840,36 +840,53 @@ def rollup_p90_1h(spark, sf_dir):
     return hist_rollup_percentile(h, 3_600_000, 0.9).select("metric", "wts", "value")
 
 
-def _cluster_prop_sql(rounds: int = 12) -> str:
-    """Iteration-bounded min-label propagation oracle tail (replaces a
-    recursive-CTE transitive closure whose O(Σ|cluster|²) reach table
-    wedged DuckDB past sf0.01 — PERF.md). Each round takes the min of
-    (own label, neighbor labels, label-of-label), all MATERIALIZED so
-    multi-referenced CTEs never inline exponentially; the label table
-    stays |docs| rows per round. Exact-or-loud: a fixpoint of this
-    operator over SYMMETRIC edges is constant per component (= the
-    component min), and if the last two rounds differ anywhere a
-    sentinel (-1,-1) row is emitted, which can never match the engine —
-    the oracle either equals the true closure or fails the compare."""
-    ctes = ["l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS lab FROM documents)"]
+def _sig_cluster_prop_sql(rounds: int = 12) -> str:
+    """dedup_clusters oracle tail over the DISTINCT-SIGNATURE graph
+    (round-8, second application of the r7-verdict banding fix): the
+    retired doc-level tail was |docs| labels joined
+    against OUTPUT-SIZED doc edges each round — on the sf1 cross-copy
+    corpus that is ~340 M edge rows × 12 rounds and DuckDB spilled
+    past 80 GB of temp. But docs sharing a signature are near-dups by
+    definition (hamming 0), so the component structure lives entirely
+    in the SIGNATURE graph: nodes = distinct signatures (sgrp), edges
+    = verified signature pairs (spairs) — thousands of rows at any sf.
+    Propagate min-label with pointer doubling in signature space
+    (label namespace = signature ids, so lbl(lbl) is well-defined),
+    then cluster_id = min member doc per signature-component, expanded
+    to docs through the member lists. Same exact-or-loud sentinel."""
+    ctes = [
+        "snode AS MATERIALIZED (SELECT simhash, "
+        "list_aggregate(members, 'min') AS mindoc FROM sgrp)",
+        "sedges AS MATERIALIZED (SELECT s_i AS a, s_j AS b FROM spairs "
+        "UNION ALL SELECT s_j, s_i FROM spairs)",
+        "sl0 AS MATERIALIZED (SELECT simhash AS id, simhash AS lab FROM sgrp)",
+    ]
     for i in range(rounds):
         ctes.append(
-            f"""l{i + 1} AS MATERIALIZED (
+            f"""sl{i + 1} AS MATERIALIZED (
   SELECT l.id,
          least(l.lab, coalesce(m.mlab, l.lab), coalesce(j.lab, l.lab)) AS lab
-  FROM l{i} l
+  FROM sl{i} l
   LEFT JOIN (SELECT e.a AS id, min(x.lab) AS mlab
-             FROM edges e JOIN l{i} x ON x.id = e.b GROUP BY e.a) m
+             FROM sedges e JOIN sl{i} x ON x.id = e.b GROUP BY e.a) m
     ON m.id = l.id
-  LEFT JOIN l{i} j ON j.id = l.lab
+  LEFT JOIN sl{i} j ON j.id = l.lab
 )"""
         )
-    last, prev = f"l{rounds}", f"l{rounds - 1}"
+    last, prev = f"sl{rounds}", f"sl{rounds - 1}"
     return (
         ", "
         + "\n, ".join(ctes)
         + f"""
-SELECT id AS doc_id, CAST(lab AS BIGINT) AS cluster_id FROM {last}
+, scomp AS (SELECT id AS simhash, lab AS comp FROM {last})
+, cmin AS (
+  SELECT s.comp, min(n.mindoc) AS cluster_id
+  FROM scomp s JOIN snode n ON n.simhash = s.simhash GROUP BY s.comp
+)
+SELECT m.m AS doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id
+FROM mem m
+JOIN scomp s ON s.simhash = m.simhash
+JOIN cmin c ON c.comp = s.comp
 UNION ALL
 SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS cluster_id
 WHERE EXISTS (SELECT 1 FROM {last} a JOIN {prev} b ON a.id = b.id
@@ -882,12 +899,7 @@ WHERE EXISTS (SELECT 1 FROM {last} a JOIN {prev} b ON a.id = b.id
     "dedup_clusters",
     _SIMHASH_CTE
     + _SIMHASH_BAND_CTE
-    + """
-, edges AS (
-  SELECT id_i AS a, id_j AS b FROM allpairs
-  UNION SELECT id_j, id_i FROM allpairs
-)"""
-    + _cluster_prop_sql(),
+    + _sig_cluster_prop_sql(),
 )
 def dedup_clusters(spark, sf_dir):
     """Cluster assignment over SimHash near-dup pairs: distributed
