@@ -28,20 +28,27 @@ def test_oracle_returns_no_decimal_columns(duck, name, sql):
 
 def test_cluster_prop_oracle_sentinel_fires_when_unconverged():
     """The dedup_clusters oracle is exact-or-loud: with enough rounds
-    the label table is the true transitive-closure min (matches a
-    recursive-CTE closure on a chain graph); with rounds=1 on a long
-    chain the convergence sentinel (-1,-1) row appears, so an
-    under-provisioned replay can never silently pass the compare."""
+    the signature-graph label table is the true component min (a
+    12-signature chain all collapses to cluster 0, members expanded);
+    with rounds=1 on the same chain the convergence sentinel (-1,-1)
+    row appears, so an under-provisioned replay can never silently
+    pass the compare. (Round 8 moved the propagation from doc-level
+    edges to the distinct-signature graph — same sentinel contract.)"""
     import duckdb
 
-    from dqe_spark.queries_ext import _cluster_prop_sql
+    from dqe_spark.queries_ext import _sig_cluster_prop_sql
 
     con = duckdb.connect()
-    # a 12-node chain: diameter 11, needs >1 propagation round
-    con.execute("CREATE TABLE documents AS SELECT unnest(range(12)) AS doc_id")
-    edges = "SELECT unnest(range(11)) AS a, unnest(range(1, 12)) AS b"
-    prefix = f"WITH e0 AS ({edges}), edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)"
-    full = con.execute(prefix + _cluster_prop_sql(rounds=12)).fetchall()
-    assert sorted(full) == [(i, 0) for i in range(12)]
-    starved = con.execute(prefix + _cluster_prop_sql(rounds=1)).fetchall()
+    # a 12-signature chain (diameter 11), two member docs each: doc
+    # ids 2k and 2k+1 for signature k → component min doc is 0
+    prefix = (
+        "WITH sgrp AS (SELECT i AS simhash, [2*i, 2*i + 1] AS members "
+        "FROM range(12) t(i)), "
+        "spairs AS (SELECT i AS s_i, i + 1 AS s_j, 1 AS hamming "
+        "FROM range(11) t(i)), "
+        "mem AS (SELECT simhash, unnest(members) AS m FROM sgrp)"
+    )
+    full = con.execute(prefix + _sig_cluster_prop_sql(rounds=12)).fetchall()
+    assert sorted(full) == [(i, 0) for i in range(24)]
+    starved = con.execute(prefix + _sig_cluster_prop_sql(rounds=1)).fetchall()
     assert (-1, -1) in starved
