@@ -56,9 +56,11 @@ K = 4
 #: target bits per build-side key before rounding m up to a power of
 #: two; 16 bits/key at K=4 → worst-case FPR ≈ 0.24 %.
 BITS_PER_KEY = 16
-#: h1/h2 split point of the 60-bit md5 hash: h1 = top 30 bits indexes,
-#: h2 = bottom 30 bits (forced odd) steps — classic Kirsch-Mitzenmacher
-#: double hashing, independent enough for K=4.
+#: step-hash extractor of the 60-bit md5 hash: h1 = the FULL 60-bit
+#: hash (so positions cover m up to 2^60 — with a 30-bit h1 no bit
+#: above ~2^32 could ever be set once n > 2^28 keys), h2 = top 30
+#: bits (forced odd) steps — classic Kirsch-Mitzenmacher double
+#: hashing, independent enough for K=4.
 _H_SPLIT = 1 << 30
 
 
@@ -71,16 +73,19 @@ def next_pow2(v: int) -> int:
 def _pos_sql(h: str, i: int, m_bits: int) -> str:
     """Dialect-common probe position i for hash column ``h``: every op
     is integer arithmetic both engines define identically (h < 2^60,
-    h2 < 2^30, i ≤ 3 → no int64 overflow anywhere)."""
+    step < 2^30, i ≤ 3 → h + i·step < 2^60 + 2^32, no int64 overflow
+    anywhere). h1 is the full hash so positions reach every bit of m
+    up to 2^60 — a 30-bit h1 would silently cap the usable bitset at
+    ~2^32 bits once the build side passes ~2^28 distinct keys."""
     return (
-        f"(({h} div {_H_SPLIT}) + {i} * (({h} % {_H_SPLIT}) | 1)) % {m_bits}"
+        f"({h} + {i} * (({h} div {_H_SPLIT}) | 1)) % {m_bits}"
     )
 
 
 def _pos_duck(h: str, i: int, m_expr: str) -> str:
     """DuckDB spelling of _pos_sql (// for integer division; m may be
     a correlated column, not a literal)."""
-    return f"(({h} // {_H_SPLIT}) + {i} * (({h} % {_H_SPLIT}) | 1)) % {m_expr}"
+    return f"({h} + {i} * (({h} // {_H_SPLIT}) | 1)) % {m_expr}"
 
 
 def _mask_duck(bit: str) -> str:

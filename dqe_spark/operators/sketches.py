@@ -422,8 +422,11 @@ def cms_probe(
     row is absent (sparse relation ⇒ absent = zero). The probe side
     is the SMALL side (a watchlist) — it broadcasts, so the estimate
     is one broadcast join + one groupBy over the sketch rows, never a
-    raw-data scan. Output: (keys…, value_col, out)."""
-    pr = with_hash60(probe.select(value_col), value_col).select(
+    raw-data scan. The probe is deduped here — the oracle CTEs apply
+    SELECT DISTINCT to the probe values, so without this a caller
+    passing duplicate probe rows would get duplicated engine rows the
+    oracle collapses. Output: (keys…, value_col, out)."""
+    pr = with_hash60(probe.select(value_col).distinct(), value_col).select(
         value_col,
         F.explode(
             F.array(

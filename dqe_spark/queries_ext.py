@@ -4406,7 +4406,7 @@ SELECT d1.event_type,
        greatest(d1.approx_users + d2.approx_users - p.union_users,
                 0) AS returning_users,
        greatest(d1.approx_users + d2.approx_users - p.union_users, 0)
-         * 10000 // d1.approx_users AS retention_bp
+         * 10000 // greatest(d1.approx_users, 1) AS retention_bp
 FROM hday d1
 JOIN hday d2 ON d2.event_type = d1.event_type
             AND d2.wts = d1.wts + {off}

@@ -1275,9 +1275,13 @@ def portable_retention_1d(
             "day2_users",
             "union_users",
             ret.alias("returning_users"),
+            # greatest(.., 1): if sketch noise ever rounds a day
+            # estimate to 0, Spark's div would yield NULL while
+            # DuckDB's // raises — guard BOTH dialects identically so
+            # the degenerate cell stays hash-comparable.
             F.expr(
                 "greatest(day1_users + day2_users - union_users, "
-                "CAST(0 AS BIGINT)) * 10000 div day1_users"
+                "CAST(0 AS BIGINT)) * 10000 div greatest(day1_users, 1)"
             ).alias("retention_bp"),
         )
     )
