@@ -142,6 +142,56 @@ EXT_HEADLINE = [
 #: regression.
 CONTROL = "get_points"
 
+#: serving queries also measured WARM (repeated full invocations in
+#: one session after the first call primed store listings / memoized
+#: register checkpoints): the steady-state median a dashboard pays,
+#: next to the cold suite row that still includes session-floor costs.
+SERVING = [
+    "rollup_distinct_users_1d_serve",
+    "knn_ann_serve",
+    "rollup_retention_1d_serve",
+    "events_watchlist_cms_serve",
+]
+
+#: full per-query record is written here (committed alongside the
+#: code) — the driver's stdout tail keeps only ~2000 chars, which a
+#: 70+-row registry outgrew in round 8, so the COMPLETE raw/best/norm
+#: maps live in this artifact and the compact stdout line carries the
+#: suite stats plus as many of the most expensive rows as fit.
+ARTIFACT = "BENCH_local_sf{sf}.json"
+
+#: compact-line budget: safely under the driver's ~2000-char tail so
+#: the final stdout line always parses as one complete JSON document.
+LINE_BUDGET = 1800
+
+
+def compact_line(
+    base: dict,
+    times: dict[str, float],
+    norm: dict[str, float],
+    budget: int = LINE_BUDGET,
+) -> str:
+    """One self-contained JSON line ≤ ``budget`` chars: ``base`` plus a
+    ``q`` map of name → [median_sec, norm] for as many queries as fit,
+    MOST EXPENSIVE FIRST (the rows that decide a perf verdict), and
+    ``q_omitted`` = how many cheap rows overflowed to the artifact.
+    Never silently truncates mid-document — the round-5 and round-8
+    bench records both lost their per-query maps to tail cuts."""
+    doc = dict(base)
+    doc["q"] = {}
+    doc["q_omitted"] = len(times)
+    line = json.dumps(doc, separators=(",", ":"))
+    for name in sorted(times, key=lambda n: -times[n]):
+        doc["q"][name] = [times[name], norm.get(name)]
+        doc["q_omitted"] -= 1
+        cand = json.dumps(doc, separators=(",", ":"))
+        if len(cand) > budget:
+            del doc["q"][name]
+            doc["q_omitted"] += 1
+            break
+        line = cand
+    return line
+
 
 def main() -> None:
     from dqe_spark.entry import all_queries
@@ -218,6 +268,24 @@ def main() -> None:
     for name in names:
         times[name], best[name], rows[name] = timed(name)
 
+    # warm serving medians: the first call of each serving query above
+    # primed the session (store listings, memoized day-register
+    # checkpoints), so here each query is re-invoked END-TO-END (fresh
+    # plan + execute + collect per call — nothing cached but the
+    # session) and the median of the warm calls is the steady-state
+    # latency a dashboard pays per request.
+    warm_reps = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "5"))
+    serve_warm: dict[str, float] = {}
+    for name in SERVING:
+        if name not in qs or name not in times:
+            continue
+        samples = []
+        for _ in range(warm_reps):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        serve_warm[name] = round(sorted(samples)[len(samples) // 2], 3)
+
     control1 = timed(CONTROL)[0] if CONTROL in qs else None
     # the drift of the box over the run, on byte-identical pure-scan
     # work: ~1.0 = trustworthy record; >1.3 = host-noise inflated
@@ -240,28 +308,34 @@ def main() -> None:
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Full record first (humans / files redirect the whole stream)...
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite-wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "best": best,
-                "rows": rows,
-                "norm": norm,
-                "control": [control0, control1],
-                "control_spread": spread,
-                "sf": sf_val,
-            }
-        )
+    record = {
+        "metric": "headline-suite-wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "best": best,
+        "rows": rows,
+        "norm": norm,
+        "serve_warm": serve_warm,
+        "control": [control0, control1],
+        "control_spread": spread,
+        "sf": sf_val,
+    }
+    # Full record first (humans / files redirect the whole stream) AND
+    # to the committed artifact — the registry outgrew the driver's
+    # stdout tail in round 8, so the artifact is the complete record
+    # of adjudicable per-query raw/best/norm values.
+    print(json.dumps(record))
+    artifact = ARTIFACT.format(sf=sf)
+    Path(__file__).resolve().parent.joinpath(artifact).write_text(
+        json.dumps(record, indent=1) + "\n"
     )
     # ...then a compact summary LAST: the driver keeps only the final
-    # ~2000 chars of stdout, so the last line must be a complete JSON
-    # document on its own. Keep it under that budget — per-query
-    # [median, best] pairs if they fit, else medians only, else just
-    # the suite wall (control numbers always ride along).
+    # ~2000 chars of stdout, so the last line must be one complete
+    # JSON document under that budget. The suite stats, control pair,
+    # warm serving medians, and the most expensive per-query
+    # [median, norm] rows ride inline; the rest overflow to the
+    # artifact named here (q_omitted counts them — never a silent cut).
     base = {
         "metric": "headline-suite-wall",
         "value": total,
@@ -270,16 +344,10 @@ def main() -> None:
         "n_queries": len(times),
         "control": [control0, control1],
         "control_spread": spread,
+        "serve_warm": serve_warm,
+        "artifact": artifact,
     }
-    for payload in (
-        {"queries": {n: [times[n], best[n]] for n in times}},
-        {"queries": times},
-        {},
-    ):
-        line = json.dumps({**base, **payload})
-        if len(line) <= 1900:
-            break
-    print(line)
+    print(compact_line(base, times, norm))
     spark.stop()
 
 
@@ -293,8 +361,22 @@ def compare(prior_path: str, current_path: str | None = None, gate: float = 1.5)
     markdown table; exit 1 if any shared query regressed by more than
     `gate`×."""
     def load(p: str) -> dict:
-        doc = json.loads(Path(p).read_text())
-        return doc.get("parsed", doc)
+        text = Path(p).read_text()
+        try:
+            doc = json.loads(text)
+        except json.JSONDecodeError:
+            # a redirected bench.py run holds two JSON lines (full
+            # record + compact summary) — the first is the full one
+            doc = json.loads(text.splitlines()[0])
+        doc = doc.get("parsed", doc)
+        # compact-line records carry partial name → [med, norm] pairs
+        # under "q"; expand to the full-record field names
+        if "queries" not in doc and "q" in doc:
+            doc["queries"] = {n: v[0] for n, v in doc["q"].items()}
+            doc["norm"] = {
+                n: v[1] for n, v in doc["q"].items() if v[1] is not None
+            }
+        return doc
 
     prior = load(prior_path)
     cur = load(current_path) if current_path else None

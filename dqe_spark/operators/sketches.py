@@ -347,9 +347,36 @@ def hll_estimate_packed(
 
 #: CMS depth: error probability δ = e^-D ≈ 1.8 %.
 CMS_D = 4
-#: CMS width: ε = e/W ≈ 0.066 % of the cell's total count.
+#: CMS width FLOOR (also the legacy fixed width — a pre-marker store
+#: on disk reads back as 4096): ε = e/W of the cell's total count.
 CMS_W = 4096
+#: auto-width target: the mean counter load N_cell/W stays ≤ this, so
+#: the point-estimate overshoot εN = e·N/W ≤ e·CMS_TARGET_LOAD — an
+#: ABSOLUTE error budget (~2.8k counts) independent of corpus size.
+#: The round-8 finding: with W fixed, watchlist overestimates grow
+#: linearly with the cell count (10⁹-event hourly cells at 100 TB ⇒
+#: ~700k overshoot) while HLL (error ∝ √, relative) and Bloom (m
+#: auto-sized) stay calibrated. Same contract as store.auto_buckets:
+#: grow the layout with the data, power-of-two steps, pinned on disk.
+CMS_TARGET_LOAD = 1024
+#: width ceiling: 2^24 counters × D=4 rows ≈ 67M rows/cell worst case;
+#: past this the counter relation approaches exact per-key counts and
+#: a wider sketch stops paying for itself.
+CMS_W_MAX = 1 << 24
 _CMS_SPLIT = 1 << 30
+
+
+def auto_cms_width(max_cell_count: int) -> int:
+    """Counter width for the heaviest cell seen at build time: the
+    power of two that keeps the mean load per counter ≤
+    CMS_TARGET_LOAD, clamped to [CMS_W, CMS_W_MAX]. Deterministic in
+    the count, so the DuckDB oracle re-derives the same width from
+    the same relation."""
+    import math
+
+    want = max(1, math.ceil(max(0, max_cell_count) / CMS_TARGET_LOAD))
+    pow2 = 1 << (want - 1).bit_length()
+    return max(CMS_W, min(CMS_W_MAX, pow2))
 
 
 def cms_pos_expr(h: str, d: int, dialect: str, w: int = CMS_W) -> str:

@@ -4661,6 +4661,7 @@ def events_watchlist_cms_serve(spark, sf_dir):
     overcount) is pinned in tests/test_cms.py."""
     from dqe_spark.operators.sketches import cms_merge, cms_probe
     from dqe_spark.sources.rollup import (
+        cms_width,
         load_cms_rollup,
         load_cms_watchlist,
     )
@@ -4672,8 +4673,17 @@ def events_watchlist_cms_serve(spark, sf_dir):
         regs.withColumn("wts", F.col("wts") - F.col("wts") % F.lit(DAY)),
         ["event_type", "wts"],
     )
+    # probe at the STORE's width (auto-sized at build, pinned in its
+    # _WIDTH marker); the registry oracle replays at the floor width,
+    # which equals the auto width at every driver gate scale — the
+    # wider-store replay is pinned in tests/test_cms.py.
     return cms_probe(
-        dregs, ["event_type", "wts"], watch, "user_id", out="est_events"
+        dregs,
+        ["event_type", "wts"],
+        watch,
+        "user_id",
+        out="est_events",
+        w=cms_width(sf_dir, 3_600_000),
     )
 
 

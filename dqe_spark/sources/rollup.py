@@ -611,6 +611,7 @@ def build_portable_distinct_rollup(
     out = _pdistinct_dir(sf_dir, res_ms)
     if not force and (out / "_SUCCESS").exists():
         return out
+    invalidate_retention_memo()
     ev = load_events(spark, sf_dir)
     wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
     regs = hll_registers(
@@ -696,6 +697,7 @@ def merge_portable_distinct_increment(
     if not (out / "_SUCCESS").exists():
         build_portable_distinct_rollup(spark, sf_dir, res_ms)
         return out
+    invalidate_retention_memo()
     wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
     inc = hll_pack(
         hll_registers(
@@ -1069,11 +1071,24 @@ def _cms_watch_dir(sf_dir: str) -> Path:
 CMS_WATCH_K = 20
 
 
+def cms_width(sf_dir: str, res_ms: int = 3_600_000) -> int:
+    """The counter width the on-disk CMS store was hashed with — read
+    from its ``_WIDTH`` marker (a pre-marker store is the legacy fixed
+    CMS_W layout). Every probe and every oracle replay MUST use this
+    width: positions are h mod W, so a width mismatch reads garbage
+    counters, the same contract as gram_store's _BUCKETS marker."""
+    from dqe_spark.operators.sketches import CMS_W
+
+    marker = _cms_dir(sf_dir, res_ms) / "_WIDTH"
+    return int(marker.read_text()) if marker.exists() else CMS_W
+
+
 def build_cms_rollup(
     spark: SparkSession,
     sf_dir: str,
     res_ms: int = 3_600_000,
     force: bool = False,
+    w: int | None = None,
 ) -> Path:
     """Portable Count-Min partials per (event_type, window) over
     user_id — the frequency member of the sketch ladder (HLL =
@@ -1082,8 +1097,16 @@ def build_cms_rollup(
     ≤ D·W rows per cell by construction, ∝ D·active-users below that
     — at hourly grain the relation IS sparse, so the HLL round-7
     packing lesson doesn't bite a serve here. Merges to any coarser
-    window by SUM (lossless for the additive semantic)."""
-    from dqe_spark.operators.sketches import cms_registers
+    window by SUM (lossless for the additive semantic).
+
+    ``w=None`` AUTO-SIZES the width from the heaviest cell's event
+    count (sketches.auto_cms_width: mean counter load ≤
+    CMS_TARGET_LOAD, so the εN overshoot is an absolute budget at any
+    corpus size — round-8 "What's missing" #1, the last
+    fixed-parameter sketch). The sizing pass is one map-side-combined
+    count over (event_type, wts) — |cells| output rows. The chosen
+    width is pinned in the store's ``_WIDTH`` marker."""
+    from dqe_spark.operators.sketches import auto_cms_width, cms_registers
     from dqe_spark.sources.metric_store import load_events
 
     out = _cms_dir(sf_dir, res_ms)
@@ -1091,14 +1114,22 @@ def build_cms_rollup(
         return out
     ev = load_events(spark, sf_dir)
     wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
-    regs = cms_registers(
-        ev.select("event_type", wts, "user_id"),
-        ["event_type", "wts"],
-        "user_id",
-    )
-    return _atomic_write(
+    src = ev.select("event_type", wts, "user_id")
+    if w is None:
+        n_max = (
+            src.where(F.col("user_id").isNotNull())
+            .groupBy("event_type", "wts")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        w = auto_cms_width(int(n_max or 0))
+    regs = cms_registers(src, ["event_type", "wts"], "user_id", w=w)
+    _atomic_write(
         regs, out, f"_tmp_rollup_cms_{res_ms}ms", part_cols=("event_type",)
     )
+    (out / "_WIDTH").write_text(str(w))
+    return out
 
 
 def build_cms_watchlist(
@@ -1151,22 +1182,36 @@ def merge_cms_increment(
     res_ms: int = 3_600_000,
 ) -> Path:
     """Fold newly-landed events into the CMS store: sketch the new
-    points, SUM-merge against the stored counters of the touched
-    event_types — cost proportional to the new data, result equals a
-    from-scratch rebuild (counts are additive; pinned in
-    tests/test_cms.py). Same touched-partition dynamic-overwrite
-    contract as every other ladder."""
-    from dqe_spark.operators.sketches import cms_merge, cms_registers
+    points AT THE STORED WIDTH, SUM-merge against the stored counters
+    of the touched event_types — cost proportional to the new data,
+    result equals a from-scratch rebuild (counts are additive; pinned
+    in tests/test_cms.py). Same touched-partition dynamic-overwrite
+    contract as every other ladder.
+
+    Width migration: if the merged store's heaviest cell outgrows the
+    stored width's load budget, the store is LOUDLY rebuilt at the
+    wider layout — counters hashed mod W cannot be re-hashed to 2W,
+    so unlike gram_store's rebucket this migration goes back to the
+    events source of record (then re-folds the in-hand increment).
+    The check reads per-cell totals from the d=0 counter row (Σc over
+    one hash row IS the cell's event count — no raw scan)."""
+    from dqe_spark.operators.sketches import (
+        auto_cms_width,
+        cms_merge,
+        cms_registers,
+    )
 
     out = _cms_dir(sf_dir, res_ms)
     if not (out / "_SUCCESS").exists():
         build_cms_rollup(spark, sf_dir, res_ms)
         return out
+    w = cms_width(sf_dir, res_ms)
     wts = (F.col("ts_ms") - (F.col("ts_ms") % F.lit(res_ms))).alias("wts")
     inc = cms_registers(
         new_events.select("event_type", wts, "user_id"),
         ["event_type", "wts"],
         "user_id",
+        w=w,
     )
     touched = inc.select("event_type").distinct()
     existing = spark.read.parquet(str(out)).join(
@@ -1175,6 +1220,23 @@ def merge_cms_increment(
     merged = cms_merge(
         existing.unionByName(inc), ["event_type", "wts"]
     ).localCheckpoint(eager=True)
+    n_max = (
+        merged.where(F.col("d") == 0)
+        .groupBy("event_type", "wts")
+        .agg(F.sum("c").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    want = auto_cms_width(int(n_max or 0))
+    if want > w:
+        print(
+            f"[rollup] CMS store {out} width {w} under-sized for its "
+            f"heaviest cell ({n_max} events): rebuilding at width {want} "
+            "from the events source + this increment (counters cannot "
+            "re-hash across widths)"
+        )
+        build_cms_rollup(spark, sf_dir, res_ms, force=True, w=want)
+        return merge_cms_increment(spark, new_events, sf_dir, res_ms)
     (
         merged.repartition("event_type")
         .sortWithinPartitions("wts")
@@ -1184,6 +1246,22 @@ def merge_cms_increment(
         .parquet(str(out))
     )
     return out
+
+
+#: per-session memo of the checkpointed day-register/day-estimate
+#: relations: they are a pure function of (application, store dir) and
+#: sketch-bounded (≤ m rows per day cell), so repeated retention
+#: serves — any horizon — skip the unpack+merge+checkpoint the first
+#: call paid. Keyed by applicationId so a new session never sees a
+#: dead checkpoint; invalidated by the store builders/mergers below.
+_DREG_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def invalidate_retention_memo() -> None:
+    """Drop memoized day registers — called whenever the portable
+    distinct store changes under a live session (rebuild, increment),
+    so a serve never reads a stale checkpoint."""
+    _DREG_MEMO.clear()
 
 
 def portable_retention_1d(
@@ -1212,31 +1290,46 @@ def portable_retention_1d(
     )
 
     DAY = 86_400_000
-    sk = load_portable_distinct_rollup(spark, sf_dir, 3_600_000)
-    hreg = hll_unpack(sk, ["event_type", "wts"])
     # the day-register relation feeds FOUR consumers (two day-estimate
     # sides and the pair union); without a materialization barrier
     # Spark recomputes the unpack+merge per branch (14 exchanges
     # measured). Registers are sketch-bounded (≤ m rows per day cell
     # at ANY corpus size), so an eager localCheckpoint is safe and
-    # keeps the serve one store read.
+    # keeps the serve one store read. The checkpointed relations are
+    # memoized per (application, store dir): a warm serve pays only
+    # the pair-key folds, not the unpack+merge — any offset_days
+    # horizon shares the same memo entry (the horizon only enters at
+    # the pair explode below).
     # ``checkpoint=False`` keeps full lineage in the plan so the
     # serving-path guard can assert store-only scans; the default
     # serves through the barriers.
-    _bar = (
-        (lambda df: df.localCheckpoint(eager=True))
-        if checkpoint
-        else (lambda df: df)
+    memo_key = (
+        spark.sparkContext.applicationId,
+        str(_pdistinct_dir(sf_dir, 3_600_000)),
     )
-    dreg = _bar(
-        hll_merge(
-            hreg.withColumn(
-                "wts", F.col("wts") - F.col("wts") % F.lit(DAY)
-            ),
-            ["event_type", "wts"],
+    if checkpoint and memo_key in _DREG_MEMO:
+        dreg, dest = _DREG_MEMO[memo_key]
+    else:
+        sk = load_portable_distinct_rollup(spark, sf_dir, 3_600_000)
+        hreg = hll_unpack(sk, ["event_type", "wts"])
+        _bar = (
+            (lambda df: df.localCheckpoint(eager=True))
+            if checkpoint
+            else (lambda df: df)
         )
-    )
-    dest = _bar(hll_estimate(dreg, ["event_type", "wts"], "approx_users"))
+        dreg = _bar(
+            hll_merge(
+                hreg.withColumn(
+                    "wts", F.col("wts") - F.col("wts") % F.lit(DAY)
+                ),
+                ["event_type", "wts"],
+            )
+        )
+        dest = _bar(
+            hll_estimate(dreg, ["event_type", "wts"], "approx_users")
+        )
+        if checkpoint:
+            _DREG_MEMO[memo_key] = (dreg, dest)
     OFF = offset_days * DAY
     preg = hll_merge(
         dreg.select(

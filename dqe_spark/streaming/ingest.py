@@ -492,6 +492,7 @@ def stream_cms_counters(
     res: str = "1 hour",
     watermark: str = "6 hours",
     schema: str = STREAM_SCHEMA,
+    w: int | None = None,
 ) -> DataFrame:
     """Continuous maintenance of the Count-Min counter relation — the
     streaming twin of sources/rollup.build_cms_rollup, completing the
@@ -503,7 +504,9 @@ def stream_cms_counters(
     additive and both paths see the same rows; pinned in
     tests/test_streaming.py). Late events beyond the watermark belong
     to the batch merge_cms_increment backfill, which sum-merges
-    losslessly into the same cells."""
+    losslessly into the same cells. ``w`` must be the maintained
+    store's _WIDTH marker value (sources/rollup.cms_width) — None
+    uses the CMS_W floor, the legacy fixed layout."""
     from dqe_spark.operators.sketches import (
         CMS_D,
         CMS_W,
@@ -531,7 +534,7 @@ def stream_cms_counters(
                     F.struct(
                         F.lit(d).alias("d"),
                         F.expr(
-                            cms_pos_expr("__h", d, "spark", CMS_W)
+                            cms_pos_expr("__h", d, "spark", w or CMS_W)
                         ).alias("pos"),
                     )
                     for d in range(CMS_D)

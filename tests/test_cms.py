@@ -195,3 +195,136 @@ def test_expire_cms_and_pdistinct_ladders(spark):
         assert got == want and got, ladder
         assert after.agg(F.min("wts")).first()[0] >= aligned
         build(spark, SF_SMOKE, res, force=True)  # restore
+
+
+def test_auto_cms_width_policy():
+    """Width = pow2 keeping mean counter load ≤ CMS_TARGET_LOAD,
+    clamped to [CMS_W, CMS_W_MAX] — the auto_buckets contract applied
+    to the last fixed-parameter sketch (round-8 'What's missing' #1)."""
+    assert SK.auto_cms_width(0) == SK.CMS_W
+    assert SK.auto_cms_width(SK.CMS_W * SK.CMS_TARGET_LOAD) == SK.CMS_W
+    assert (
+        SK.auto_cms_width(SK.CMS_W * SK.CMS_TARGET_LOAD + 1) == 2 * SK.CMS_W
+    )
+    assert SK.auto_cms_width(1 << 62) == SK.CMS_W_MAX
+    prev = 0
+    for n in (10, 10**6, 10**7, 10**8, 10**9):
+        w = SK.auto_cms_width(n)
+        assert w >= prev and w & (w - 1) == 0
+        prev = w
+
+
+def test_cms_error_budget_holds_across_width_doubling(spark):
+    """The point of auto width: at 2W the εN = (e/W)·N overcount
+    budget HALVES and still holds, estimates stay one-sided — so a
+    store migrated to a wider layout keeps (tightens) its calibration."""
+    df = _toy(spark).where(F.col("v").isNotNull())
+    exact = {
+        (r["k"], r["v"]): r["n"]
+        for r in df.groupBy("k", "v").agg(F.count("*").alias("n")).collect()
+    }
+    n_cell = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    probe = df.select("v").distinct()
+    for w in (SK.CMS_W, 2 * SK.CMS_W):
+        regs = SK.cms_registers(df, ["k"], "v", w=w)
+        est = {
+            (r["k"], r["v"]): r["est_count"]
+            for r in SK.cms_probe(regs, ["k"], probe, "v", w=w).collect()
+        }
+        for cell_key, true in exact.items():
+            e = est[cell_key]
+            assert e >= true
+            budget = max(3, int(2.72 / w * n_cell[cell_key[0]]) + 1)
+            assert e - true <= budget, (w, cell_key, e, true)
+
+
+def test_cms_oracle_replays_at_stored_width(spark, duck):
+    """A store built at a non-floor width serves through its _WIDTH
+    marker and the DuckDB oracle replays BIT-EXACT at that width —
+    the migration contract's correctness half."""
+    import shutil
+
+    from dqe_spark.operators.sketches import cms_merge, cms_probe
+    from dqe_spark.sources import rollup as R
+
+    W2 = 2 * SK.CMS_W
+    store = R._cms_dir(SF_SMOKE, 3_600_000)
+    had = (store / "_SUCCESS").exists()
+    try:
+        R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True, w=W2)
+        assert R.cms_width(SF_SMOKE, 3_600_000) == W2
+        DAY = 86_400_000
+        regs = R.load_cms_rollup(spark, SF_SMOKE, 3_600_000)
+        watch = R.load_cms_watchlist(spark, SF_SMOKE)
+        dregs = cms_merge(
+            regs.withColumn(
+                "wts", F.col("wts") - F.col("wts") % F.lit(DAY)
+            ),
+            ["event_type", "wts"],
+        )
+        got = cms_probe(
+            dregs, ["event_type", "wts"], watch, "user_id",
+            out="est_events", w=W2,
+        )
+        ctes = SK.cms_oracle_ctes(
+            "SELECT event_type, "
+            "(epoch_ns(ts) // 1000000 // 86400000) * 86400000 AS wts, "
+            "user_id FROM events",
+            ["event_type", "wts"],
+            "user_id",
+            "SELECT user_id FROM events WHERE user_id IS NOT NULL "
+            "GROUP BY 1 ORDER BY count(*) DESC, user_id ASC LIMIT 20",
+            w=W2,
+        )
+        from tests.oracle_util import compare
+
+        compare(
+            got,
+            duck,
+            f"WITH {ctes} SELECT event_type, wts, user_id, "
+            "est_count AS est_events FROM cms_est",
+        )
+    finally:
+        if had:
+            R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+        elif store.exists():
+            shutil.rmtree(store)
+
+
+def test_cms_width_migration_is_loud_and_rebuilds(spark, capsys, monkeypatch):
+    """An increment that pushes the heaviest cell past the stored
+    width's load budget triggers the loud rebuild-at-wider-width path;
+    the migrated store carries the new _WIDTH marker and the increment
+    rows. (Counters hashed mod W cannot re-hash to 2W, so unlike
+    gram_store's rebucket this goes back to the events source + the
+    in-hand increment — the single-increment-in-flight contract the
+    docstring states.)"""
+    import shutil
+
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.sources.metric_store import load_events
+
+    store = R._cms_dir(SF_SMOKE, 3_600_000)
+    had = (store / "_SUCCESS").exists()
+    try:
+        # a deliberately narrow store + a floor/budget shrunk to the
+        # smoke corpus's tiny cells (≤3 events/hour), so the increment
+        # check actually fires at this scale
+        R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True, w=2)
+        assert R.cms_width(SF_SMOKE, 3_600_000) == 2
+        monkeypatch.setattr(SK, "CMS_TARGET_LOAD", 1)
+        monkeypatch.setattr(SK, "CMS_W", 1)
+        ev = load_events(spark, SF_SMOKE).limit(50)
+        R.merge_cms_increment(spark, ev, SF_SMOKE, 3_600_000)
+        assert R.cms_width(SF_SMOKE, 3_600_000) > 2
+        out = capsys.readouterr().out
+        assert "under-sized" in out and "rebuilding at width" in out
+    finally:
+        monkeypatch.undo()
+        if had:
+            R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+        elif store.exists():
+            shutil.rmtree(store)
