@@ -142,10 +142,10 @@ EXT_HEADLINE = [
 #: regression.
 CONTROL = "get_points"
 
-#: serving queries also measured WARM (repeated full invocations in
-#: one session after the first call primed store listings / memoized
-#: register checkpoints): the steady-state median a dashboard pays,
-#: next to the cold suite row that still includes session-floor costs.
+#: serving queries also measured WARM (prepared-plan repeated collects
+#: and fresh-replan invocations, one session, stores primed): the
+#: steady-state medians a dashboard pays, next to the cold suite row
+#: that still includes session-floor costs.
 SERVING = [
     "rollup_distinct_users_1d_serve",
     "knn_ann_serve",
@@ -268,23 +268,35 @@ def main() -> None:
     for name in names:
         times[name], best[name], rows[name] = timed(name)
 
-    # warm serving medians: the first call of each serving query above
-    # primed the session (store listings, memoized day-register
-    # checkpoints), so here each query is re-invoked END-TO-END (fresh
-    # plan + execute + collect per call — nothing cached but the
-    # session) and the median of the warm calls is the steady-state
-    # latency a dashboard pays per request.
+    # warm serving medians (round-9 ask #1 — the committed number a
+    # dashboard pays per request). Two shapes per serving query:
+    #   serve_warm   = N repeated collects of a PREPARED DataFrame in
+    #                  one session (plan built once, store listings +
+    #                  memoized register checkpoints already primed) —
+    #                  the steady-state per-request latency;
+    #   serve_replan = fresh plan build + execute + collect per call —
+    #                  what a caller without a prepared statement pays.
+    # The cold cost stays visible as the query's regular suite row.
     warm_reps = int(os.environ.get("SPARK_GRAFT_BENCH_WARM_REPS", "5"))
     serve_warm: dict[str, float] = {}
+    serve_replan: dict[str, float] = {}
     for name in SERVING:
         if name not in qs or name not in times:
             continue
+        prepared = qs[name](spark, SF_DIR)
+        prepared.collect()  # prime (plan, codegen, file index, memos)
+        samples = []
+        for _ in range(warm_reps):
+            t0 = time.perf_counter()
+            prepared.collect()
+            samples.append(time.perf_counter() - t0)
+        serve_warm[name] = round(sorted(samples)[len(samples) // 2], 3)
         samples = []
         for _ in range(warm_reps):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
-        serve_warm[name] = round(sorted(samples)[len(samples) // 2], 3)
+        serve_replan[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     control1 = timed(CONTROL)[0] if CONTROL in qs else None
     # the drift of the box over the run, on byte-identical pure-scan
@@ -317,6 +329,7 @@ def main() -> None:
         "rows": rows,
         "norm": norm,
         "serve_warm": serve_warm,
+        "serve_replan": serve_replan,
         "control": [control0, control1],
         "control_spread": spread,
         "sf": sf_val,
@@ -345,6 +358,7 @@ def main() -> None:
         "control": [control0, control1],
         "control_spread": spread,
         "serve_warm": serve_warm,
+        "serve_replan": serve_replan,
         "artifact": artifact,
     }
     print(compact_line(base, times, norm))

@@ -79,6 +79,9 @@ def ingest_ann(
     bytes ≈ probes × target_cell × row_size, independent of n. At
     registry scales auto_clusters lands on the historical 8, so
     nothing moves at the gate."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     from dqe_spark.operators import similarity as S
 
     out = _ann_dir(sf_dir)
@@ -150,6 +153,9 @@ def merge_ann_increment(
     first so the write doesn't read from the path it overwrites. This
     mirrors rollup.merge_rollup_increment — at 100 TB a nightly vector
     backfill costs proportional to the new data, not the index."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     from dqe_spark.operators import similarity as S
 
     ingest_ann(spark, sf_dir)
@@ -201,12 +207,20 @@ def merge_ann_increment(
 
 
 def load_ann(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict] | None:
-    """(index DataFrame, meta) if the index is built, else None."""
+    """(index DataFrame, meta) if the index is built, else None.
+    Memoized per session: re-listing the index files + re-reading the
+    centroid/codebook meta per serve was most of a warm serve's wall
+    (see store.session_load_memo); every writer below invalidates."""
     p = ann_path(sf_dir)
     if p is None:
         return None
-    meta = json.loads((p / "meta.json").read_text())
-    return spark.read.parquet(str(p / "index")), meta
+    from dqe_spark.sources.store import session_load_memo
+
+    def _load():
+        meta = json.loads((p / "meta.json").read_text())
+        return spark.read.parquet(str(p / "index")), meta
+
+    return session_load_memo(spark, ("ann", str(p)), _load)
 
 
 def knn_pq_probed(
@@ -311,6 +325,9 @@ def purge_vector_ids(
     centroids/codebooks are untouched (they are trained artifacts, not
     per-vector state). A purged vector can no longer be served by any
     probe."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     p = ann_path(sf_dir)
     if p is None:
         raise FileNotFoundError(f"no ANN index under {_ann_dir(sf_dir)}")

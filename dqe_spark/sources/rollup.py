@@ -81,6 +81,9 @@ def _atomic_write(
     part_cols: tuple[str, ...] = ("bucket", "metric"),
     sort_cols: tuple[str, ...] = ("wts",),
 ) -> Path:
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     tmp = out.parent / tmp_name
     if tmp.exists():
         shutil.rmtree(tmp)
@@ -149,6 +152,9 @@ def merge_rollup_increment(
     write doesn't read from the path it overwrites. This is the batch
     twin of streaming.stream_rollup_partials (late/backfill data beyond
     the stream's watermark lands here)."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     out = _rollup_dir(sf_dir, res_ms)
     if not (out / "_SUCCESS").exists():
         build_rollup(spark, sf_dir, res_ms)
@@ -198,6 +204,9 @@ def cascade_rollup(
     hierarchy costs one pass over the finer rollup, never a raw scan.
     This is how a 1s→1m→1h→1d ladder stays cheap to maintain at
     100 TB: each level reads only the level below."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     if to_res_ms % from_res_ms != 0:
         raise ValueError("coarse resolution must be a multiple of the fine one")
     out = _rollup_dir(sf_dir, to_res_ms)
@@ -246,7 +255,11 @@ def load_rollup(spark: SparkSession, sf_dir: str, res_ms: int = 60_000) -> DataF
     p = _rollup_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():
         build_rollup(spark, sf_dir, res_ms)
-    return spark.read.parquet(str(p))
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(
+        spark, ("store", str(p)), lambda: spark.read.parquet(str(p))
+    )
 
 
 def partial_value_expr(agg: str) -> Column:
@@ -401,7 +414,11 @@ def load_hist_rollup(
     p = _hist_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():
         build_hist_rollup(spark, sf_dir, res_ms)
-    return spark.read.parquet(str(p))
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(
+        spark, ("store", str(p)), lambda: spark.read.parquet(str(p))
+    )
 
 
 def hist_rollup_percentile(
@@ -514,7 +531,11 @@ def load_distinct_rollup(
     p = _distinct_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():
         build_distinct_rollup(spark, sf_dir, res_ms)
-    return spark.read.parquet(str(p))
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(
+        spark, ("store", str(p)), lambda: spark.read.parquet(str(p))
+    )
 
 
 def distinct_rollup_agg(
@@ -548,6 +569,9 @@ def merge_distinct_increment(
     are union-mergeable, so the increment is sketch-agg the new points
     and hll_union_agg against the stored cells — same shape as
     merge_rollup_increment, cost proportional to the new data."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     out = _distinct_dir(sf_dir, res_ms)
     if not (out / "_SUCCESS").exists():
         build_distinct_rollup(spark, sf_dir, res_ms)
@@ -633,16 +657,22 @@ def load_portable_distinct_rollup(
     p = _pdistinct_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():
         build_portable_distinct_rollup(spark, sf_dir, res_ms)
-    df = spark.read.parquet(str(p))
-    # stale on-disk layouts rebuild in place: the pre-round-8 register
-    # relation (no regs column) and the short-lived dense int-array
-    # pack (regs: array<int> instead of array<struct<bucket,r>>)
-    if "regs" not in df.columns or not dict(df.dtypes)["regs"].startswith(
-        "array<struct"
-    ):
-        build_portable_distinct_rollup(spark, sf_dir, res_ms, force=True)
+
+    def _load() -> DataFrame:
         df = spark.read.parquet(str(p))
-    return df
+        # stale on-disk layouts rebuild in place: the pre-round-8
+        # register relation (no regs column) and the short-lived dense
+        # int-array pack (regs: array<int> not array<struct<bucket,r>>)
+        if "regs" not in df.columns or not dict(df.dtypes)[
+            "regs"
+        ].startswith("array<struct"):
+            build_portable_distinct_rollup(spark, sf_dir, res_ms, force=True)
+            df = spark.read.parquet(str(p))
+        return df
+
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(spark, ("store", str(p)), _load)
 
 
 def portable_distinct_agg(
@@ -687,6 +717,9 @@ def merge_portable_distinct_increment(
     stored cells of the touched event_types — cost proportional to the
     new data, and the result equals a from-scratch rebuild (max is
     idempotent and associative; pinned in tests/test_rollup.py)."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     from dqe_spark.operators.sketches import (
         hll_merge_packed,
         hll_pack,
@@ -808,7 +841,11 @@ def load_tagged_rollup(
             cascade_tagged_rollup(spark, sf_dir, 60_000, res_ms)
         else:
             build_tagged_rollup(spark, sf_dir, res_ms)
-    return spark.read.parquet(str(p))
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(
+        spark, ("store", str(p)), lambda: spark.read.parquet(str(p))
+    )
 
 
 # ------------------------------------------------------------ tagged hist
@@ -867,7 +904,11 @@ def load_tagged_hist_rollup(
     p = _tagged_hist_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():
         build_tagged_hist_rollup(spark, sf_dir, res_ms)
-    return spark.read.parquet(str(p))
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(
+        spark, ("store", str(p)), lambda: spark.read.parquet(str(p))
+    )
 
 
 # ---------------------------------------------------- incremental merges
@@ -892,6 +933,9 @@ def _merge_touched_partitions(
     """Shared increment fold: read only the (bucket, metric) partitions
     the increment touches, re-aggregate existing ∪ inc, dynamically
     overwrite exactly those directories."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     affected = inc.select("bucket", "metric").distinct()
     existing = spark.read.parquet(str(out)).join(
         F.broadcast(affected), ["bucket", "metric"], "left_semi"
@@ -1034,6 +1078,9 @@ def expire_rollup_before(
     1m one year, 1h forever — rewrites only the small stores and
     unlinks the big one. Atomic tmp-dir rename, same as the builders.
     Returns the store path, or None if the level does not exist."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     if ladder not in _LADDER_DIRS:
         raise ValueError(f"unknown ladder {ladder!r}: {sorted(_LADDER_DIRS)}")
     out = _LADDER_DIRS[ladder](sf_dir, res_ms)
@@ -1165,14 +1212,22 @@ def load_cms_rollup(
     p = _cms_dir(sf_dir, res_ms)
     if not (p / "_SUCCESS").exists():
         build_cms_rollup(spark, sf_dir, res_ms)
-    return spark.read.parquet(str(p))
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(
+        spark, ("store", str(p)), lambda: spark.read.parquet(str(p))
+    )
 
 
 def load_cms_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _cms_watch_dir(sf_dir)
     if not (p / "_SUCCESS").exists():
         build_cms_watchlist(spark, sf_dir)
-    return spark.read.parquet(str(p))
+    from dqe_spark.sources.store import session_load_memo
+
+    return session_load_memo(
+        spark, ("store", str(p)), lambda: spark.read.parquet(str(p))
+    )
 
 
 def merge_cms_increment(
@@ -1195,6 +1250,9 @@ def merge_cms_increment(
     events source of record (then re-folds the in-hand increment).
     The check reads per-cell totals from the d=0 counter row (Σc over
     one hash row IS the cell's event count — no raw scan)."""
+    from dqe_spark.sources.store import invalidate_load_memo
+
+    invalidate_load_memo()
     from dqe_spark.operators.sketches import (
         auto_cms_width,
         cms_merge,
