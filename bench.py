@@ -221,8 +221,9 @@ def main() -> None:
     rollup.build_portable_distinct_rollup(spark, SF_DIR, 3_600_000)
     rollup.build_cms_rollup(spark, SF_DIR, 3_600_000)
     rollup.build_cms_watchlist(spark, SF_DIR)
-    from dqe_spark.sources import ann_store, media_store, text_index
+    from dqe_spark.sources import ann_store, dsir_store, media_store, text_index
 
+    dsir_store.build_dsir_model(spark, SF_DIR)
     text_index.build_text_index(spark, SF_DIR)
     ann_store.ingest_ann(spark, SF_DIR)
     media_store.build_media_store(spark, SF_DIR)

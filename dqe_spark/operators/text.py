@@ -677,6 +677,88 @@ def unigram_surprisal(
     )
 
 
+def dsir_bucket_counts(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, _is_t, bucket, c) hashed uni+bigram occurrence counts —
+    the ONE corpus-sized shuffle of the DSIR ladder (map-side-combined
+    groupBy), shared by the inline model fit, the persisted model
+    store (sources/dsir_store.py — counts are ADDITIVE, so the store
+    increments by sum-merge like the CMS ladder), and pool scoring."""
+    from dqe_spark.operators.sketches import hash60_expr
+
+    B = int(n_buckets)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    d = df.select(
+        F.col(id_col), target.cast("boolean").alias("_is_t"),
+        toks.alias("_toks"),
+    )
+    grams = d.select(
+        id_col,
+        "_is_t",
+        F.explode(
+            F.concat(
+                F.col("_toks"),
+                F.expr(
+                    "zip_with(slice(_toks, 1, greatest(size(_toks)-1, 0)),"
+                    " slice(_toks, 2, greatest(size(_toks)-1, 0)),"
+                    " (x, y) -> concat(x, ' ', y))"
+                ),
+            )
+        ).alias("gram"),
+    )
+    return grams.select(
+        id_col,
+        "_is_t",
+        F.expr(f"{hash60_expr('gram', 'spark')} % {B}").alias("bucket"),
+    ).groupBy(id_col, "_is_t", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
+def dsir_model_counts(bk: DataFrame) -> DataFrame:
+    """Fold (doc, bucket) counts to the ≤B-row model relation
+    (bucket, ct, cr) — target and raw occurrence totals per bucket.
+    ADDITIVE: two corpora's model counts sum to the union's (the
+    increment contract of sources/dsir_store.py)."""
+    return bk.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("_is_t"), 0).otherwise(F.col("c")))
+        .cast("long")
+        .alias("cr"),
+    )
+
+
+def dsir_lambda(model: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """Per-bucket nano-nat log-likelihood ratio λ from the model
+    counts: λ[b] = ln(ct+1) − ln(nt+B) − ln(cr+1) + ln(nr+B), every ln
+    the deterministic integer series the oracle replays. ≤B rows —
+    broadcasts at any corpus size."""
+    from dqe_spark.operators.sketches import ln_int_expr
+
+    B = int(n_buckets)
+    tot = model.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    return model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            "CAST(floor(("
+            f"{ln_int_expr('ct + 1', 'spark')}"
+            f" - {ln_int_expr(f'nt + {B}', 'spark')}"
+            f" - {ln_int_expr('cr + 1', 'spark')}"
+            f" + {ln_int_expr(f'nr + {B}', 'spark')}"
+            ") * 1000000000.0 + 0.5) AS BIGINT)"
+        ).alias("lam_e9"),
+    )
+
+
 def dsir_select(
     df: DataFrame,
     target: Column,
@@ -684,6 +766,7 @@ def dsir_select(
     k: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023, NeurIPS): pick the k raw-pool documents whose hashed n-gram
@@ -717,63 +800,33 @@ def dsir_select(
     never a global sort. Zero-gram raw docs stay in the pool with
     logw = 0 via the final left join.
 
+    ``model`` (bucket, ct, cr — e.g. from sources/dsir_store.py's
+    persisted relation) skips the model fit AND the target split's
+    gram pass entirely: only the raw pool is tokenized, so a
+    selection against a persisted model pays ONE corpus pass instead
+    of two — and repeated selections at different k are model-free.
+
     Output: (doc_id, n_grams, logw_e9, score_e9), the k selected rows,
     ordered (score_e9 DESC, doc_id ASC).
     """
     from dqe_spark.operators.sketches import hash60_expr, ln_int_expr
 
     B = int(n_buckets)
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
-    )
-    d = df.select(
-        F.col(id_col), target.cast("boolean").alias("_is_t"),
-        toks.alias("_toks"),
-    )
-    grams = d.select(
-        id_col,
-        "_is_t",
-        F.explode(
-            F.concat(
-                F.col("_toks"),
-                F.expr(
-                    "zip_with(slice(_toks, 1, greatest(size(_toks)-1, 0)),"
-                    " slice(_toks, 2, greatest(size(_toks)-1, 0)),"
-                    " (x, y) -> concat(x, ' ', y))"
-                ),
-            )
-        ).alias("gram"),
-    )
-    # collapse the exploded gram stream to (doc, bucket) occurrence
-    # counts FIRST — one map-side-combined shuffle at the finest
-    # granularity any consumer needs; the model fit (B rows) and the
-    # per-doc scoring both derive from this far smaller relation
-    # instead of each re-shuffling the raw stream
-    bk = grams.select(
-        id_col,
-        "_is_t",
-        F.expr(f"{hash60_expr('gram', 'spark')} % {B}").alias("bucket"),
-    ).groupBy(id_col, "_is_t", "bucket").agg(
-        F.count("*").cast("long").alias("c")
-    )
-    model = bk.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("_is_t"), 0).otherwise(F.col("c"))).alias("cr"),
-    )
-    tot = model.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-    )
-    lam = model.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr(
-            "CAST(floor(("
-            f"{ln_int_expr('ct + 1', 'spark')}"
-            f" - {ln_int_expr(f'nt + {B}', 'spark')}"
-            f" - {ln_int_expr('cr + 1', 'spark')}"
-            f" + {ln_int_expr(f'nr + {B}', 'spark')}"
-            ") * 1000000000.0 + 0.5) AS BIGINT)"
-        ).alias("lam_e9"),
-    )
+    if model is None:
+        # collapse the exploded gram stream to (doc, bucket)
+        # occurrence counts FIRST — one map-side-combined shuffle at
+        # the finest granularity any consumer needs; the model fit
+        # (B rows) and the per-doc scoring both derive from this far
+        # smaller relation instead of each re-shuffling the raw stream
+        bk = dsir_bucket_counts(df, target, B, id_col, text_col)
+        model = dsir_model_counts(bk)
+    else:
+        # persisted model: gram only the raw pool (the target split
+        # never re-tokenizes)
+        bk = dsir_bucket_counts(
+            df.where(~target), F.lit(False), B, id_col, text_col
+        )
+    lam = dsir_lambda(model, B)
     logw = (
         bk.where(~F.col("_is_t"))
         .join(F.broadcast(lam), "bucket")

@@ -4186,13 +4186,20 @@ def text_dsir_select(spark, sf_dir):
     (non-English docs) by how much their hashed uni+bigram bucket
     distribution resembles the English target split, importance
     log-weights perturbed by deterministic hash-derived Gumbel noise,
-    top-100 without replacement. The model fit is one partial-agg
-    pass to ≤4096 bucket rows (broadcastable at any corpus size);
-    scoring is a broadcast join over the exploded gram stream;
-    selection is a distributed top-k (operators/text.py
-    dsir_select)."""
+    top-100 without replacement. The ≤4096-row model is PERSISTED
+    (sources/dsir_store.py — built once, sum-merge increments), so a
+    selection pays ONE corpus pass (pool grams + broadcast-λ scoring +
+    distributed top-k) instead of refitting the model each call; the
+    static oracle refits from raw docs, so the hash gate proves the
+    store's counts too (operators/text.dsir_select)."""
+    from dqe_spark.sources.dsir_store import load_dsir_model
+
     d = load_table(spark, sf_dir, "documents")
-    return text.dsir_select(d, F.col("lang") == "en")
+    return text.dsir_select(
+        d,
+        F.col("lang") == "en",
+        model=load_dsir_model(spark, sf_dir, "en"),
+    )
 
 
 # ---------------------------------------------------------------------------
