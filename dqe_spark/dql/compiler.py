@@ -769,6 +769,10 @@ class Compiler:
             return self._dsir(node)
         if name == "retention":
             return self._retention(node)
+        if name == "watchlist":
+            return self._watchlist(node)
+        if name == "nearby":
+            return self._nearby(node)
         series = [a for a in node.inputs
                   if isinstance(a, (A.FCall, A.Get, A.SGet, A.Lookup, A.GroupBy,
                                     A.Timeshift, A.Var))]
@@ -1337,12 +1341,17 @@ class Compiler:
         elif len(args) > 2:
             raise PlanError("dsir('<target lang>'[, k])")
         from dqe_spark.operators.text import dsir_select
+        from dqe_spark.sources.dsir_store import load_dsir_model
         from dqe_spark.sources.metric_store import load_table
 
+        spark = self.metrics.sparkSession
         out = dsir_select(
-            load_table(self.metrics.sparkSession, self.sf_dir, "documents"),
+            load_table(spark, self.sf_dir, "documents"),
             F.col("lang") == args[0].name,
             k=k,
+            # persisted per-target-lang model: one corpus pass per
+            # selection, repeated k's are model-free (dsir_store)
+            model=load_dsir_model(spark, self.sf_dir, args[0].name),
         )
         return EventsFrame(out, unparse(node))
 
@@ -1383,6 +1392,110 @@ class Compiler:
         )
         if args:
             out = out.where(F.col("event_type") == args[0].name)
+        return EventsFrame(out, unparse(node))
+
+    def _watchlist(self, node: A.FCall) -> EventsFrame:
+        """watchlist(['<event_type>']): per-day estimated event counts
+        for the stored watchlist users, served purely from the
+        portable Count-Min counter store (sources/rollup: hourly
+        counters sum-merge to day cells — lossless — then each
+        watchlist key reads min over its D counters at the store's
+        pinned width). No raw-events scan; at 100 TB a serve reads
+        ≤ D·W counter rows per cell. No argument → every event type;
+        one string argument filters. The statement timeframe does not
+        apply (the serve reads whatever day cells the store holds)."""
+        if self.sf_dir is None:
+            raise PlanError(
+                "watchlist needs an event store (no sf_dir bound)"
+            )
+        args = list(node.inputs)
+        if len(args) > 1 or (args and not isinstance(args[0], A.Var)):
+            raise PlanError(
+                "watchlist(['<event_type>'])",
+                "not_found_fun", "watchlist", arg_types(node.inputs),
+            )
+        from dqe_spark.operators.sketches import cms_merge, cms_probe
+        from dqe_spark.sources.rollup import (
+            cms_width,
+            load_cms_rollup,
+            load_cms_watchlist,
+        )
+
+        spark = self.metrics.sparkSession
+        DAY = 86_400_000
+        regs = load_cms_rollup(spark, self.sf_dir, 3_600_000)
+        watch = load_cms_watchlist(spark, self.sf_dir)
+        dregs = cms_merge(
+            regs.withColumn(
+                "wts", F.col("wts") - F.col("wts") % F.lit(DAY)
+            ),
+            ["event_type", "wts"],
+        )
+        out = cms_probe(
+            dregs,
+            ["event_type", "wts"],
+            watch,
+            "user_id",
+            out="est_events",
+            w=cms_width(self.sf_dir, 3_600_000),
+        )
+        if args:
+            out = out.where(F.col("event_type") == args[0].name)
+        return EventsFrame(out, unparse(node))
+
+    def _nearby(self, node: A.FCall) -> EventsFrame:
+        """nearby('<anchor_event>', '<context_event>'[, radius]):
+        interval join in the language — each anchor event with the
+        count and max value of the SAME user's context events within
+        ± radius (default 5m). Runs operators/temporal.range_agg_join:
+        both sides bin to radius-wide buckets and the anchor side
+        replicates to its 3 adjacent bins, so Spark plans an EQUI-join
+        on (user, bin) with the exact |Δts| ≤ r test inside — one hash
+        shuffle, never a per-key cross product. The statement
+        timeframe does not apply (anchors carry their own
+        timestamps)."""
+        if self.sf_dir is None:
+            raise PlanError("nearby needs an event store (no sf_dir bound)")
+        args = list(node.inputs)
+        if (
+            len(args) < 2
+            or len(args) > 3
+            or not isinstance(args[0], A.Var)
+            or not isinstance(args[1], A.Var)
+        ):
+            raise PlanError(
+                "nearby('<anchor_event>', '<context_event>'[, radius])",
+                "not_found_fun", "nearby", arg_types(node.inputs),
+            )
+        radius_ms = 300_000
+        if len(args) == 3:
+            if not isinstance(args[2], A.TimeUnit) or args[2].ms <= 0:
+                raise PlanError(
+                    "nearby radius must be a positive time literal (e.g. 5m)"
+                )
+            radius_ms = args[2].ms
+        from dqe_spark.operators.temporal import range_agg_join
+        from dqe_spark.sources.metric_store import load_events
+
+        ev = load_events(self.metrics.sparkSession, self.sf_dir).select(
+            "event_id", "user_id", "ts_ms", "event_type", "value"
+        )
+        anchors = ev.where(F.col("event_type") == args[0].name).select(
+            "event_id", "user_id", "ts_ms"
+        )
+        ctx = ev.where(F.col("event_type") == args[1].name).select(
+            "user_id", "ts_ms", "value"
+        )
+        out = range_agg_join(
+            anchors,
+            ctx,
+            key="user_id",
+            radius_ms=radius_ms,
+            aggs={
+                "n_nearby": F.count(F.col("user_id")),
+                "max_value": F.max("value"),
+            },
+        )
         return EventsFrame(out, unparse(node))
 
     def _dedup(self, node: A.FCall) -> EventsFrame:

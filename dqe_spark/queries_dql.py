@@ -1094,3 +1094,49 @@ def dql_retention_7d(spark, sf_dir):
         "event_type", "day1", "day2", "day1_users", "day2_users",
         "union_users", "returning_users", "retention_bp",
     )
+
+
+@q(
+    "dql_watchlist",
+    f"""
+SELECT * FROM ({EXT_ORACLES["events_watchlist_cms_serve"]})
+WHERE event_type = 'click'
+""",
+)
+def dql_watchlist(spark, sf_dir):
+    """`watchlist('click')` in the language: per-day Count-Min
+    estimated event counts for the stored top-20 watchlist users,
+    served purely from the portable CMS counter store at its pinned
+    width (dql/compiler._watchlist — the round-8 CMS serve gained its
+    language twin). Hash-gated against the same md5-double-hashed
+    counter replay as the serve twin, filtered to one event type to
+    exercise the argument path."""
+    df = _one(spark, "SELECT watchlist('click') LAST 1d", sf_dir)
+    return df.select("event_type", "wts", "user_id", "est_events")
+
+
+@q(
+    "dql_range_join",
+    f"""
+WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                   event_type, value FROM events),
+e AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
+c AS (SELECT user_id, ts_ms, value FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts_ms,
+       count(c.user_id) AS n_nearby,
+       max(c.value) AS max_value
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id AND abs(c.ts_ms - e.ts_ms) <= 120000
+GROUP BY 1, 2, 3
+""",
+)
+def dql_range_join(spark, sf_dir):
+    """`nearby('error', 'click', 2m)` in the language: the binned
+    interval join as a front door — each error with the count and max
+    value of the same user's clicks within ±2 minutes
+    (dql/compiler._nearby -> operators/temporal.range_agg_join). The
+    non-default radius proves the time-literal argument reaches the
+    bin width; the oracle states the textbook range join while the
+    engine plans the 3-replica equi-join shape."""
+    df = _one(spark, "SELECT nearby('error', 'click', 2m) LAST 1d", sf_dir)
+    return df.select("event_id", "user_id", "ts_ms", "n_nearby", "max_value")
