@@ -246,18 +246,26 @@ def range_agg_join(
     lcols = left.columns
     lpref = [F.col(c).alias(f"__l_{c}") for c in lcols]
     bin0 = f"__l_{left_ts} div {radius_ms}"
-    # per-row id BEFORE replication: byte-identical left rows must
-    # stay separate groups, or their aggregates silently merge and
-    # double (the |output| = |left| contract above)
-    l = left.select(*lpref).withColumn(  # noqa: E741
-        "__lrid", F.monotonically_increasing_id()
-    ).withColumn(
-        "__lbin",
-        F.explode(
-            F.array(
-                F.expr(f"{bin0} - 1"), F.expr(bin0), F.expr(f"{bin0} + 1")
-            )
-        ),
+    # byte-identical left rows must each produce an output row (the
+    # |output| = |left| contract above), and their aggregates are
+    # identical by construction — so group them to ONE carrier row
+    # BEFORE replication (content-keyed, fully deterministic — a
+    # monotonically_increasing_id here would key the contract on
+    # partition layout, the round-8 advisor nit) and re-expand by the
+    # multiplicity after the aggregation. Duplicates also now pay the
+    # join once instead of once per copy.
+    l = (  # noqa: E741
+        left.select(*lpref)
+        .groupBy(*[f"__l_{c}" for c in lcols])
+        .agg(F.count(F.lit(1)).alias("__lcnt"))
+        .withColumn(
+            "__lbin",
+            F.explode(
+                F.array(
+                    F.expr(f"{bin0} - 1"), F.expr(bin0), F.expr(f"{bin0} + 1")
+                )
+            ),
+        )
     )
     r = right.withColumn("__rbin", F.expr(f"{right_ts} div {radius_ms}"))
     cond = (
@@ -270,8 +278,9 @@ def range_agg_join(
     )
     joined = l.join(r, cond, "left")
     out = (
-        joined.groupBy("__lrid", *[F.col(f"__l_{c}") for c in lcols])
+        joined.groupBy("__lcnt", *[F.col(f"__l_{c}") for c in lcols])
         .agg(*[c.alias(n) for n, c in aggs.items()])
+        .withColumn("__dup", F.explode(F.expr("sequence(1, __lcnt)")))
         .select(
             *[F.col(f"__l_{c}").alias(c) for c in lcols],
             *[F.col(n) for n in aggs],

@@ -479,3 +479,37 @@ def test_range_agg_join_keeps_duplicate_left_rows_separate(spark):
     assert len(got) == 3
     ns = sorted(r["n"] for r in got)
     assert ns == [0, 2, 2]  # each duplicate row counts its own 2 matches
+
+
+def test_range_agg_join_output_is_partition_layout_invariant(spark):
+    """The |output| = |left| contract is content-derived (round-8
+    advisor nit: a monotonically_increasing_id row key would depend on
+    partition layout, so an AQE replan mid-retry could regroup rows):
+    byte-identical results — duplicates included — regardless of how
+    the left side is partitioned."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.temporal import range_agg_join
+
+    rows = [("u1", 1000), ("u1", 1000), ("u1", 1000), ("u2", 50),
+            ("u2", 50), ("u3", 700)]
+    right = spark.createDataFrame(
+        [("u1", 900, 1.0), ("u1", 1400, 2.0), ("u2", 40, 5.0)],
+        "user_id STRING, ts_ms LONG, value DOUBLE",
+    )
+
+    def run(nparts):
+        left = spark.createDataFrame(
+            rows, "user_id STRING, ts_ms LONG"
+        ).repartition(nparts)
+        return sorted(
+            tuple(r)
+            for r in range_agg_join(
+                left, right, key="user_id", radius_ms=1000,
+                aggs={"n": F.count("value"), "mx": F.max("value")},
+            ).collect()
+        )
+
+    a, b, c = run(1), run(7), run(32)
+    assert a == b == c
+    assert len(a) == len(rows)  # every duplicate keeps its own row
