@@ -130,6 +130,11 @@ EXT_HEADLINE = [
     "layout_hilbert_locality",
     # retention through the language (register-algebra serve, filtered)
     "dql_retention",
+    # round-9 additions: the CMS watchlist serve and the binned
+    # interval join through the language (front doors for the round-8
+    # operator families)
+    "dql_watchlist",
+    "dql_range_join",
 ]
 
 #: Pure-scan control: timed right after warmup AND again after the
