@@ -353,3 +353,70 @@ def test_cms_degenerate_single_and_empty(spark):
         [("k", None)] * 10, "k STRING, v STRING"
     )
     assert SK.cms_registers(nulls, ["k"], "v").count() == 0
+
+
+def test_dsir_model_degenerate_corpora(spark):
+    """The persisted-model selection path survives the same floors the
+    inline path does: an all-target corpus has an EMPTY raw pool (0
+    selected rows, no crash), an all-raw corpus fits a model with
+    nt = 0 (every λ is the same constant — selection degenerates to
+    pure Gumbel order, still deterministic), and an empty-model
+    DataFrame scores every pool doc logw = 0."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx", f"alpha beta gamma {i}")
+         for i in range(20)],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    model = T.dsir_model_counts(
+        T.dsir_bucket_counts(docs, F.col("lang") == "en")
+    )
+    # all-target: raw pool is empty
+    got = T.dsir_select(
+        docs, F.lit(True), k=5, model=model
+    ).collect()
+    assert got == []
+    # all-raw: nt = 0 model still selects deterministically
+    m0 = T.dsir_model_counts(
+        T.dsir_bucket_counts(docs, F.lit(False))
+    )
+    a = T.dsir_select(docs, F.lit(False), k=5, model=m0).collect()
+    b = T.dsir_select(docs, F.lit(False), k=5, model=m0).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 5
+    # empty model: every pool doc flows through with logw = 0
+    empty = model.where(F.lit(False))
+    c = T.dsir_select(docs, F.col("lang") == "en", k=5, model=empty)
+    rows = c.collect()
+    assert len(rows) == 5 and all(r["logw_e9"] == 0 for r in rows)
+
+
+def test_range_agg_join_degenerate_sides(spark):
+    """Empty right side keeps every left row at aggregate identity;
+    empty left side yields an empty result; radius 1 (minimum bin)
+    still plans the equi-join shape."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.temporal import range_agg_join
+
+    left = spark.createDataFrame(
+        [("u1", 100), ("u2", 200)], "user_id STRING, ts_ms LONG"
+    )
+    right_empty = spark.createDataFrame(
+        [], "user_id STRING, ts_ms LONG, value DOUBLE"
+    )
+    got = range_agg_join(
+        left, right_empty, key="user_id", radius_ms=1000,
+        aggs={"n": F.count("value"), "mx": F.max("value")},
+    ).collect()
+    assert sorted((r["user_id"], r["n"], r["mx"]) for r in got) == [
+        ("u1", 0, None), ("u2", 0, None)
+    ]
+    got2 = range_agg_join(
+        left.where(F.lit(False)), left.withColumn("value", F.lit(1.0)),
+        key="user_id", radius_ms=1, aggs={"n": F.count("value")},
+    ).collect()
+    assert got2 == []
