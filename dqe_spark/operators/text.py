@@ -677,18 +677,18 @@ def unigram_surprisal(
     )
 
 
-def dsir_bucket_counts(
+def dsir_gram_buckets(
     df: DataFrame,
     target: Column,
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, _is_t, bucket, c) hashed uni+bigram occurrence counts —
-    the ONE corpus-sized shuffle of the DSIR ladder (map-side-combined
-    groupBy), shared by the inline model fit, the persisted model
-    store (sources/dsir_store.py — counts are ADDITIVE, so the store
-    increments by sum-merge like the CMS ladder), and pool scoring."""
+    """(id, _is_t, bucket) — ONE ROW PER hashed uni+bigram occurrence,
+    map-only (tokenize → explode → hash % B). The pre-aggregation form
+    shared by dsir_bucket_counts and the STREAMING model twin
+    (streaming/ingest.stream_dsir_model needs a single aggregation
+    over this stream — chained streaming groupBys are unsupported)."""
     from dqe_spark.operators.sketches import hash60_expr
 
     B = int(n_buckets)
@@ -717,9 +717,24 @@ def dsir_bucket_counts(
         id_col,
         "_is_t",
         F.expr(f"{hash60_expr('gram', 'spark')} % {B}").alias("bucket"),
-    ).groupBy(id_col, "_is_t", "bucket").agg(
-        F.count("*").cast("long").alias("c")
     )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, _is_t, bucket, c) hashed uni+bigram occurrence counts —
+    the ONE corpus-sized shuffle of the DSIR ladder (map-side-combined
+    groupBy), shared by the inline model fit, the persisted model
+    store (sources/dsir_store.py — counts are ADDITIVE, so the store
+    increments by sum-merge like the CMS ladder), and pool scoring."""
+    return dsir_gram_buckets(df, target, n_buckets, id_col, text_col).groupBy(
+        id_col, "_is_t", "bucket"
+    ).agg(F.count("*").cast("long").alias("c"))
 
 
 def dsir_model_counts(bk: DataFrame) -> DataFrame:

@@ -59,16 +59,29 @@ def dsir_b(sf_dir: str, target_lang: str = "en") -> int:
     return int(marker.read_text()) if marker.exists() else DSIR_B
 
 
+def _stream_dir(sf_dir: str, target_lang: str) -> Path:
+    """Sibling STREAM part of the model: the complete-mode streaming
+    aggregate overwrites this wholesale each trigger (idempotent under
+    foreachBatch replay — a sum-merge into the base part would
+    double-count an at-least-once redelivery), and load_dsir_model
+    sum-merges it with the base part at read time."""
+    return _dsir_dir(sf_dir, target_lang).parent / (
+        f"dsir_model__{target_lang}__stream"
+    )
+
+
 def build_dsir_model(
     spark: SparkSession,
     sf_dir: str,
     target_lang: str = "en",
     n_buckets: int = DSIR_B,
     force: bool = False,
+    docs: DataFrame | None = None,
 ) -> Path:
     """Fit the model counts over the documents corpus (idempotent,
     atomic tmp+rename): one gram pass, ≤B output rows, coalesced to a
-    single file — the model is KBs at any corpus size."""
+    single file — the model is KBs at any corpus size. ``docs``
+    overrides the corpus source (backfill-then-stream splits, tests)."""
     import os
     import shutil
 
@@ -81,7 +94,8 @@ def build_dsir_model(
     if not force and (out / "_SUCCESS").exists():
         return out
     invalidate_load_memo()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     model = dsir_model_counts(
         dsir_bucket_counts(
             docs, F.col("lang") == target_lang, n_buckets
@@ -106,17 +120,61 @@ def build_dsir_model(
     return out
 
 
+def write_dsir_stream_part(
+    spark: SparkSession,
+    model_df: DataFrame,
+    sf_dir: str,
+    target_lang: str = "en",
+) -> Path:
+    """Overwrite the stream part with a COMPLETE (bucket, ct, cr)
+    snapshot — called by streaming/ingest.stream_dsir_model's
+    foreachBatch with the full complete-mode aggregate, so a replayed
+    trigger rewrites the same rows instead of double-counting."""
+    import shutil
+
+    out = _stream_dir(sf_dir, target_lang)
+    invalidate_load_memo()
+    tmp = out.parent / f"_tmp_{out.name}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    model_df.coalesce(1).sortWithinPartitions("bucket").write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    if out.exists():
+        shutil.rmtree(out)
+    import os
+
+    os.rename(tmp, out)
+    return out
+
+
 def load_dsir_model(
     spark: SparkSession, sf_dir: str, target_lang: str = "en"
 ) -> DataFrame:
-    """The persisted (bucket, ct, cr) model relation — memoized per
-    session like every serving store (store.session_load_memo)."""
+    """The persisted (bucket, ct, cr) model relation — base part plus,
+    if a streaming maintainer has landed one, the complete-mode stream
+    part, sum-merged per bucket (counts are additive; ≤B rows either
+    way). Memoized per session like every serving store
+    (store.session_load_memo)."""
     p = _dsir_dir(sf_dir, target_lang)
     if not (p / "_SUCCESS").exists():
         build_dsir_model(spark, sf_dir, target_lang)
-    return session_load_memo(
-        spark, ("dsir", str(p)), lambda: spark.read.parquet(str(p))
-    )
+    sp = _stream_dir(sf_dir, target_lang)
+
+    def _load() -> DataFrame:
+        base = spark.read.parquet(str(p))
+        if not (sp / "_SUCCESS").exists():
+            return base
+        return (
+            base.unionByName(spark.read.parquet(str(sp)))
+            .groupBy("bucket")
+            .agg(
+                F.sum("ct").cast("long").alias("ct"),
+                F.sum("cr").cast("long").alias("cr"),
+            )
+        )
+
+    return session_load_memo(spark, ("dsir", str(p)), _load)
 
 
 def merge_dsir_increment(

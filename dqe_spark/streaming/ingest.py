@@ -486,6 +486,67 @@ def stream_ann_vectors(
     )
 
 
+DOCS_SCHEMA = "doc_id long, lang string, text string"
+
+
+def stream_dsir_model(
+    spark: SparkSession,
+    landing_dir: str,
+    sf_dir: str,
+    checkpoint: str,
+    target_lang: str = "en",
+    schema: str = DOCS_SCHEMA,
+    n_buckets: int | None = None,
+):
+    """Continuous DSIR-model maintenance — the model-store member of
+    the maintenance family (text index, MinHash store, ANN index, gram
+    store, sketch ladders, DSIR model): newly-landed documents keep
+    the persisted (bucket, ct, cr) counts current, so selections
+    against the store always reflect the corpus up to the last drained
+    batch.
+
+    Shape: a single COMPLETE-mode streaming aggregation over the
+    map-only gram/bucket stream (operators/text.dsir_gram_buckets —
+    chained streaming groupBys are unsupported, so the model counts
+    fold the gram stream directly; state is ≤ B rows). Each trigger
+    emits the FULL stream-side model, and foreachBatch OVERWRITES the
+    store's sibling stream part wholesale (dsir_store.
+    write_dsir_stream_part) — idempotent under at-least-once replay,
+    where a sum-merge into the base part would double-count.
+    load_dsir_model sum-merges base + stream parts at read time
+    (counts are additive), so drained-stream selections are
+    bit-identical to a batch build over the union (pinned in
+    tests/test_streaming.py). Returns the unstarted writeStream
+    (caller picks the trigger)."""
+    from dqe_spark.operators.text import dsir_gram_buckets
+    from dqe_spark.sources.dsir_store import dsir_b, write_dsir_stream_part
+
+    b = n_buckets if n_buckets is not None else dsir_b(sf_dir, target_lang)
+    docs = spark.readStream.schema(schema).parquet(landing_dir)
+    grams = dsir_gram_buckets(
+        docs, F.col("lang") == target_lang, b
+    )
+    model = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("_is_t"), 0).otherwise(1))
+        .cast("long")
+        .alias("cr"),
+    )
+
+    def _write(batch_df, _batch_id):
+        write_dsir_stream_part(
+            batch_df.sparkSession, batch_df, sf_dir, target_lang
+        )
+
+    return (
+        model.writeStream.outputMode("complete")
+        .foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def stream_cms_counters(
     spark: SparkSession,
     source_dir: str,

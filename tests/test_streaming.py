@@ -718,3 +718,77 @@ def test_stream_interval_join_matches_batch_range_join(spark):
         assert len(got) >= 0.5 * len(want)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dsir_model_matches_batch_build(spark):
+    """DSIR model maintained by the complete-mode stream part equals a
+    batch build over the union, count for count — and a selection
+    served from the merged model is bit-identical to the inline
+    full-corpus selection. Re-draining (foreachBatch replay) leaves
+    the model unchanged: the stream part overwrites wholesale, so
+    at-least-once delivery cannot double-count."""
+    from dqe_spark.operators import text as T
+    from dqe_spark.sources import dsir_store as DS
+    from dqe_spark.streaming.ingest import stream_dsir_model
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    base, late = docs.where(F.col("doc_id") % 3 != 0), docs.where(
+        F.col("doc_id") % 3 == 0
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="dqe_streamdsir_"))
+    landing, ckpt = tmp / "landing", tmp / "ckpt"
+    landing.mkdir()
+
+    def model_counts():
+        return {
+            r["bucket"]: (r["ct"], r["cr"])
+            for r in DS.load_dsir_model(spark, SF_SMOKE, "en").collect()
+        }
+
+    try:
+        # batch reference over the FULL corpus
+        DS.build_dsir_model(spark, SF_SMOKE, "en", force=True)
+        want = model_counts()
+        inline = [
+            tuple(r)
+            for r in T.dsir_select(docs, F.col("lang") == "en", k=30).collect()
+        ]
+        # base part from A only + stream part from B
+        DS.build_dsir_model(spark, SF_SMOKE, "en", force=True, docs=base)
+        late.write.mode("overwrite").parquet(str(landing))
+        q = (
+            stream_dsir_model(spark, str(landing), SF_SMOKE, str(ckpt), "en")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert model_counts() == want
+        served = [
+            tuple(r)
+            for r in T.dsir_select(
+                docs,
+                F.col("lang") == "en",
+                k=30,
+                model=DS.load_dsir_model(spark, SF_SMOKE, "en"),
+            ).collect()
+        ]
+        assert served == inline
+        # replay the same landed data through a FRESH checkpoint: the
+        # complete-mode overwrite is idempotent
+        q2 = (
+            stream_dsir_model(
+                spark, str(landing), SF_SMOKE, str(tmp / "ckpt2"), "en"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        assert model_counts() == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        import shutil as _sh
+
+        _sh.rmtree(DS._stream_dir(SF_SMOKE, "en"), ignore_errors=True)
+        DS.build_dsir_model(spark, SF_SMOKE, "en", force=True)  # restore
