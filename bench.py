@@ -156,6 +156,12 @@ SERVING = [
     "knn_ann_serve",
     "rollup_retention_1d_serve",
     "events_watchlist_cms_serve",
+    # round-10 additions (verdict #4): the remaining serve-shaped rows
+    # a dashboard repeats — the language front doors for watchlist and
+    # retention, and the diagnostics-carrying ANN serve
+    "dql_watchlist",
+    "dql_retention",
+    "knn_ann_served",
 ]
 
 #: full per-query record is written here (committed alongside the

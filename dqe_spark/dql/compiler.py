@@ -1341,13 +1341,17 @@ class Compiler:
         elif len(args) > 2:
             raise PlanError("dsir('<target lang>'[, k])")
         from dqe_spark.operators.text import dsir_select
-        from dqe_spark.sources.dsir_store import load_dsir_model
+        from dqe_spark.sources.dsir_store import dsir_b, load_dsir_model
         from dqe_spark.sources.metric_store import load_table
 
         spark = self.metrics.sparkSession
         out = dsir_select(
             load_table(spark, self.sf_dir, "documents"),
             F.col("lang") == args[0].name,
+            # hash the pool grams at the STORE's bucket count (_B
+            # marker) — positions are hash % B, so probing a model
+            # built at another B would score against garbage buckets
+            n_buckets=dsir_b(self.sf_dir, args[0].name),
             k=k,
             # persisted per-target-lang model: one corpus pass per
             # selection, repeated k's are model-free (dsir_store)

@@ -1111,6 +1111,11 @@ def dql_watchlist(spark, sf_dir):
     language twin). Hash-gated against the same md5-double-hashed
     counter replay as the serve twin, filtered to one event type to
     exercise the argument path."""
+    from dqe_spark.queries_ext import assert_cms_oracle_width
+
+    # loud width gate (same as the serve twin): an auto width above
+    # the floor must fail with a width message, not a hash mismatch
+    assert_cms_oracle_width(spark, sf_dir)
     df = _one(spark, "SELECT watchlist('click') LAST 1d", sf_dir)
     return df.select("event_type", "wts", "user_id", "est_events")
 

@@ -4192,12 +4192,15 @@ def text_dsir_select(spark, sf_dir):
     distributed top-k) instead of refitting the model each call; the
     static oracle refits from raw docs, so the hash gate proves the
     store's counts too (operators/text.dsir_select)."""
-    from dqe_spark.sources.dsir_store import load_dsir_model
+    from dqe_spark.sources.dsir_store import dsir_b, load_dsir_model
 
     d = load_table(spark, sf_dir, "documents")
     return text.dsir_select(
         d,
         F.col("lang") == "en",
+        # hash pool grams at the store's _B (positions are hash % B;
+        # a B mismatch with the persisted counts scores garbage)
+        n_buckets=dsir_b(sf_dir, "en"),
         model=load_dsir_model(spark, sf_dir, "en"),
     )
 
@@ -4641,6 +4644,37 @@ def range_join_click_near_error(spark, sf_dir):
     )
 
 
+def assert_cms_oracle_width(spark, sf_dir: str) -> None:
+    """Gate-time guard for the CMS registry entries: the static
+    DuckDB oracles (this module's watchlist serve and queries_dql's
+    `dql_watchlist` twin) replay the sketch at the CMS_W floor, while
+    the engine probes at the store's auto-sized ``_WIDTH``. Those are
+    equal at every driver gate scale today (auto_cms_width == floor up
+    to ~CMS_W × CMS_TARGET_LOAD ≈ 4.2M events in the heaviest cell) —
+    but if a gate corpus ever outgrows that, the mismatch must fail
+    with THIS width message, not an opaque value-hash mismatch. Wider
+    stores are fully supported outside the oracle gate (the probe
+    honors the marker; bit-exact replay at 2× width is pinned in
+    tests/test_cms.py) — only the static-oracle comparison is
+    floor-width-bound. Ensures the store exists first, since a fresh
+    build is what picks the width."""
+    from dqe_spark.operators.sketches import CMS_W
+    from dqe_spark.sources.rollup import build_cms_rollup, cms_width
+
+    build_cms_rollup(spark, sf_dir, 3_600_000)
+    w = cms_width(sf_dir, 3_600_000)
+    if w != CMS_W:
+        raise RuntimeError(
+            f"CMS store at {sf_dir} was auto-sized to width {w}, but the "
+            f"static registry oracle replays at the CMS_W floor ({CMS_W}): "
+            "the oracle comparison would hash-mismatch on counter "
+            "positions, not values. The ENGINE is correct at any width "
+            "(probes honor the _WIDTH marker; see tests/test_cms.py's "
+            "wider-store replay) — regenerate the oracle SQL at width "
+            f"{w} (sketches.cms_oracle_ctes(w=...)) to gate this corpus."
+        )
+
+
 def _cms_watch_oracle_ctes() -> str:
     from dqe_spark.operators import sketches as SK
 
@@ -4685,6 +4719,9 @@ def events_watchlist_cms_serve(spark, sf_dir):
         load_cms_watchlist,
     )
 
+    # loud width gate: a corpus whose auto width outgrew the floor
+    # must fail HERE with a width message, never as a hash mismatch
+    assert_cms_oracle_width(spark, sf_dir)
     DAY = 86_400_000
     regs = load_cms_rollup(spark, sf_dir, 3_600_000)
     watch = load_cms_watchlist(spark, sf_dir)

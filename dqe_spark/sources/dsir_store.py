@@ -42,6 +42,20 @@ from dqe_spark.sources.store import (
 )
 
 #: default gram-bucket count — matches the registry oracle's B.
+#:
+#: FIXED BY DESIGN, unlike the CMS width (sketches.auto_cms_width):
+#: DSIR's hashed feature space is corpus-independent per Xie et al.
+#: 2023 §2.2 — the model is a bag-of-buckets DISTRIBUTION (add-1
+#: smoothed, normalized by the totals), so growing the corpus sharpens
+#: the per-bucket estimates without overflowing anything. B trades
+#: BIAS (hash collisions blur distinguishing grams) against VARIANCE
+#: (sparse buckets make λ noisy) in the importance weights; it is not
+#: an error budget that an absolute count can outgrow, so there is
+#: nothing to auto-size. 4096 buckets ≈ the paper's 10k-feature scale
+#: and keeps the λ relation broadcastable. Selections at any single B
+#: are internally consistent (pinned at B and 2B in
+#: tests/test_dsir_store.py); what MUST agree is the store's layout
+#: and the probe's hashing — hence the _B marker contract below.
 DSIR_B = 4096
 
 
@@ -188,7 +202,13 @@ def merge_dsir_increment(
     proportional to the new data, result equals a from-scratch rebuild
     over the union (counts are additive; pinned in
     tests/test_dsir_store.py). The model is ≤B rows, so the rewrite is
-    a full single-file overwrite, not a partition merge."""
+    a full single-file rewrite — via the same tmp+``_B``+rename shape
+    as build_dsir_model (every store write in the repo is an atomic
+    rename; a crash mid-write leaves the previous model intact, never
+    a marker-less or half-written live dir)."""
+    import os
+    import shutil
+
     from dqe_spark.operators.text import (
         dsir_bucket_counts,
         dsir_model_counts,
@@ -211,10 +231,17 @@ def merge_dsir_increment(
             F.sum("ct").cast("long").alias("ct"),
             F.sum("cr").cast("long").alias("cr"),
         )
+        # sever lineage from the live dir before replacing it: the
+        # write below must not re-read the path it is overwriting
         .localCheckpoint(eager=True)
     )
+    tmp = out.parent / f"_tmp_{out.name}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
     merged.coalesce(1).sortWithinPartitions("bucket").write.mode(
         "overwrite"
-    ).parquet(str(out))
-    (out / "_B").write_text(str(b))
+    ).parquet(str(tmp))
+    (tmp / "_B").write_text(str(b))
+    shutil.rmtree(out)
+    os.rename(tmp, out)
     return out

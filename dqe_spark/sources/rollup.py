@@ -80,7 +80,14 @@ def _atomic_write(
     tmp_name: str,
     part_cols: tuple[str, ...] = ("bucket", "metric"),
     sort_cols: tuple[str, ...] = ("wts",),
+    markers: dict[str, str] | None = None,
 ) -> Path:
+    """Write ``partials`` to ``out`` via tmp-dir + rename. ``markers``
+    (e.g. ``{"_WIDTH": "8192"}``) are sidecar layout files written INTO
+    the tmp dir BEFORE the rename: a reader can never observe a
+    ``_SUCCESS``-complete store whose marker is missing — a store whose
+    rows were hashed at a non-default layout but whose marker fell back
+    to the default reads garbage positions silently."""
     from dqe_spark.sources.store import invalidate_load_memo
 
     invalidate_load_memo()
@@ -96,6 +103,8 @@ def _atomic_write(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(str(tmp))
+    for name, value in (markers or {}).items():
+        (tmp / name).write_text(value)
     if out.exists():
         shutil.rmtree(out)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -106,6 +115,21 @@ def _atomic_write(
             raise
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _sidecar_markers(store: Path) -> dict[str, str]:
+    """The layout-marker sidecar files of an existing store
+    (``_WIDTH``, ``_B``, ``_BUCKETS``, …): plain all-uppercase
+    ``_``-files other than Spark's ``_SUCCESS``. A rewrite of the
+    store (TTL expiry, compaction) MUST carry these through — the rows
+    it rewrites were hashed at the marker's layout."""
+    return {
+        p.name: p.read_text()
+        for p in store.glob("_*")
+        if p.is_file()
+        and p.name != "_SUCCESS"
+        and p.name[1:].isupper()
+    }
 
 
 def build_rollup(
@@ -1081,6 +1105,10 @@ def expire_rollup_before(
     from dqe_spark.sources.store import invalidate_load_memo
 
     invalidate_load_memo()
+    # a live session may hold checkpointed day registers built from
+    # the pre-expiry pdistinct store — drop them too, or retention
+    # keeps serving windows that were just TTL-expired
+    invalidate_retention_memo()
     if ladder not in _LADDER_DIRS:
         raise ValueError(f"unknown ladder {ladder!r}: {sorted(_LADDER_DIRS)}")
     out = _LADDER_DIRS[ladder](sf_dir, res_ms)
@@ -1098,6 +1126,10 @@ def expire_rollup_before(
         f"_tmp_expire_{ladder}_{res_ms}ms",
         part_cols=part_cols,
         sort_cols=sort_cols,
+        # carry the layout markers (CMS _WIDTH) through the rewrite:
+        # the kept rows were hashed at that layout, and losing the
+        # marker would fall every later probe back to the floor width
+        markers=_sidecar_markers(out),
     )
 
 
@@ -1172,11 +1204,16 @@ def build_cms_rollup(
         )
         w = auto_cms_width(int(n_max or 0))
     regs = cms_registers(src, ["event_type", "wts"], "user_id", w=w)
-    _atomic_write(
-        regs, out, f"_tmp_rollup_cms_{res_ms}ms", part_cols=("event_type",)
+    # _WIDTH rides inside the tmp dir through the rename (the _B
+    # pattern of build_dsir_model): a crash can never leave a
+    # _SUCCESS-complete auto-width store that reads back at the floor
+    return _atomic_write(
+        regs,
+        out,
+        f"_tmp_rollup_cms_{res_ms}ms",
+        part_cols=("event_type",),
+        markers={"_WIDTH": str(w)},
     )
-    (out / "_WIDTH").write_text(str(w))
-    return out
 
 
 def build_cms_watchlist(

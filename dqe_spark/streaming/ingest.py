@@ -554,6 +554,8 @@ def stream_cms_counters(
     watermark: str = "6 hours",
     schema: str = STREAM_SCHEMA,
     w: int | None = None,
+    sf_dir: str | None = None,
+    store_res_ms: int = 3_600_000,
 ) -> DataFrame:
     """Continuous maintenance of the Count-Min counter relation — the
     streaming twin of sources/rollup.build_cms_rollup, completing the
@@ -565,9 +567,16 @@ def stream_cms_counters(
     additive and both paths see the same rows; pinned in
     tests/test_streaming.py). Late events beyond the watermark belong
     to the batch merge_cms_increment backfill, which sum-merges
-    losslessly into the same cells. ``w`` must be the maintained
-    store's _WIDTH marker value (sources/rollup.cms_width) — None
-    uses the CMS_W floor, the legacy fixed layout."""
+    losslessly into the same cells.
+
+    WIDTH CONTRACT (enforced, not doc-only): positions are h mod W, so
+    counters emitted at a width other than the maintained store's
+    ``_WIDTH`` marker sum-merge silently into garbage. Pass ``sf_dir``
+    to derive ``w`` from that store's marker (sources/rollup.cms_width,
+    at ``store_res_ms`` grain — the recommended form); an explicit
+    ``w`` is trusted as-is. With NEITHER set, the floor CMS_W is used
+    and a loud warning is printed — only correct against a
+    legacy/floor-width store."""
     from dqe_spark.operators.sketches import (
         CMS_D,
         CMS_W,
@@ -575,6 +584,18 @@ def stream_cms_counters(
         with_hash60,
     )
 
+    if w is None and sf_dir is not None:
+        from dqe_spark.sources.rollup import cms_width
+
+        w = cms_width(sf_dir, store_res_ms)
+    elif w is None:
+        print(
+            "[streaming] stream_cms_counters: no width given and no "
+            f"sf_dir to read a _WIDTH marker from — defaulting to the "
+            f"CMS_W floor ({CMS_W}). If the maintained store was "
+            "auto-sized wider, these counters will merge into WRONG "
+            "positions; pass sf_dir (preferred) or the store's width."
+        )
     ev = spark.readStream.schema(schema).parquet(source_dir)
     if dict(ev.dtypes)["ts"].startswith("timestamp"):
         ts = F.col("ts").cast("timestamp")

@@ -328,3 +328,126 @@ def test_cms_width_migration_is_loud_and_rebuilds(spark, capsys, monkeypatch):
             R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
         elif store.exists():
             shutil.rmtree(store)
+
+
+def test_expire_cms_preserves_width_marker(spark):
+    """TTL expiry rewrites the store via tmp+rename — the _WIDTH
+    marker MUST ride along (round-9 advisor, high): the kept rows were
+    hashed at that width, and losing the marker would fall every later
+    probe (and merge_cms_increment) back to the floor — silently wrong
+    counter positions."""
+    import shutil
+
+    from dqe_spark.sources import rollup as R
+
+    W2 = 2 * SK.CMS_W
+    res = 3_600_000
+    store = R._cms_dir(SF_SMOKE, res)
+    had = (store / "_SUCCESS").exists()
+    try:
+        R.build_cms_rollup(spark, SF_SMOKE, res, force=True, w=W2)
+        assert R.cms_width(SF_SMOKE, res) == W2
+        before = spark.read.parquet(str(store))
+        lo, hi = before.agg(F.min("wts"), F.max("wts")).first()
+        cutoff = (lo + hi) // 2 + 17
+        aligned = cutoff - (cutoff % res)
+        want = {
+            tuple(r) for r in before.where(F.col("wts") >= aligned).collect()
+        }
+        assert R.expire_rollup_before(spark, SF_SMOKE, cutoff, res, "cms")
+        # the marker survived the rewrite and survivors are identical
+        assert R.cms_width(SF_SMOKE, res) == W2
+        got = {tuple(r) for r in spark.read.parquet(str(store)).collect()}
+        assert got == want and got
+    finally:
+        if had:
+            R.build_cms_rollup(spark, SF_SMOKE, res, force=True)
+        elif store.exists():
+            shutil.rmtree(store)
+
+
+def test_build_cms_width_marker_rides_the_atomic_rename(spark, monkeypatch):
+    """_WIDTH is written INTO the tmp dir before the rename (the _B
+    pattern of build_dsir_model): a crash between rename and a
+    post-rename marker write could otherwise leave a _SUCCESS-complete
+    auto-width store that silently reads back at the floor."""
+    import os as _os
+    import shutil
+
+    from dqe_spark.sources import rollup as R
+
+    W2 = 2 * SK.CMS_W
+    store = R._cms_dir(SF_SMOKE, 3_600_000)
+    had = (store / "_SUCCESS").exists()
+    seen = {}
+    real = _os.rename
+
+    def spy(src, dst):
+        from pathlib import Path as _P
+
+        if _P(str(dst)) == store:
+            marker = _P(str(src)) / "_WIDTH"
+            seen["marker_in_tmp"] = (
+                marker.read_text() if marker.exists() else None
+            )
+        return real(src, dst)
+
+    try:
+        monkeypatch.setattr("os.rename", spy)
+        R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True, w=W2)
+        monkeypatch.undo()
+        assert seen.get("marker_in_tmp") == str(W2)
+    finally:
+        monkeypatch.undo()
+        if had:
+            R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+        elif store.exists():
+            shutil.rmtree(store)
+
+
+def test_cms_oracle_width_gate_is_loud(spark):
+    """The static registry oracles replay at the CMS_W floor; the
+    engine probes at the store's _WIDTH. If a gate corpus ever
+    auto-sizes past the floor, the registry entries must fail with a
+    WIDTH message (round-9 verdict #1) — never an opaque value-hash
+    mismatch. Fakes a wider marker and asserts both front doors bark."""
+    import pytest
+
+    from dqe_spark.entry import all_queries
+    from dqe_spark.queries_ext import assert_cms_oracle_width
+    from dqe_spark.sources import rollup as R
+
+    R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
+    marker = R._cms_dir(SF_SMOKE, 3_600_000) / "_WIDTH"
+    original = marker.read_text()
+    try:
+        marker.write_text(str(2 * SK.CMS_W))
+        with pytest.raises(RuntimeError, match="width"):
+            assert_cms_oracle_width(spark, SF_SMOKE)
+        for name in ("events_watchlist_cms_serve", "dql_watchlist"):
+            with pytest.raises(RuntimeError, match="width"):
+                all_queries()[name](spark, SF_SMOKE)
+    finally:
+        marker.write_text(original)
+    # restored: both entries plan again
+    assert_cms_oracle_width(spark, SF_SMOKE)
+    assert all_queries()["events_watchlist_cms_serve"](spark, SF_SMOKE)
+
+
+def test_expire_invalidates_retention_memo(spark):
+    """expire_rollup_before drops the memoized day registers (round-9
+    advisor, medium): a live session's checkpointed _DREG_MEMO was
+    built from the pre-expiry pdistinct store, so keeping it would
+    serve retention windows that were just TTL-expired."""
+    from dqe_spark.sources import rollup as R
+
+    res = 3_600_000
+    R.build_portable_distinct_rollup(spark, SF_SMOKE, res, force=True)
+    R.invalidate_retention_memo()
+    R.portable_retention_1d(spark, SF_SMOKE).collect()
+    assert R._DREG_MEMO
+    try:
+        R.expire_rollup_before(spark, SF_SMOKE, 0, res, "pdistinct")
+        assert not R._DREG_MEMO
+    finally:
+        R.build_portable_distinct_rollup(spark, SF_SMOKE, res, force=True)

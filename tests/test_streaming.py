@@ -792,3 +792,52 @@ def test_stream_dsir_model_matches_batch_build(spark):
 
         _sh.rmtree(DS._stream_dir(SF_SMOKE, "en"), ignore_errors=True)
         DS.build_dsir_model(spark, SF_SMOKE, "en", force=True)  # restore
+
+
+def test_stream_cms_counters_derives_width_from_store(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The streaming CMS twin must emit counters at the maintained
+    store's _WIDTH (round-9 advisor, low: positions are h mod W, so a
+    floor-width stream against an auto-sized store sum-merges into
+    garbage). With sf_dir given, the width comes from the marker — the
+    doubled width literal shows up in the position expressions; with
+    neither w nor sf_dir, the floor is used and a loud warning prints."""
+    from dqe_spark.operators import sketches as SK
+    from dqe_spark.sources import rollup as R
+    from dqe_spark.streaming.ingest import stream_cms_counters
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    W2 = 2 * SK.CMS_W
+    from tests.conftest import SF_SMOKE
+
+    had = (R._cms_dir(SF_SMOKE, 3_600_000) / "_SUCCESS").exists()
+    real_pos = SK.cms_pos_expr
+    widths: list[int] = []
+
+    def rec(h, d, dialect, w=SK.CMS_W):
+        widths.append(w)
+        return real_pos(h, d, dialect, w)
+
+    try:
+        R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True, w=W2)
+        monkeypatch.setattr(SK, "cms_pos_expr", rec)
+        stream_cms_counters(spark, str(landing), sf_dir=SF_SMOKE)
+        assert set(widths) == {W2}
+        # explicit w wins over the marker
+        widths.clear()
+        stream_cms_counters(
+            spark, str(landing), w=SK.CMS_W, sf_dir=SF_SMOKE
+        )
+        assert set(widths) == {SK.CMS_W}
+        capsys.readouterr()
+        widths.clear()
+        stream_cms_counters(spark, str(landing))
+        out = capsys.readouterr().out
+        assert "floor" in out and "_WIDTH" in out
+        assert set(widths) == {SK.CMS_W}
+    finally:
+        monkeypatch.undo()
+        if had:
+            R.build_cms_rollup(spark, SF_SMOKE, 3_600_000, force=True)
