@@ -352,6 +352,67 @@ def dedup_clusters(
     )
 
 
+def simhash_cluster_assignments(
+    df: DataFrame,
+    max_hamming: int = 3,
+    col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Cluster assignment over SimHash near-dups, computed in
+    SIGNATURE space — the engine twin of the oracle's round-8
+    restatement (queries_ext._sig_cluster_prop_sql), landed round 10
+    after the sf1 sweep showed the doc-level path at 612 s ENGINE
+    time: on a cross-copy corpus many docs share a signature, so the
+    doc-level edge set is output-sized (~10⁸ rows at sf1) and every
+    label-propagation round re-shuffles it.
+
+    But docs sharing a signature are near-dups by definition
+    (hamming 0 ≤ max_hamming), so the component structure lives
+    entirely in the graph of DISTINCT signatures: nodes = distinct
+    simhash values (thousands at any sf), edges = banded signature
+    pairs at ≤ max_hamming (hamming_neardup_pairs — the same exact
+    pigeonhole, over a relation that cannot exceed 2^SIMHASH_BITS
+    rows at ANY corpus size). Label propagation runs on that tiny
+    graph (dedup_clusters, O(log diameter) rounds of small joins);
+    cluster_id = the min member doc over the signature component,
+    mapped back to docs through two |signatures|-sized joins that AQE
+    broadcasts. Output (doc_id, cluster_id) — row-identical to
+    dedup_clusters(df, simhash_neardup_pairs(df, max_hamming)), which
+    remains the generic any-pair-relation path (pinned in
+    tests/test_temporal.py)."""
+    sig = simhash_signatures(df, col, id_col)
+    # one corpus pass; the node relation is reused by the pair
+    # generation, the component fold, and the final expansion
+    nodes = (
+        sig.groupBy("simhash")
+        .agg(F.min(id_col).alias("__mindoc"))
+        .localCheckpoint(eager=True)
+    )
+    spairs = hamming_neardup_pairs(
+        nodes.select("simhash"),
+        max_hamming=max_hamming,
+        bits=SIMHASH_BITS,
+        bands=bands,
+        id_col="simhash",
+        sig_col="simhash",
+    ).select("id_i", "id_j")
+    scomp = dedup_clusters(
+        nodes, spairs, id_col="simhash", stats=stats
+    ).withColumnRenamed("cluster_id", "__comp")
+    cmin = (
+        scomp.join(nodes, "simhash")
+        .groupBy("__comp")
+        .agg(F.min("__mindoc").alias("cluster_id"))
+    )
+    return (
+        sig.join(scomp, "simhash")
+        .join(cmin, "__comp")
+        .select(id_col, "cluster_id")
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -902,14 +902,18 @@ WHERE EXISTS (SELECT 1 FROM {last} a JOIN {prev} b ON a.id = b.id
     + _sig_cluster_prop_sql(),
 )
 def dedup_clusters(spark, sf_dir):
-    """Cluster assignment over SimHash near-dup pairs: distributed
-    min-label propagation vs the oracle's iteration-bounded label
-    propagation with a convergence sentinel (exact at any sf it
-    converges at; loud mismatch otherwise) — the keep-one-per-cluster
-    step of a dedup pipeline."""
+    """Cluster assignment over SimHash near-dup pairs in SIGNATURE
+    space (operators/dedup.simhash_cluster_assignments): label
+    propagation over the distinct-signature graph — thousands of
+    nodes at any sf — instead of the output-sized doc-pair edge set
+    (612 s of engine time at sf1 before round 10; see the operator
+    docstring for the equivalence argument). The oracle replays the
+    same signature-space ladder (iteration-bounded label prop with a
+    convergence sentinel: exact at any sf it converges at; loud
+    mismatch otherwise) — the keep-one-per-cluster step of a dedup
+    pipeline."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_neardup_pairs(d, max_hamming=3).select("id_i", "id_j")
-    return dedup.dedup_clusters(d, pairs)
+    return dedup.simhash_cluster_assignments(d, max_hamming=3)
 
 
 _BPE_SQL = (

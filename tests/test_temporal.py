@@ -513,3 +513,39 @@ def test_range_agg_join_output_is_partition_layout_invariant(spark):
     a, b, c = run(1), run(7), run(32)
     assert a == b == c
     assert len(a) == len(rows)  # every duplicate keeps its own row
+
+
+def test_simhash_cluster_assignments_equal_doc_level_path(spark):
+    """The round-10 signature-space cluster path must be row-identical
+    to the generic doc-level one (dedup_clusters over
+    simhash_neardup_pairs): docs sharing a signature are hamming-0
+    near-dups, so the component structure lives entirely in the
+    distinct-signature graph — the restatement changes the plan shape
+    (thousands of signature nodes instead of an output-sized doc edge
+    set), never the answer. Includes cross-copy duplicates (shared
+    signatures) and unique singletons."""
+    from dqe_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_cluster_assignments,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(
+            docs,
+            simhash_neardup_pairs(docs, max_hamming=3).select(
+                "id_i", "id_j"
+            ),
+        ).collect()
+    }
+    stats: dict = {}
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in simhash_cluster_assignments(
+            docs, max_hamming=3, stats=stats
+        ).collect()
+    }
+    assert got == want and got
+    assert stats["rounds"] >= 1
