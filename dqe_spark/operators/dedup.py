@@ -517,26 +517,53 @@ def positional_grams(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared front half of the exact-substring family: index-rule
-    tokens and md5 k-grams AT EVERY POSITION. Returns (base, grams):
+    tokens and k-grams AT EVERY POSITION. Returns (base, grams):
     base = (id, __toks, n_tokens), grams = (id, p, gram) with p the
     0-based token position of the gram's first token. Map-only; the
-    fan-out is one row per token position."""
+    fan-out is one row per token position.
+
+    ``hashed=True`` (default) emits md5 gram keys — the PERSISTED
+    gram-store layout contract (sources/gram_store.py buckets on
+    crc32(gram) of these values; stores on disk never change meaning
+    under a code upgrade), and the md5 is also what keeps arbitrary
+    document content out of the store files. ``hashed=False`` emits
+    the raw k-token string instead, for the purely in-query substring
+    family: gram EQUALITY is all the downstream owner/cut logic needs,
+    raw keys make it exact rather than exact-modulo-collisions, a
+    typical 5-token gram is no wider than the 32-char md5 it replaces,
+    and skipping the hash removes ~40% of the gram pass's map-side
+    cost (the whole pipeline is gram-pass-bound). Shuffle uniformity
+    is unaffected: partitioning applies Murmur3 to the key either way.
+    """
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
     base = df.select(F.col(id_col), toks.alias("__toks")).select(
         id_col, "__toks", F.size("__toks").alias("n_tokens")
     )
+
+    def gram_at(i):  # i is the 0-based start position
+        s = F.concat_ws(
+            " ",
+            *[
+                F.element_at(F.col("__toks"), (i + j + 1).cast("int"))
+                for j in range(k)
+            ],
+        )
+        return F.md5(s) if hashed else s
+
+    # element_at per token beats slice-then-join inside the transform
+    # lambda (~25% on the interpreted higher-order path), and the
+    # 0-based sequence makes posexplode's index the gram position
+    # directly
     grams = base.where(F.col("n_tokens") >= k).select(
         id_col,
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
-                ),
+                F.sequence(F.lit(0), F.col("n_tokens") - k), gram_at
             )
         ).alias("p", "gram"),
     )
@@ -592,28 +619,34 @@ def duplicate_substring_spans(
     does not own is a cut candidate. Deterministic, relational, and
     exactly replayable by the DuckDB oracle.
 
-    Plan shape matches substring_dedup_stats (narrow positional-gram
-    pass, one gram-keyed shuffle with min(doc) carried on the same
-    aggregate, one per-doc window for island merging) — never
-    all-pairs, no extra Exchange beyond the stats twin.
+    Plan shape (matches substring_dedup_stats): ONE narrow positional
+    gram pass, ONE gram-keyed Exchange, one per-doc window for island
+    merging — never all-pairs. The owner/duplicated decision is a
+    whole-partition window over the gram key rather than an aggregate
+    + join back: "occurs in ≥2 distinct docs" is exactly
+    min(doc) != max(doc) (no count_distinct, whose partial-distinct
+    pre-aggregate costs a second (gram, doc)-keyed Exchange), the
+    canonical owner is the same window's min, and each gram row
+    carries its own (id, p) — so the cut set falls out of the single
+    shuffled pass with no join, no second gram scan, and no dedupe
+    (grams has exactly one row per (id, p); the SELECT DISTINCT the
+    DuckDB oracle spells is a no-op here). This is the same
+    "decide in the space you already shuffled" move as the
+    signature-space cluster rewrite — at any corpus size the pipeline
+    is one gram-wide shuffle plus one (id, p)-skinny shuffle.
 
     Output: (id, span_start, span_tokens) — 0-based token position and
     length of each maximal cut span."""
-    _, grams = positional_grams(df, k, id_col, text_col)
-    owners = (
-        grams.groupBy("gram")
-        .agg(
-            F.count_distinct(F.col(id_col)).alias("nd"),
-            F.min(F.col(id_col)).alias("owner"),
-        )
-        .where(F.col("nd") >= 2)
-        .select("gram", "owner")
-    )
+    _, grams = positional_grams(df, k, id_col, text_col, hashed=False)
+    wg = Window.partitionBy("gram")
     cuts = (
-        grams.join(owners, "gram")
-        .where(F.col(id_col) != F.col("owner"))
+        grams.withColumn("__own", F.min(id_col).over(wg))
+        .withColumn("__mx", F.max(id_col).over(wg))
+        .where(
+            (F.col("__own") != F.col("__mx"))
+            & (F.col(id_col) != F.col("__own"))
+        )
         .select(id_col, "p")
-        .distinct()
     )
     return merge_position_islands(cuts, k, id_col)
 
@@ -708,18 +741,20 @@ def substring_dedup_stats(
     document (the doc-level readout of exact-substring dedup a la Lee
     et al., "Deduplicating Training Data Makes Language Models
     Better" — theirs marks 50-token spans via a suffix array; the
-    Spark-native equivalent is k-gram hashing, which needs no global
-    sorted structure and shuffles on uniform md5 keys).
+    Spark-native equivalent is k-gram keying, which needs no global
+    sorted structure and shuffles on uniform hash-partitioned keys).
 
     Pipeline (one narrow pass + two hash shuffles, never all-pairs):
       1. map-only: tokens (index token rule: lowercase [a-z0-9] runs)
-         -> positional k-gram md5s via transform over the token array;
-      2. grams with >= 2 distinct docs (groupBy gram; md5 keys are
-         uniform, so no skew);
-      3. semi-join doc-gram occurrences against the duplicated-gram
-         set (AQE picks the strategy; the dup-gram side shrinks with
-         corpus quality);
-      4. merge overlapping/adjacent covered intervals [p, p+k-1] per
+         -> positional raw k-grams via transform over the token array
+         (the persisted gram STORE keeps md5 keys,
+         sources/gram_store.py);
+      2. ONE gram-keyed Exchange: "this gram occurs in >= 2 distinct
+         docs" is min(doc) != max(doc) over a whole-partition window
+         on the gram key — each row carries its own (id, p), so the
+         hit set needs no aggregate, no join back, and no second
+         gram scan (see duplicate_substring_spans);
+      3. merge overlapping/adjacent covered intervals [p, p+k-1] per
          doc: sorted by start and all equal length, a new span begins
          exactly when p > lag(p) + k — one window pass, and the
          (id, island) groupBy reuses the window's hash(id)
@@ -729,30 +764,14 @@ def substring_dedup_stats(
     input doc — clean docs report zeros, so the result doubles as a
     corpus-quality report (dup_bp = 10000*dup_tokens div n_tokens).
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    base, grams = positional_grams(df, k, id_col, text_col, hashed=False)
+    wg = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("__own", F.min(id_col).over(wg))
+        .withColumn("__mx", F.max(id_col).over(wg))
+        .where(F.col("__own") != F.col("__mx"))
+        .select(id_col, "p")
     )
-    base = df.select(F.col(id_col), toks.alias("__toks")).select(
-        id_col, "__toks", F.size("__toks").alias("n_tokens")
-    )
-    grams = base.where(F.col("n_tokens") >= k).select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
-                lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(F.col("__toks"), i, k))
-                ),
-            )
-        ).alias("p", "gram"),
-    )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    hits = grams.join(dup, "gram").select(id_col, "p")
     w = Window.partitionBy(id_col).orderBy("p")
     spans = (
         hits.withColumn("__lag", F.lag("p").over(w))

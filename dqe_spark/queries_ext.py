@@ -3975,9 +3975,10 @@ def dedup_substring_spans(spark, sf_dir):
     doc covered by k-grams whose canonical copy (min doc_id) lives in
     another document — what a Lee-et-al.-style pipeline excises while
     keeping exactly one occurrence (operators/dedup.py
-    duplicate_substring_spans; plan: narrow positional-gram pass, one
-    gram shuffle carrying min(doc) on the same aggregate, one per-doc
-    island window — never all-pairs)."""
+    duplicate_substring_spans; plan: narrow positional-gram pass, ONE
+    gram-keyed shuffle whose whole-partition window decides owner and
+    duplication in place (min/max over the gram group), one per-doc
+    island window — never all-pairs, no join)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_substring_spans(d, k=5)
 
