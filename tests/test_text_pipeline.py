@@ -287,6 +287,56 @@ def test_substring_spans_and_strip_semantics(spark):
     assert rep[4]["dup_tokens"] == 0 and rep[4]["dup_bp"] == 0
 
 
+def test_substring_intra_doc_repetition_is_not_duplication(spark):
+    """A k-gram repeated MANY times inside one doc but appearing in no
+    other doc is not cross-doc duplication: the gram-window test is
+    min(doc) != max(doc) over the gram's occurrence rows, and several
+    rows from the same doc collapse to min == max. Pins the window
+    formulation against the count_distinct >= 2 semantics it replaced
+    (a per-ROW count would see 3 occurrences and wrongly cut), and
+    that a cross-doc gram inside such a doc still cuts exactly its
+    own span."""
+    from dqe_spark.operators.dedup import (
+        duplicate_substring_spans,
+        strip_duplicate_substrings,
+        substring_dedup_stats,
+    )
+
+    loop = "red green blue cyan magenta"  # one 5-gram, repeated 3x
+    shared = "one two three four five"
+    rows = [
+        (1, f"{loop} {loop} {loop}"),  # intra-doc repetition only
+        (2, f"lead {shared} trail"),
+        (3, f"{shared} ending"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_tokens"])
+        for r in duplicate_substring_spans(df, k=5).collect()
+    }
+    # doc 1's self-repeats are untouched; doc 3 (non-owner) cuts the
+    # shared phrase, doc 2 (owner) keeps it
+    assert 1 not in spans and 2 not in spans
+    assert spans[3] == (0, 5)
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in strip_duplicate_substrings(df, k=5).collect()
+    }
+    assert got[1]["removed_tokens"] == 0
+    assert got[1]["clean_text"].count("red") == 3
+    assert got[3]["clean_text"] == "ending"
+
+    # the report twin likewise scores doc 1 clean
+    rep = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup_stats(df, k=5).collect()
+    }
+    assert rep[1]["dup_tokens"] == 0 and rep[1]["n_spans"] == 0
+    assert rep[2]["dup_tokens"] == 5 and rep[3]["dup_tokens"] == 5
+
+
 def test_unigram_surprisal_orders_rare_above_common(spark):
     """A doc of corpus-frequent tokens scores lower mean surprisal
     than a doc of rare ones; sub-cap vocab keeps exact counts; and the
