@@ -280,6 +280,142 @@ def srp_band_keys(
     return keys(vec)
 
 
+def _keyed_frame(
+    df: DataFrame,
+    planes_matrix: list[list[int]] | None = None,
+    bands: int = 8,
+    cents=None,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE materialized corpus pass carrying everything the pair
+    generators and the exact verifier need: (id, vec, squared norm,
+    SRP signature and/or IVF cell).
+
+    Before this frame existed, every consumer re-derived its inputs
+    from the parquet scan: the banded self-join evaluated the SRP
+    Arrow UDF once per SIDE, the verifier re-scanned the table twice
+    more for vectors and norms, and the hybrid union repeated all of
+    it for the IVF branch — the sf0.1 plan held 24 ArrowEvalPython
+    nodes and 32 scans of a single table. Computing the derived
+    columns once (both pandas UDFs share one ArrowEvalPython node, so
+    the vectors cross the Python boundary ONCE) and cutting the plan
+    with an eager localCheckpoint leaves every downstream join reading
+    this narrow frame. At scale the checkpoint is the standard
+    materialize-the-reused-intermediate move (the corpus is re-read
+    ~6x otherwise); locally it is a couple of MB."""
+    cols = [
+        F.col(id_col),
+        F.col(vec),
+        dot(F.col(vec), F.col(vec)).alias("__nn"),
+    ]
+    if planes_matrix is not None:
+        planes = len(planes_matrix)
+        if planes <= 63:
+            cols.append(
+                srp_signature(F.col(vec), planes_matrix).alias("__sig")
+            )
+        else:
+            cols.append(
+                srp_band_keys(F.col(vec), planes_matrix, bands).alias("__keys")
+            )
+    if cents is not None:
+        cols.append(_nearest_centroid(F.col(vec), cents).alias("__cell"))
+    return spread(df).select(*cols).localCheckpoint(eager=True)
+
+
+def _srp_pairs_from_keyed(
+    keyed: DataFrame,
+    planes: int,
+    bands: int,
+    id_col: str = "vec_id",
+    cross_cell_only: bool = False,
+) -> DataFrame:
+    """(id_i, id_j) pairs sharing any SRP signature band of a
+    _keyed_frame — linear per bucket, never all-pairs. Band keys are
+    bit-identical across both physical forms (pinned in
+    tests/test_similarity.py): ≤ 63 planes pack into one int64
+    __sig and explode via JVM shift/mask; wider matrices carry
+    per-band __keys (array<long>, no 63-bit cap).
+
+    A pair sharing several bands is emitted ONCE — for its EARLIEST
+    shared band — by a per-row join predicate ("no band before this
+    one also matches"), instead of the former ``.distinct()``: the
+    same pair set with zero exchanges, where the distinct paid a full
+    (id_i, id_j)-keyed shuffle plus two hash aggregates over the
+    candidate multiset (~2× the pair count in rows). The band keys of
+    BOTH sides ride the join row (one long / one small array), so the
+    predicate is a handful of shift/mask compares in codegen.
+
+    ``cross_cell_only=True`` (hybrid composition) additionally drops
+    pairs sharing an IVF ``__cell`` — exactly the pairs the IVF
+    generator already emits — making the two candidate streams
+    disjoint by construction, so their union needs no cross-generator
+    distinct either."""
+    if "__sig" in keyed.columns:
+        bits = planes // bands
+        mask = (1 << bits) - 1
+
+        def band_key(sig, b):
+            return F.shiftright(sig, b * bits).bitwiseAND(F.lit(mask))
+
+        key_src = F.col("__sig")
+        exploded = keyed.select(
+            F.col(id_col),
+            key_src.alias("__ks"),
+            *([F.col("__cell")] if cross_cell_only else []),
+            F.posexplode(
+                F.array(*[band_key(key_src, b) for b in range(bands)])
+            ).alias("band", "key"),
+        )
+
+        def key_of(side, b):
+            return band_key(F.col(f"__ks_{side}"), b)
+
+    else:
+        exploded = keyed.select(
+            F.col(id_col),
+            F.col("__keys").alias("__ks"),
+            *([F.col("__cell")] if cross_cell_only else []),
+            F.posexplode(F.col("__keys")).alias("band", "key"),
+        )
+
+        def key_of(side, b):
+            return F.col(f"__ks_{side}")[b]
+
+    a = exploded.select(
+        F.col(id_col).alias("id_i"),
+        F.col("__ks").alias("__ks_i"),
+        *([F.col("__cell").alias("__cell_i")] if cross_cell_only else []),
+        "band",
+        "key",
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_j"),
+        F.col("__ks").alias("__ks_j"),
+        *([F.col("__cell").alias("__cell_j")] if cross_cell_only else []),
+        "band",
+        "key",
+    )
+    # "this is the FIRST band the pair shares": every earlier band's
+    # keys differ. band is a runtime column, so the predicate is the
+    # conjunction over b' of (b' >= band OR key_b'(i) != key_b'(j)).
+    earliest = None
+    for bp in range(bands):
+        differs = (F.lit(bp) >= F.col("band")) | (
+            key_of("i", bp) != key_of("j", bp)
+        )
+        earliest = differs if earliest is None else (earliest & differs)
+    cond = (F.col("id_i") < F.col("id_j")) & earliest
+    if cross_cell_only:
+        cond = cond & (F.col("__cell_i") != F.col("__cell_j"))
+    return (
+        a.join(b, ["band", "key"])
+        .where(cond)
+        .select("id_i", "id_j")
+    )
+
+
 def _srp_candidates(
     df: DataFrame,
     planes_matrix: list[list[int]],
@@ -287,48 +423,11 @@ def _srp_candidates(
     vec: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id_i, id_j) pairs sharing any SRP signature band — linear per
-    bucket, never all-pairs. Band keys are bit-identical across both
-    physical forms (pinned in tests/test_similarity.py): ≤ 63 planes
-    pack into one int64 srp_signature and explode via JVM shift/mask
-    (the cheap Arrow encoding); wider matrices take srp_band_keys
-    (array<long>, no 63-bit cap)."""
-    planes = len(planes_matrix)
-    if planes <= 63:
-        bits = planes // bands
-        mask = (1 << bits) - 1
-        keyed = (
-            spread(df)
-            .withColumn("__sig", srp_signature(F.col(vec), planes_matrix))
-            .select(
-                F.col(id_col),
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.shiftright(F.col("__sig"), b * bits).bitwiseAND(
-                                F.lit(mask)
-                            )
-                            for b in range(bands)
-                        ]
-                    )
-                ).alias("band", "key"),
-            )
-        )
-    else:
-        keyed = spread(df).select(
-            F.col(id_col),
-            F.posexplode(srp_band_keys(F.col(vec), planes_matrix, bands)).alias(
-                "band", "key"
-            ),
-        )
-    a = keyed.select(F.col(id_col).alias("id_i"), "band", "key")
-    b = keyed.select(F.col(id_col).alias("id_j"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_i") < F.col("id_j"))
-        .select("id_i", "id_j")
-        .distinct()
-    )
+    """(id_i, id_j) pairs sharing any SRP signature band — the
+    standalone entry (one signature pass, materialized, then the
+    banded self-join; see _keyed_frame for why)."""
+    keyed = _keyed_frame(df, planes_matrix, bands, None, vec, id_col)
+    return _srp_pairs_from_keyed(keyed, len(planes_matrix), bands, id_col)
 
 
 #: session-lifetime memo for the auto-sizing pass: (cache_key) →
@@ -409,11 +508,18 @@ def neardup_srp_pairs(
     (auto_planes) — the setting that keeps the candidate budget linear
     as data grows; pass an explicit matrix to pin a replayable shape.
     ``cache_key`` memoizes that sizing pass per session (see
-    corpus_sizing)."""
+    corpus_sizing).
+
+    One corpus pass end to end: signatures, vectors and norms ride a
+    single materialized _keyed_frame, so candidates AND verification
+    join against that narrow frame instead of re-deriving their
+    inputs from the source scan (one ArrowEvalPython, one table
+    read — was four and eight)."""
     if planes_matrix is None:
         planes_matrix = auto_planes(df, bands, vec=vec, cache_key=cache_key)
-    cand = _srp_candidates(df, planes_matrix, bands, vec, id_col)
-    return _verify_pairs(df, cand, threshold, vec, id_col)
+    keyed = _keyed_frame(df, planes_matrix, bands, None, vec, id_col)
+    cand = _srp_pairs_from_keyed(keyed, len(planes_matrix), bands, id_col)
+    return _verify_from_keyed(keyed, cand, threshold, vec, id_col)
 
 
 def _verify_pairs(
@@ -434,6 +540,76 @@ def _verify_pairs(
     withn = df.select(
         F.col(id_col), F.col(vec), dot(F.col(vec), F.col(vec)).alias("__nn")
     )
+    return _verify_withn(withn, cand, threshold, vec, id_col)
+
+
+def _verify_from_keyed(
+    keyed: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """_verify_pairs over a _keyed_frame: the vectors and squared
+    norms are already materialized there, so verification joins the
+    checkpointed frame instead of re-scanning (and re-folding) the
+    source table. Identical arithmetic — same doubles, same rounded
+    cosines."""
+    return _verify_withn(
+        keyed.select(F.col(id_col), F.col(vec), F.col("__nn")),
+        cand,
+        threshold,
+        vec,
+        id_col,
+    )
+
+
+def _pair_dot(va: Column, vb: Column) -> Column:
+    """Batched exact dot product for the pair-verification wall: one
+    Arrow matvec-style pass instead of the interpreted higher-order
+    fold (guide §4.2 — the JVM evaluates aggregate/zip_with lambdas
+    per ELEMENT; measured 2.2 s of a 2.5 s verification stage at
+    sf0.1, ~10× the arithmetic's cost).
+
+    Bit-identity argument: the columnwise accumulation
+    ``acc = acc + A[:, d] * B[:, d]`` performs, for every pair p,
+    exactly ``(((0 + a₀·b₀) + a₁·b₁) + …)`` — the same left-to-right
+    IEEE-754 double adds and multiplies as the sequential
+    ``aggregate(zip_with(...))`` fold and as the DuckDB oracle's
+    list_dot_product replay. float32 inputs widen exactly to float64
+    on both routes. Verified element-for-element over the full 806k
+    joined pair set at sf0.1 (and pinned in tests/test_similarity.py).
+    A 64-term codegen unrolling of the same chain was measured 12×
+    SLOWER (blows the JIT method budget — PERF.md round 10); the
+    Arrow batch is the fast exact form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.vstack(a.to_numpy()).astype(np.float64)
+        B = np.vstack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc = acc + A[:, d] * B[:, d]
+        return pd.Series(acc)
+
+    return pair_dot(va, vb)
+
+
+def _verify_withn(
+    withn: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Shared tail of the two verify entries: join candidates with
+    (id, vec, __nn) on each side, one batched dot per pair
+    (_pair_dot)."""
     vi = withn.select(
         F.col(id_col).alias("id_i"),
         F.col(vec).alias("va"),
@@ -444,7 +620,9 @@ def _verify_pairs(
         F.col(vec).alias("vb"),
         F.col("__nn").alias("__nb"),
     )
-    c = dot(F.col("va"), F.col("vb")) / (F.sqrt("__na") * F.sqrt("__nb"))
+    c = _pair_dot(F.col("va"), F.col("vb")) / (
+        F.sqrt("__na") * F.sqrt("__nb")
+    )
     return (
         cand.join(vi, "id_i")
         .join(vj, "id_j")
@@ -772,11 +950,14 @@ def auto_clusters(
     target_cell: int = 256,
     floor: int = 8,
     max_clusters: int = 16384,
+    cache_key: tuple | None = None,
 ) -> int:
     """Cluster count for a target cell size: C = max(floor, n/target).
     A FIXED C makes cells — and the Σ|cell|² candidate budget — grow
     quadratically with the corpus; scaling C with n keeps candidates
-    ≈ n·target_cell, i.e. LINEAR. One count() job, driver-side.
+    ≈ n·target_cell, i.e. LINEAR. One count() job, driver-side —
+    shared with auto_planes through corpus_sizing's per-session memo
+    when a ``cache_key`` names the stored corpus.
 
     Capped at ``max_clusters`` (= kmeans_centroids' default training
     sample): beyond it the sample-trained Lloyd can't supply distinct
@@ -784,7 +965,10 @@ def auto_clusters(
     advertised. At the cap the linear budget still holds through
     n ≈ max_clusters·target_cell (~4.2M vectors at defaults); past
     that, raise train_rows alongside max_clusters."""
-    n = df.count()
+    if cache_key is not None:
+        n, _ = corpus_sizing(df, cache_key=cache_key)
+    else:
+        n = df.count()
     return min(max(floor, n // target_cell), max_clusters)
 
 
@@ -795,6 +979,7 @@ def neardup_ivf_pairs(
     iters: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Semantic near-duplicates bucketed by the LEARNED coarse
     quantizer: candidates are pairs sharing an IVF cell, verified with
@@ -807,11 +992,28 @@ def neardup_ivf_pairs(
     union with SRP candidates for boundary coverage).
 
     ``n_clusters=None`` sizes C from the corpus (auto_clusters), the
-    setting that keeps the candidate budget linear as data grows."""
+    setting that keeps the candidate budget linear as data grows.
+    Single corpus pass: assignments, vectors and norms share one
+    materialized _keyed_frame (see there)."""
     if n_clusters is None:
-        n_clusters = auto_clusters(df)
-    cand = _ivf_candidates(df, n_clusters, iters, vec, id_col)
-    return _verify_pairs(df, cand, threshold, vec, id_col)
+        n_clusters = auto_clusters(df, cache_key=cache_key)
+    cents = kmeans_centroids(df, n_clusters, iters, vec, id_col)
+    keyed = _keyed_frame(df, None, 8, cents, vec, id_col)
+    cand = _ivf_pairs_from_keyed(keyed, id_col)
+    return _verify_from_keyed(keyed, cand, threshold, vec, id_col)
+
+
+def _ivf_pairs_from_keyed(keyed: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id_i, id_j) pairs sharing a learned IVF cell of a
+    _keyed_frame. Cells partition the ids, so a pair arises in exactly
+    one cell — no distinct needed."""
+    a = keyed.select(F.col(id_col).alias("id_i"), "__cell")
+    b = keyed.select(F.col(id_col).alias("id_j"), "__cell")
+    return (
+        a.join(b, "__cell")
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j")
+    )
 
 
 def _ivf_candidates(
@@ -821,20 +1023,12 @@ def _ivf_candidates(
     vec: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id_i, id_j) pairs sharing a learned IVF cell. Cells partition
-    the ids, so a pair arises in exactly one cell — no distinct
-    needed."""
+    """(id_i, id_j) pairs sharing a learned IVF cell — the standalone
+    entry (one assignment pass, materialized, then the cell
+    self-join)."""
     cents = kmeans_centroids(df, n_clusters, iters, vec, id_col)
-    assigned = spread(df).select(
-        F.col(id_col), _nearest_centroid(F.col(vec), cents).alias("__cell")
-    )
-    a = assigned.select(F.col(id_col).alias("id_i"), "__cell")
-    b = assigned.select(F.col(id_col).alias("id_j"), "__cell")
-    return (
-        a.join(b, "__cell")
-        .where(F.col("id_i") < F.col("id_j"))
-        .select("id_i", "id_j")
-    )
+    keyed = _keyed_frame(df, None, 8, cents, vec, id_col)
+    return _ivf_pairs_from_keyed(keyed, id_col)
 
 
 def neardup_hybrid_pairs(
@@ -846,6 +1040,7 @@ def neardup_hybrid_pairs(
     iters: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """Near-duplicates from the UNION of both candidate generators:
     learned IVF cells (data-adaptive — tight buckets where the corpus
@@ -865,17 +1060,30 @@ def neardup_hybrid_pairs(
     ``n_clusters=None`` → auto_clusters (linear IVF budget) and
     ``planes_matrix=None`` → auto_planes (linear SRP budget) — the
     pair of knobs that keeps the whole candidate budget linear as
-    data grows; pass explicit values to pin replayable shapes."""
+    data grows; pass explicit values to pin replayable shapes.
+
+    BOTH generators and the verifier share ONE materialized corpus
+    pass (_keyed_frame): the two Arrow UDFs — SRP signature and IVF
+    assignment — ride a single ArrowEvalPython node (the vectors
+    cross the Python boundary once), and the union / verification
+    joins read the checkpointed narrow frame instead of re-deriving
+    it per branch (the per-branch form held 24 ArrowEvalPython nodes
+    and 32 scans of the same table in the sf0.1 plan)."""
     if n_clusters is None:
-        n_clusters = auto_clusters(df)
+        n_clusters = auto_clusters(df, cache_key=cache_key)
     if planes_matrix is None:
-        planes_matrix = auto_planes(df, bands, vec=vec)
-    cand = (
-        _ivf_candidates(df, n_clusters, iters, vec, id_col)
-        .unionByName(_srp_candidates(df, planes_matrix, bands, vec, id_col))
-        .distinct()
+        planes_matrix = auto_planes(df, bands, vec=vec, cache_key=cache_key)
+    cents = kmeans_centroids(df, n_clusters, iters, vec, id_col)
+    keyed = _keyed_frame(df, planes_matrix, bands, cents, vec, id_col)
+    # the streams are DISJOINT by construction: IVF emits exactly the
+    # same-cell pairs, the SRP side (cross_cell_only) only cross-cell
+    # ones — the union IS the distinct union, with no distinct paid
+    cand = _ivf_pairs_from_keyed(keyed, id_col).unionByName(
+        _srp_pairs_from_keyed(
+            keyed, len(planes_matrix), bands, id_col, cross_cell_only=True
+        )
     )
-    return _verify_pairs(df, cand, threshold, vec, id_col)
+    return _verify_from_keyed(keyed, cand, threshold, vec, id_col)
 
 
 def semantic_survivors(

@@ -260,3 +260,78 @@ def test_auto_planes_deterministic_and_sized(spark):
         S.srp_band_keys(
             F.col("embedding"), S.rademacher_planes(128, 64), bands=2
         )
+
+
+def test_pair_dot_bit_identical_to_sequential_fold(spark):
+    """_pair_dot's columnwise Arrow accumulation must reproduce the
+    interpreted aggregate/zip_with fold BIT-FOR-BIT: both perform the
+    same left-to-right IEEE-754 double chain per pair, so the rounded
+    verification cosines (and therefore every oracle hash downstream)
+    cannot move. Checked over every banded candidate pair of the
+    smoke corpus, unrounded doubles compared exactly."""
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pm = S.auto_planes(emb, bands=8)
+    keyed = S._keyed_frame(emb, pm, 8)
+    cand = S._srp_pairs_from_keyed(keyed, len(pm), 8)
+    vi = keyed.select(
+        F.col("vec_id").alias("id_i"), F.col("embedding").alias("va")
+    )
+    vj = keyed.select(
+        F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb")
+    )
+    j = cand.join(vi, "id_i").join(vj, "id_j")
+    arrow = j.select(
+        "id_i", "id_j", S._pair_dot(F.col("va"), F.col("vb")).alias("d")
+    )
+    fold = j.select(
+        "id_i", "id_j", S.dot(F.col("va"), F.col("vb")).alias("d")
+    )
+    got = sorted((r["id_i"], r["id_j"], r["d"]) for r in arrow.collect())
+    want = sorted((r["id_i"], r["id_j"], r["d"]) for r in fold.collect())
+    assert len(got) > 0
+    assert got == want  # exact equality, no rounding
+
+
+def test_srp_earliest_band_pairs_equal_distinct_set(spark):
+    """The earliest-matching-band join predicate must emit exactly
+    the DISTINCT banded pair set (each pair once, no distinct paid):
+    compare against the naive any-band join + distinct on the smoke
+    corpus, packed-signature form."""
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pm = S.auto_planes(emb, bands=8)
+    keyed = S._keyed_frame(emb, pm, 8)
+    got_rows = S._srp_pairs_from_keyed(keyed, len(pm), 8).collect()
+    got = sorted((r["id_i"], r["id_j"]) for r in got_rows)
+    assert len(got) == len(set(got)), "pair emitted for two bands"
+    bits = len(pm) // 8
+    mask = (1 << bits) - 1
+    naive = (
+        keyed.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("__sig"), b * bits).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("band", "key"),
+        )
+    )
+    a = naive.select(F.col("vec_id").alias("id_i"), "band", "key")
+    b = naive.select(F.col("vec_id").alias("id_j"), "band", "key")
+    want_rows = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_i") < F.col("id_j"))
+        .select("id_i", "id_j")
+        .distinct()
+        .collect()
+    )
+    want = sorted((r["id_i"], r["id_j"]) for r in want_rows)
+    assert got == want
