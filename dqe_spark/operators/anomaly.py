@@ -47,9 +47,26 @@ def rolling_zscore(
     (the DQL frontend threads confidence/dims this way)."""
     w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, -1)
     v4 = F.round(F.col(v) * 10000).cast("decimal(27,0)")
-    n = F.count(v).over(w)
-    s = F.sum(v4).over(w).cast("double")
-    ss = F.sum(v4 * v4).over(w).cast("double")
+    extra = [c for c in keep if c in df.columns]
+    # stage the three window aggregates as REAL columns before any
+    # reuse: Catalyst expands every reference to a windowed Column
+    # into its own window expression, so the direct formulation
+    # evaluated FIFTEEN aggregate buffers per frame slide (count ×8,
+    # sum ×4, sum-of-squares ×3 — visible as _we0.._we14 in the
+    # physical plan) where three distinct ones exist. One projection
+    # boundary, identical arithmetic, 5× less window work.
+    staged = df.select(
+        *keys,
+        ts,
+        v,
+        *extra,
+        F.count(v).over(w).alias("__n"),
+        F.sum(v4).over(w).cast("double").alias("__s"),
+        F.sum(v4 * v4).over(w).cast("double").alias("__ss"),
+    )
+    n = F.col("__n")
+    s = F.col("__s")
+    ss = F.col("__ss")
     nd = n.cast("double")
     mu = s / nd / 10000.0
     var = F.greatest(
@@ -59,8 +76,7 @@ def rolling_zscore(
     z = F.when(
         (n >= min_points) & (sd > 0), F.round((F.col(v) - mu) / sd, 4)
     )
-    extra = [c for c in keep if c in df.columns]
-    return df.select(*keys, ts, v, *extra, z.alias("zscore"))
+    return staged.select(*keys, ts, v, *extra, z.alias("zscore"))
 
 
 def seasonal_deviation(
@@ -114,7 +130,17 @@ def ewma(
     the weight floor at (1−α)^k — the infinite-history tail below that
     is noise, not signal."""
     w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, 0)
-    xs = F.collect_list(F.col(v).cast("double")).over(w)
+    # collect the frame ONCE as a real column — the fold references
+    # it three times (slice, size, seed), and every reference to a
+    # windowed Column re-expands into its own collect_list window
+    # (rolling_zscore rationale)
+    staged = df.select(
+        *keys,
+        ts,
+        v,
+        F.collect_list(F.col(v).cast("double")).over(w).alias("__xs"),
+    )
+    xs = F.col("__xs")
     folded = F.aggregate(
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
         F.element_at(xs, 1),
@@ -123,7 +149,7 @@ def ewma(
     # floor(x·10⁴ + 0.5) instead of round(x, 4): identical float
     # expression on both engines (comb_product rationale)
     ew4 = F.floor(folded * 10000 + F.lit(0.5)).cast("double") / 10000.0
-    return df.select(*keys, ts, v, ew4.alias("ewma"))
+    return staged.select(*keys, ts, v, ew4.alias("ewma"))
 
 
 def holt_smooth(
@@ -149,7 +175,19 @@ def holt_smooth(
     the floor(x·10⁴+0.5) shared-rounding trick."""
     a1, b1 = 1.0 - alpha, 1.0 - beta
     w = Window.partitionBy(*keys).orderBy(ts).rowsBetween(-k, 0)
-    xs = F.collect_list(F.col(v).cast("double")).over(w)
+    # stage the frame list, then the fold result, each as a real
+    # column before reuse: the direct formulation re-expanded the
+    # collect_list window NINE times (3 references to the fold × 3
+    # references to the list inside it — _we0.._we8 in the physical
+    # plan) and ran the O(k) fold three times per row. Two projection
+    # boundaries, identical arithmetic, one window + one fold.
+    staged = df.select(
+        *keys,
+        ts,
+        v,
+        F.collect_list(F.col(v).cast("double")).over(w).alias("__xs"),
+    )
+    xs = F.col("__xs")
     # accumulator is a 2-array [level, trend], NOT a struct: DuckDB
     # 1.0's list_reduce mis-evaluates multi-field struct accumulators
     # whose fields share subexpressions (verified empirically — the
@@ -165,16 +203,18 @@ def holt_smooth(
     st = F.aggregate(
         F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step
     )
+    folded = staged.select(*keys, ts, v, st.alias("__st"))
+    stc = F.col("__st")
 
     def r4(c):
         return F.floor(c * 10000 + F.lit(0.5)).cast("double") / 10000.0
 
-    return df.select(
+    return folded.select(
         *keys,
         ts,
         v,
-        r4(st[0]).alias("level"),
-        r4(st[0] + st[1]).alias("forecast"),
+        r4(stc[0]).alias("level"),
+        r4(stc[0] + stc[1]).alias("forecast"),
     )
 
 

@@ -105,10 +105,20 @@ def fill_linear(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     vts = F.when(F.col(value).isNotNull(), F.col(ts))
-    prev_v = F.last(value, ignorenulls=True).over(wp)
-    prev_t = F.last(vts, ignorenulls=True).over(wp)
-    next_v = F.first(value, ignorenulls=True).over(wn)
-    next_t = F.first(vts, ignorenulls=True).over(wn)
+    # stage the four window results as REAL columns before reuse:
+    # every reference to a windowed Column re-expands into its own
+    # window expression (the interpolation line references prev/next
+    # value three times and each timestamp twice — ten window
+    # aggregates where four exist; anomaly.rolling_zscore rationale)
+    staged = dense.select(
+        "*",
+        F.last(value, ignorenulls=True).over(wp).alias("__pv"),
+        F.last(vts, ignorenulls=True).over(wp).alias("__pt"),
+        F.first(value, ignorenulls=True).over(wn).alias("__nv"),
+        F.first(vts, ignorenulls=True).over(wn).alias("__nt"),
+    )
+    prev_v, prev_t = F.col("__pv"), F.col("__pt")
+    next_v, next_t = F.col("__nv"), F.col("__nt")
     frac = (F.col(ts) - prev_t).cast("double") / (next_t - prev_t).cast("double")
     raw = prev_v + frac * (next_v - prev_v)
     interp = F.floor(raw * 10000 + F.lit(0.5)).cast("double") / 10000.0
@@ -116,4 +126,6 @@ def fill_linear(
         F.when(F.col(value).isNotNull(), F.col(value))
         .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
     )
-    return dense.withColumn(out, filled)
+    return staged.withColumn(out, filled).drop(
+        "__pv", "__pt", "__nv", "__nt"
+    )

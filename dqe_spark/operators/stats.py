@@ -60,22 +60,53 @@ def windowed_pearson(
     r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)) with all
     six sums exact DECIMAL over value·scale integers; NULL when either
     side is constant (zero variance) or fewer than ``min_n`` aligned
-    points. Output: (wts, n, r)."""
-    x = points.where(F.col(metric) == metric_x).select(
-        F.col(ts).alias("__ts"), _vint(v, scale).alias("__x")
+    points. Output: (wts, n, r).
+
+    ONE pass over ``points``: the former filter-each-side + inner
+    self-join re-derived the whole upstream (scan + windowed
+    aggregation) once per series — the sf0.1 plan held two scans and
+    two aggregation exchanges of the same store. The join's
+    per-timestamp cross-product sums are instead derived from
+    per-timestamp sufficient statistics — for a timestamp with x-rows
+    X and y-rows Y the join contributes |Y| copies of each x and |X|
+    of each y, so Σx += ΣX·|Y|, Σx² += ΣX²·|Y|, Σxy += ΣX·ΣY,
+    n += |X|·|Y| (symmetrically for y) — all products of exact
+    integers, so the six window sums are the IDENTICAL integers for
+    every input, including duplicate-timestamp rows."""
+    flt = points.where(
+        F.col(metric).isin(metric_x, metric_y)
+    ).select(
+        F.col(ts).alias("__ts"),
+        F.when(F.col(metric) == metric_x, _vint(v, scale)).alias("__x"),
+        F.when(F.col(metric) == metric_y, _vint(v, scale)).alias("__y"),
+        # ROW indicators, not value counts: the join replicated per
+        # row (a null-valued row still multiplies the other side),
+        # while the value sums skip nulls — exactly count()'s split
+        F.when(F.col(metric) == metric_x, F.lit(1)).alias("__ix"),
+        F.when(F.col(metric) == metric_y, F.lit(1)).alias("__iy"),
     )
-    y = points.where(F.col(metric) == metric_y).select(
-        F.col(ts).alias("__ts"), _vint(v, scale).alias("__y")
+    per_ts = (
+        flt.groupBy("__ts")
+        .agg(
+            F.count("__ix").alias("__cx"),
+            F.sum("__x").alias("__sx"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+            F.count("__iy").alias("__cy"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        )
+        .where((F.col("__cx") > 0) & (F.col("__cy") > 0))
     )
-    j = x.join(y, "__ts")
     wts = (F.col("__ts") - (F.col("__ts") % F.lit(window_ms))).alias("wts")
-    g = j.select(wts, "__x", "__y").groupBy("wts").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("__x").alias("sx"),
-        F.sum("__y").alias("sy"),
-        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
-        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
-        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    g = per_ts.select(
+        wts, "__cx", "__sx", "__sxx", "__cy", "__sy", "__syy"
+    ).groupBy("wts").agg(
+        F.sum(F.col("__cx") * F.col("__cy")).alias("n"),
+        F.sum(F.col("__sx") * F.col("__cy")).alias("sx"),
+        F.sum(F.col("__sy") * F.col("__cx")).alias("sy"),
+        F.sum(F.col("__sxx") * F.col("__cy")).alias("sxx"),
+        F.sum(F.col("__syy") * F.col("__cx")).alias("syy"),
+        F.sum(F.col("__sx") * F.col("__sy")).alias("sxy"),
     )
     n = F.col("n").cast(_DEC)
     numer = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

@@ -431,3 +431,50 @@ def test_deterministic_ln_tracks_libm(duck, vals):
     for v, got in rows:
         want = math.log(v)
         assert abs(got - want) <= max(1e-8, abs(want) * 1e-8), (v, got, want)
+
+
+@_slow
+@given(pts=pts2)
+def test_windowed_pearson_matches_join_semantics(spark, pts):
+    """The one-pass sufficient-statistics form must reproduce the
+    original filter+inner-join formulation EXACTLY — including
+    duplicate-timestamp inputs, where the join's per-timestamp cross
+    product is what the derived products must equal."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.stats import _vint, windowed_pearson
+
+    df = spark.createDataFrame(pts, "metric string, ts_ms long, value double")
+    got = {
+        (r["wts"], r["n"]): r["r"]
+        for r in windowed_pearson(df, "a", "b", 5000).collect()
+    }
+    # reference: the original join formulation, verbatim
+    x = df.where(F.col("metric") == "a").select(
+        F.col("ts_ms").alias("__ts"), _vint("value", 100).alias("__x")
+    )
+    y = df.where(F.col("metric") == "b").select(
+        F.col("ts_ms").alias("__ts"), _vint("value", 100).alias("__y")
+    )
+    j = x.join(y, "__ts")
+    wts = (F.col("__ts") - (F.col("__ts") % F.lit(5000))).alias("wts")
+    g = j.select(wts, "__x", "__y").groupBy("wts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n").cast("decimal(27,0)")
+    numer = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = numer / F.sqrt(vx * vy)
+    r4 = F.floor(r * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    keep = (F.col("n") >= 2) & (vx > 0) & (vy > 0)
+    want = {
+        (r["wts"], r["n"]): r["r"]
+        for r in g.select("wts", "n", F.when(keep, r4).alias("r")).collect()
+    }
+    assert got == want
