@@ -646,12 +646,17 @@ def unigram_surprisal(
     (broadcast — the capped vocab is small by construction), one
     per-doc aggregate. Output: (id, n_tokens, mean_surprisal_e9).
     """
+    from dqe_spark.operators.partitioning import spread
     from dqe_spark.operators.sketches import ln_int_expr
 
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
     )
-    tk = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    # widen the scan first: the integer-ln scoring is ~40 expression
+    # terms per token and the corpus arrives as a couple of row
+    # groups — and the spread exchange is REUSED by all three
+    # branches that re-derive the token stream (vocab, total, score)
+    tk = spread(df).select(F.col(id_col), F.explode(toks).alias("term"))
     counts = tk.groupBy("term").agg(F.count("*").alias("c"))
     # distributed top-k (TakeOrdered), NOT a global row_number window —
     # the full vocabulary never funnels through one partition
@@ -689,7 +694,14 @@ def dsir_gram_buckets(
     shared by dsir_bucket_counts and the STREAMING model twin
     (streaming/ingest.stream_dsir_model needs a single aggregation
     over this stream — chained streaming groupBys are unsupported)."""
+    from dqe_spark.operators.partitioning import spread
     from dqe_spark.operators.sketches import hash60_expr
+
+    # the per-gram md5 chain is ~1.6 µs/row of CPU and the documents
+    # corpus arrives as a couple of row groups — without widening, the
+    # whole tokenize+hash pass runs on one or two cores (winnow's
+    # spread rationale; streaming frames pass through untouched)
+    df = spread(df)
 
     B = int(n_buckets)
     toks = F.filter(
