@@ -158,8 +158,14 @@ def bloom_prefilter(
     The hash rides the with_hash60 Generate barrier: the K join keys
     and K mask tests all derive from it, and Catalyst inlines plain
     aliases — 8 inlined md5 chains measured 9.6 s where the barrier
-    form runs 1.0 s on the same sf0.1 probe."""
-    out = with_hash60(probe, col)
+    form runs 1.0 s on the same sf0.1 probe. The probe is spread
+    first: its md5 chain is the expensive map work and a small
+    probe table can arrive as one row group (at scale the scan
+    already splits and spread is a no-op, so the map-only plan shape
+    is preserved exactly where it matters)."""
+    from dqe_spark.operators.partitioning import spread
+
+    out = with_hash60(spread(probe), col)
     cond = F.lit(True)
     for i in range(K):
         out = (
