@@ -213,7 +213,20 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
+    # the banded frame (id + bands md5 keys — ~1/1000 of corpus bytes)
+    # is MATERIALIZED before the self-join: both join sides otherwise
+    # re-run the K-digest minhash pass (the expensive map work, one
+    # transform-md5 per shingle per digest group) from the persisted
+    # shingle sets — measured ~0.5 s of the 2 s query at sf0.1. The
+    # SRP twin of this move is _keyed_frame in similarity.py.
+    #
+    # The candidate .distinct() STAYS: the earliest-shared-band join
+    # predicate that replaced distinct in the SRP generator was A/B'd
+    # here and measured SLOWER (string md5 band keys must ride both
+    # sides of the join as arrays, where SRP compares shift/masks of
+    # one int64), so the pair-keyed exchange is the cheaper dedupe for
+    # this operator.
+    banded = sig.select(id_col, *band_cols).localCheckpoint(eager=True)
     # long-form (id, band_idx, key) so one self-join covers all bands
     stack = ", ".join(f"'{b}', band{b}" for b in range(MINHASH_BANDS))
     lf = banded.select(
