@@ -137,8 +137,18 @@ def share_of_total(
         .groupBy(*group_keys, "wts")
         .agg(F.sum("__v").alias("g100"))
     )
-    tot = per.groupBy("wts").agg(F.sum("g100").alias("t100"))
-    return per.join(tot, "wts").select(
+    # the window total rides a whole-partition Window over the ALREADY
+    # AGGREGATED per-group rows instead of a groupBy + self-join: the
+    # join form referenced `per` twice, and Catalyst materializes no
+    # common subexpression — the physical plan re-ran the RAW scan and
+    # the (group, wts) aggregation once per branch (2 scans,
+    # 3 exchanges); this form is one scan, one agg exchange, one
+    # wts-keyed window exchange over group-count-sized rows. Same
+    # integer sums in any order — bit-identical shares.
+    tot = per.withColumn(
+        "t100", F.sum("g100").over(Window.partitionBy("wts"))
+    )
+    return tot.select(
         *group_keys,
         "wts",
         (F.col("g100").cast("double") / 100.0).alias("group_sum"),
