@@ -543,6 +543,95 @@ def _verify_pairs(
     return _verify_withn(withn, cand, threshold, vec, id_col)
 
 
+def _verify_bcast_max_bytes() -> int:
+    """Build-side budget for the FUSED verify (guide §3.1/§4.1): the
+    (id, vec, nn) relation is collected and broadcast to the Python
+    workers only while its float64 matrix stays under this many bytes
+    (``DQE_VERIFY_BCAST_MB``, default 64 — the broadcast-hash-join
+    build-side calculus: every worker process holds one copy, so
+    64 MB × a 32-core executor is ≤ 2 GB). Past the budget — the
+    100 TB regime, where the corpus matrix cannot fit anywhere —
+    verification falls back to the join form unchanged. Read per call
+    so tests and A/B harnesses can flip it without re-importing."""
+    import os
+
+    return int(os.environ.get("DQE_VERIFY_BCAST_MB", "64")) << 20
+
+
+def _verify_fused(
+    keyed: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fused broadcast verify: ONLY the candidate pair ids cross the
+    Arrow boundary; both vectors and norms are looked up worker-side
+    in one broadcast of the keyed frame.
+
+    The join form ships two full vectors per CANDIDATE PAIR through
+    ArrowEvalPython — at sf0.1 that is 806k pairs × two 64-dim float64
+    arrays ≈ 825 MB of Arrow traffic for a 1 MB corpus matrix
+    (measured: 2.2 s of the 2.5 s verification stage). Collecting the
+    matrix once (the standard broadcast-join build-side move — Spark's
+    own BroadcastExchange drives the same driver collect) and mapping
+    the pairs through mapInPandas cuts the boundary bytes ~50× (16 B
+    of ids in, 8 B of cosine out, per pair) and removes both
+    verification joins from the plan.
+
+    Bit-identity: the dot is the SAME columnwise left-to-right
+    accumulation as _pair_dot over the SAME float32→float64 exact
+    widening, √nn is precomputed per vector (one correctly-rounded
+    sqrt per input — identical bits to the join form's per-pair
+    F.sqrt), and the final multiply/divide are single correctly-
+    rounded IEEE ops in both numpy and the JVM. Rounding stays JVM-
+    side (the same F.round(…, 6) expression as the join form), so
+    rounded cosines — and every oracle hash downstream — cannot move.
+    Pinned against the join form pair-for-pair in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pdf = keyed.select(F.col(id_col), F.col(vec), F.col("__nn")).toPandas()
+    idx = pd.Index(pdf[id_col])
+    if not idx.is_unique:  # duplicate ids: positional lookup unsafe
+        return _verify_withn(
+            keyed.select(F.col(id_col), F.col(vec), F.col("__nn")),
+            cand,
+            threshold,
+            vec,
+            id_col,
+        )
+    M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+    rootnn = np.sqrt(pdf["__nn"].to_numpy(dtype=np.float64))
+    bc = keyed.sparkSession.sparkContext.broadcast((idx, M, rootnn))
+
+    out_schema = T.StructType(
+        list(cand.schema.fields) + [T.StructField("__cr", T.DoubleType())]
+    )
+
+    def fused(batches):
+        bidx, bM, broot = bc.value
+        dims = bM.shape[1]
+        for b in batches:
+            i = bidx.get_indexer(b["id_i"])
+            j = bidx.get_indexer(b["id_j"])
+            if len(i) and (i.min() < 0 or j.min() < 0):
+                raise ValueError("candidate id missing from keyed frame")
+            A, B = bM[i], bM[j]
+            acc = np.zeros(len(b), dtype=np.float64)
+            for d in range(dims):
+                acc = acc + A[:, d] * B[:, d]
+            yield b.assign(**{"__cr": acc / (broot[i] * broot[j])})
+
+    return (
+        cand.mapInPandas(fused, out_schema)
+        .select("id_i", "id_j", F.round(F.col("__cr"), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def _verify_from_keyed(
     keyed: DataFrame,
     cand: DataFrame,
@@ -551,10 +640,22 @@ def _verify_from_keyed(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """_verify_pairs over a _keyed_frame: the vectors and squared
-    norms are already materialized there, so verification joins the
+    norms are already materialized there, so verification reads the
     checkpointed frame instead of re-scanning (and re-folding) the
     source table. Identical arithmetic — same doubles, same rounded
-    cosines."""
+    cosines.
+
+    Two physical forms, chosen by build-side size (one cheap combined
+    count/dims job over the checkpointed frame): under the broadcast
+    budget the FUSED path ships only pair ids across the Arrow
+    boundary (_verify_fused); past it — corpora whose vector matrix
+    cannot be held per-worker — the join form ships per-pair vectors
+    (_verify_withn). Both are pinned bit-identical."""
+    n, dims = keyed.agg(
+        F.count(F.lit(1)), F.min(F.size(F.col(vec)))
+    ).first()
+    if dims is not None and n * dims * 8 <= _verify_bcast_max_bytes():
+        return _verify_fused(keyed, cand, threshold, vec, id_col)
     return _verify_withn(
         keyed.select(F.col(id_col), F.col(vec), F.col("__nn")),
         cand,

@@ -294,6 +294,45 @@ def test_pair_dot_bit_identical_to_sequential_fold(spark):
     assert got == want  # exact equality, no rounding
 
 
+def test_fused_verify_bit_identical_to_join_form(spark, monkeypatch):
+    """_verify_fused (broadcast matrix, pair ids only across the Arrow
+    boundary) must reproduce the join form BIT-FOR-BIT — same pair
+    set, same unrounded cosines — over every banded candidate pair of
+    the smoke corpus. Also pins the size gate: with the budget forced
+    to 0, _verify_from_keyed falls back to the join form (no broadcast
+    built), and with the default budget the smoke corpus takes the
+    fused path; both routes return the identical relation."""
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    pm = S.auto_planes(emb, bands=8)
+    keyed = S._keyed_frame(emb, pm, 8)
+    cand = S._srp_pairs_from_keyed(keyed, len(pm), 8)
+    # threshold below -1: keep EVERY candidate, so the whole cosine
+    # column is compared, not just the survivors
+    fused = S._verify_fused(keyed, cand, -2.0)
+    join = S._verify_withn(
+        keyed.select(F.col("vec_id"), F.col("embedding"), F.col("__nn")),
+        cand,
+        -2.0,
+    )
+    got = sorted(map(tuple, fused.collect()))
+    want = sorted(map(tuple, join.collect()))
+    assert len(got) > 0
+    assert got == want  # exact equality: ids and rounded cosines
+
+    # the dispatcher: budget 0 → join form; default budget → fused
+    monkeypatch.setenv("DQE_VERIFY_BCAST_MB", "0")
+    via_join = S._verify_from_keyed(keyed, cand, 0.2)
+    assert "MapInPandas" not in via_join._jdf.queryExecution().toString()
+    monkeypatch.delenv("DQE_VERIFY_BCAST_MB")
+    via_fused = S._verify_from_keyed(keyed, cand, 0.2)
+    assert "MapInPandas" in via_fused._jdf.queryExecution().toString()
+    assert sorted(map(tuple, via_join.collect())) == sorted(
+        map(tuple, via_fused.collect())
+    )
+
+
 def test_srp_earliest_band_pairs_equal_distinct_set(spark):
     """The earliest-matching-band join predicate must emit exactly
     the DISTINCT banded pair set (each pair once, no distinct paid):
