@@ -437,40 +437,116 @@ def simhash_neardup_pairs(
     max_hamming, via EXACT banded candidate generation: with
     bands > max_hamming, the pigeonhole principle guarantees any pair
     within distance max_hamming agrees on at least one band — banding
-    loses nothing, and the all-pairs cross join becomes an equi-join
-    linear in docs per bucket. Output (id_i, id_j, hamming)."""
+    loses nothing. Output (id_i, id_j, hamming).
+
+    The banding runs in SIGNATURE space, not doc space (the same
+    rewrite dedup_clusters and the oracle received): docs sharing a
+    signature are hamming-0 near-dups wholesale, so on a cross-copy
+    corpus the doc-level banded self-join shuffles an output-sized
+    candidate multiset (Σ|bucket|² ≥ 4× the ~10⁸ final pairs at sf1)
+    and then pays a doc-level DISTINCT over it — the two largest
+    exchanges of the old plan. Banding the DISTINCT signatures instead
+    (≤ 2^SIMHASH_BITS rows at ANY corpus size) makes the candidate
+    join and its distinct trivially small; doc pairs fall out by
+    expanding each signature pair through two |docs|-sided joins that
+    AQE broadcasts, plus a same-signature self-join for the hamming-0
+    block. Each unordered doc pair appears for exactly ONE signature
+    pair (a doc has one signature), so the expansion needs NO
+    doc-level distinct — the rows are identical to the old path
+    (pinned in tests/test_temporal.py). The signature frame is
+    checkpointed: 12 bytes/doc, one corpus tokenize pass total where
+    the self-join re-derived it per side."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
             "for the banded candidates to be exact"
         )
-    bits_per = SIMHASH_BITS // bands
-    mask = (1 << bits_per) - 1
-    sig = simhash_signatures(df, col, id_col)
-    lf = sig.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * bits_per)
-                    .bitwiseAND(mask)
-                    .bitwiseOR(F.lit(b << 40))  # disambiguate band index
-                    for b in range(bands)
-                ]
-            )
-        ).alias("key"),
+    return sig_space_hamming_pairs(
+        simhash_signatures(df, col, id_col),
+        max_hamming=max_hamming,
+        bits=SIMHASH_BITS,
+        bands=bands,
+        id_col=id_col,
+        sig_col="simhash",
     )
-    a = lf.select(F.col(id_col).alias("id_i"), F.col("simhash").alias("sa"), "key")
-    b = lf.select(F.col(id_col).alias("id_j"), F.col("simhash").alias("sb"), "key")
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
-    return (
-        a.join(b, "key")
-        .where(F.col("id_i") < F.col("id_j"))
-        .select("id_i", "id_j", ham.alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+
+
+def sig_space_hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int,
+    bits: int = 64,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    sig_col: str = "dhash",
+) -> DataFrame:
+    """Doc-level hamming pairs of a (id, signature) relation via the
+    DISTINCT-SIGNATURE graph — the shared expansion behind
+    simhash_neardup_pairs and the dHash image-dedup path.
+
+    Banding directly in doc space pays three avoidable costs on a
+    corpus with duplicate signatures: the signature DERIVATION runs
+    once per self-join side (for dHash that is the whole PNG
+    decode/resize/hash pipeline, twice), the banded join shuffles an
+    output-sized candidate MULTISET (every shared band re-proposes the
+    pair), and a doc-level DISTINCT collapses it. Pairing the distinct
+    signatures instead (≤ 2^bits rows at ANY corpus size) and
+    expanding members through joins pays each cost once at signature
+    granularity: each doc holds ONE signature, so every unordered doc
+    pair arises from exactly one signature pair (cross block, via
+    least/greatest) or one same-signature pair (hamming 0 block) — no
+    doc-level distinct exists in the plan. Row-identical to banding in
+    doc space (pinned in tests/test_temporal.py).
+
+    The two small frames are explicitly re-widened: AQE coalesces the
+    checkpointed signature relation and the signature-pair distinct to
+    ~1 partition at smoke scale, and broadcast-join output inherits
+    the STREAM side's partitioning — without this the output-sized
+    expansion (and anything computed over it) runs single-threaded
+    (measured at sf1: digest wall 291 → 74 s only WITH the widening).
+    The exchanges cost |docs| skinny rows and |sig pairs| rows —
+    noise next to the derivation pass at any scale."""
+    par = sig.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        sig.select(F.col(id_col), F.col(sig_col))
+        .repartition(par)
+        .localCheckpoint(eager=True)
     )
+    spairs = (
+        hamming_neardup_pairs(
+            sig.select(sig_col).distinct(),
+            max_hamming=max_hamming,
+            bits=bits,
+            bands=bands,
+            id_col=sig_col,
+            sig_col=sig_col,
+        )
+        .select(
+            F.col("id_i").alias("__si"), F.col("id_j").alias("__sj"), "hamming"
+        )
+        .repartition(par)
+    )
+    mi = sig.select(F.col(sig_col).alias("__si"), F.col(id_col).alias("__di"))
+    mj = sig.select(F.col(sig_col).alias("__sj"), F.col(id_col).alias("__dj"))
+    cross = (
+        spairs.join(mi, "__si")
+        .join(mj, "__sj")
+        .select(
+            F.least("__di", "__dj").alias("id_i"),
+            F.greatest("__di", "__dj").alias("id_j"),
+            "hamming",
+        )
+    )
+    same = (
+        sig.select(sig_col, F.col(id_col).alias("__di"))
+        .join(sig.select(sig_col, F.col(id_col).alias("__dj")), sig_col)
+        .where(F.col("__di") < F.col("__dj"))
+        .select(
+            F.col("__di").alias("id_i"),
+            F.col("__dj").alias("id_j"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def hamming_neardup_pairs(

@@ -3450,7 +3450,7 @@ def image_dedup_dhash(spark, sf_dir):
     import pandas as pd
 
     from dqe_spark.operators import media_codec as mc
-    from dqe_spark.operators.dedup import hamming_neardup_pairs
+    from dqe_spark.operators.dedup import sig_space_hamming_pairs
     from dqe_spark.operators.multimodal import image_dhashes
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -3468,7 +3468,11 @@ def image_dedup_dhash(spark, sf_dir):
 
     bin_df = d.mapInPandas(synth, "doc_id long, content binary")
     sig = image_dhashes(bin_df).select("doc_id", "dhash")
-    return hamming_neardup_pairs(sig, max_hamming=2)
+    # signature-space expansion: the PNG synth/decode/dHash pipeline
+    # runs ONCE (checkpointed) instead of once per self-join side, and
+    # the 52.8M-pair doc-level distinct disappears (see
+    # dedup.sig_space_hamming_pairs)
+    return sig_space_hamming_pairs(sig, max_hamming=2)
 
 
 # ---------------------------------------------------------------------------

@@ -549,3 +549,41 @@ def test_simhash_cluster_assignments_equal_doc_level_path(spark):
     }
     assert got == want and got
     assert stats["rounds"] >= 1
+
+
+def test_sig_space_hamming_pairs_equal_doc_level_banding(spark):
+    """sig_space_hamming_pairs (distinct-signature graph + member
+    expansion — the round-10 rewrite behind simhash_neardup_pairs and
+    the dHash image dedup) must be row-identical to banding directly
+    in doc space (hamming_neardup_pairs over the same (id, sig)
+    relation): each doc holds one signature, so every unordered doc
+    pair arises from exactly one signature pair (cross block) or one
+    same-signature pair (hamming-0 block) — no doc-level distinct
+    exists, and none is needed. Exercised on a relation with shared
+    signatures (hamming-0 groups), near signatures, and singletons."""
+    from dqe_spark.operators.dedup import (
+        hamming_neardup_pairs,
+        sig_space_hamming_pairs,
+    )
+
+    rows = [
+        # three docs sharing one signature (hamming-0 triangle)
+        (1, 0b1111000011110000), (2, 0b1111000011110000),
+        (3, 0b1111000011110000),
+        # two docs one bit apart from the group and each other
+        (4, 0b1111000011110001), (5, 0b1111000011110011),
+        # far-away singleton
+        (6, -0x7FFF000000000000),
+        # duplicate pair far from everything else
+        (7, 0x0F0F0F0F0F0F0F0F), (8, 0x0F0F0F0F0F0F0F0F),
+    ]
+    sig = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = sorted(
+        tuple(r)
+        for r in sig_space_hamming_pairs(sig, max_hamming=3).collect()
+    )
+    want = sorted(
+        tuple(r) for r in hamming_neardup_pairs(sig, max_hamming=3).collect()
+    )
+    assert got == want and got
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # one row/pair
