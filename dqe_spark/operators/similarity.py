@@ -239,12 +239,109 @@ def neardup_cosine_pairs(
                 f"{max_rows}; use neardup_srp_pairs or raise max_rows "
                 "explicitly"
             )
+        dims_row = df.select(F.min(F.size(F.col(vec)))).first()
+        dims = dims_row[0]
+        if dims is not None and n * dims * 8 <= _verify_bcast_max_bytes():
+            return _allpairs_fused(df, threshold, vec, id_col)
     a = df.select(F.col(id_col).alias("id_i"), F.col(vec).alias("va"))
     b = df.select(F.col(id_col).alias("id_j"), F.col(vec).alias("vb"))
     pairs = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))
     c = cosine(F.col("va"), F.col("vb"))
     return pairs.select("id_i", "id_j", F.round(c, 6).alias("cos")).where(
         F.col("cos") >= threshold
+    )
+
+
+def _allpairs_fused(
+    df: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs exact cosine without the pair explosion: one corpus
+    matrix broadcast, one corpus pass distributed — each Arrow batch
+    scores its rows against EVERY column of the broadcast matrix by
+    columnwise outer-product accumulation and emits only the pairs
+    that can survive the threshold.
+
+    The crossJoin form evaluates the interpreted aggregate/zip_with
+    cosine fold THREE times per pair — at sf1 that is 2·10⁸ pairs ×
+    3 × 64 interpreted lambda steps (measured 191 s of engine time,
+    the largest row of the sf1 sweep) — and materializes the full
+    n² pair stream just to filter it. Here the arithmetic runs as
+    numpy column sweeps (guide §4.2) and the n² stream never exists
+    as rows anywhere: input boundary = the corpus once, output
+    boundary = the near-threshold survivors.
+
+    Bit-identity: acc_d = acc_{d-1} + a_d·b_d columnwise — the same
+    left-to-right IEEE chain per pair as the fold, for BOTH the dot
+    and the norms (norms are computed in the same sweep over the
+    broadcast matrix, identical to the fold's dot(v, v)); division
+    and sqrt are single correctly-rounded ops in both engines. The
+    Python side pre-filters with SLACK (cos ≥ threshold − 1e-5):
+    F.round(·, 6) moves a value by at most 5·10⁻⁷ + representation
+    error, so every pair the exact JVM round+threshold would keep is
+    inside the slack set; the authoritative filter — the SAME
+    F.round(cos, 6) ≥ threshold expression as the crossJoin form —
+    runs JVM-side on the emitted rows. Pinned against the crossJoin
+    form row-for-row in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    pdf = df.select(F.col(id_col), F.col(vec)).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec]])
+
+    def _rootnn(A):
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc = acc + A[:, d] * A[:, d]
+        return np.sqrt(acc)
+
+    root = _rootnn(M)
+    bc = df.sparkSession.sparkContext.broadcast((ids, M, root))
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_i", id_type),
+            T.StructField("id_j", id_type),
+            T.StructField("__cr", T.DoubleType()),
+        ]
+    )
+    slack = threshold - 1e-5
+    block = 256  # rows per sub-block: block × n × 8 B of scores
+
+    def allpairs(batches):
+        bids, bM, broot = bc.value
+        dims = bM.shape[1]
+        for b in batches:
+            if not len(b):
+                continue
+            A = np.vstack([np.asarray(v, dtype=np.float64) for v in b[vec]])
+            aids = b[id_col].to_numpy()
+            aroot = _rootnn(A)
+            for s in range(0, len(A), block):
+                Ab = A[s : s + block]
+                acc = np.zeros((Ab.shape[0], bM.shape[0]), dtype=np.float64)
+                for d in range(dims):
+                    acc += Ab[:, d, None] * bM[None, :, d]
+                c = acc / (aroot[s : s + block, None] * broot[None, :])
+                keep = (c >= slack) & (aids[s : s + block, None] < bids[None, :])
+                ii, jj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_i": aids[s:][ii],
+                        "id_j": bids[jj],
+                        "__cr": c[ii, jj],
+                    }
+                )
+
+    return (
+        spread(df)
+        .mapInPandas(allpairs, out_schema)
+        .select("id_i", "id_j", F.round(F.col("__cr"), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
     )
 
 

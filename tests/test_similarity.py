@@ -333,6 +333,42 @@ def test_fused_verify_bit_identical_to_join_form(spark, monkeypatch):
     )
 
 
+def test_allpairs_fused_bit_identical_to_crossjoin(spark, monkeypatch):
+    """_allpairs_fused (broadcast matrix + columnwise block scoring,
+    slack pre-filter, authoritative JVM round+threshold) must
+    reproduce the crossJoin + interpreted-fold form row-for-row:
+    same pairs, same rounded cosines — at a positive threshold AND at
+    a negative one that keeps every pair (so the whole cosine column
+    is compared, including values the slack logic must not clip).
+    With the broadcast budget forced to 0, neardup_cosine_pairs takes
+    the crossJoin route; default budget takes the fused route."""
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    def crossjoin_form(thr):
+        a = emb.select(F.col("vec_id").alias("id_i"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("id_j"), F.col("embedding").alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("id_i") < F.col("id_j"))
+        c = S.cosine(F.col("va"), F.col("vb"))
+        return pairs.select(
+            "id_i", "id_j", F.round(c, 6).alias("cos")
+        ).where(F.col("cos") >= thr)
+
+    for thr in (0.2, -2.0):
+        got = sorted(map(tuple, S._allpairs_fused(emb, thr).collect()))
+        want = sorted(map(tuple, crossjoin_form(thr).collect()))
+        assert len(got) > 0
+        assert got == want
+
+    monkeypatch.setenv("DQE_VERIFY_BCAST_MB", "0")
+    via_cross = S.neardup_cosine_pairs(emb, 0.2, exact=True)
+    assert "MapInPandas" not in via_cross._jdf.queryExecution().toString()
+    monkeypatch.delenv("DQE_VERIFY_BCAST_MB")
+    via_fused = S.neardup_cosine_pairs(emb, 0.2, exact=True)
+    assert "MapInPandas" in via_fused._jdf.queryExecution().toString()
+
+
 def test_srp_earliest_band_pairs_equal_distinct_set(spark):
     """The earliest-matching-band join predicate must emit exactly
     the DISTINCT banded pair set (each pair once, no distinct paid):
