@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dqe_spark.operators.partitioning import spread
+
 _DEC = "decimal(27,0)"
 
 # e6: exact integer form of a float32 element (|e| ≤ ~2e3 keeps
@@ -262,22 +264,64 @@ def covariance_matrix(
         f"transform({v}, __x -> "
         "CAST(round(CAST(__x AS DOUBLE) * 1000000) AS BIGINT))"
     )
-    pairs = (
-        "flatten(transform(sequence(0, size(__e6) - 1), i -> "
-        "transform(sequence(i, size(__e6) - 1), j -> "
-        "__e6[i] * __e6[j])))"
-    )
+    # Pair expansion as an exact int64 Gram matmul per Arrow batch
+    # (guide §4.2) instead of a Catalyst flatten/transform explode: the
+    # exploded form materializes n·dim(dim+1)/2 cell rows (41.6M at
+    # sf1 — measured 41 s of interpreted nested-transform evaluation)
+    # just to hash-aggregate them back down to |cells|. The e6
+    # QUANTIZATION stays JVM-side (Spark round's BigDecimal HALF_UP on
+    # the double's shortest decimal form is not worth replicating in
+    # numpy); Python receives int64 arrays and computes per-block
+    # Gram partials Abᵀ·Ab — EXACT integer arithmetic, block size
+    # chosen from the batch's max |e6| so every entry stays under
+    # 2⁶², therefore order-independent and bit-identical however the
+    # partials merge. Only the per-cell partial SUM widens to
+    # DECIMAL(38,0) engine-side, keeping the aggregate exact at
+    # unbounded corpus row counts exactly as before. np.triu_indices
+    # is row-major over the upper triangle — the same (i, j≥i) cell
+    # order the flattened transform emitted.
+    import numpy as np
+    import pandas as pd
+
+    n_cells = dim * (dim + 1) // 2
+
+    def cell_partials(batches):
+        iu = None
+        for b in batches:
+            if not len(b):
+                continue
+            A = np.vstack([np.asarray(x, dtype=np.int64) for x in b["__e6"]])
+            if iu is None:
+                iu = np.triu_indices(A.shape[1])
+            mx = int(np.abs(A).max()) or 1
+            step = max(1, (1 << 62) // (mx * mx))
+            for s in range(0, len(A), step):
+                Ab = A[s : s + step]
+                G = Ab.T @ Ab
+                flat = G[iu]
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(n_cells, dtype=np.int64),
+                        "sxy": flat,
+                        "n": np.full(n_cells, Ab.shape[0], dtype=np.int64),
+                    }
+                )
+
     p = (
-        emb.select(F.expr(e6arr).alias("__e6"))
-        .select(F.posexplode(F.expr(pairs)).alias("cell", "xy"))
+        spread(emb.select(F.expr(e6arr).alias("__e6")))
+        .mapInPandas(cell_partials, "cell long, sxy long, n long")
         .groupBy("cell")
         .agg(
-            F.sum(F.col("xy").cast("decimal(38,0)")).alias("sxy"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+            F.sum("n").alias("n"),
         )
         .select(
-            F.element_at(F.lit(i_map), F.col("cell") + 1).alias("pos_i"),
-            F.element_at(F.lit(j_map), F.col("cell") + 1).alias("pos_j"),
+            F.element_at(
+                F.lit(i_map), (F.col("cell") + 1).cast("int")
+            ).alias("pos_i"),
+            F.element_at(
+                F.lit(j_map), (F.col("cell") + 1).cast("int")
+            ).alias("pos_j"),
             "sxy",
             "n",
         )
