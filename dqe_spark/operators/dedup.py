@@ -51,9 +51,16 @@ def shingle_sets(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Da
     builds the n-grams JVM-side, array_distinct dedups in place — no
     explode, no shuffle."""
     t = tokens(F.col(col))
+    # total-function guard: collapsed projections can evaluate the
+    # gram transform BEFORE the row filter (Catalyst reorders
+    # freely), and for short docs sequence(0, size-3) runs DOWNWARD
+    # ([0, -1, …] — two-arg sequence infers a negative step), so
+    # bracket indexing crashes on rows the filter is about to drop.
+    # get() returns NULL out of bounds instead; in-bounds accesses —
+    # every row the where() keeps — are value-identical to tk[i]
     grams = F.expr(
         f"transform(sequence(0, size(tk) - {SHINGLE_N}), "
-        f"i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"
+        f"i -> concat_ws(' ', get(tk, i), get(tk, i+1), get(tk, i+2)))"
     )
     return (
         df.select(F.col(id_col), t.alias("tk"))
@@ -82,7 +89,21 @@ def ngram_jaccard_pairs(
     df_cap: int | None = None,
 ) -> DataFrame:
     """All near-duplicate pairs (i < j) with shingle-set Jaccard ≥
-    threshold. Output: (id_i, id_j, jaccard 4dp)."""
+    threshold. Output: (id_i, id_j, jaccard 4dp).
+
+    Round-10 rewrite candidates, both MEASURED and rejected at sf1
+    (interleaved digest A/B, row-identical outputs): (a) a
+    content-group restatement — pair md5(text) groups and expand
+    members, the sig_space_hamming_pairs move — ran 190 vs 131 s
+    BECAUSE this corpus has near-zero exact-text duplication at every
+    scale (50 000 docs → 49 920 distinct texts), so the grouping
+    machinery is pure overhead unless the corpus is exact-copy-heavy;
+    (b) checkpointing the shingle incidence for its three consumers
+    measured neutral (the inverted-index join dominates; the
+    derivation is map-only noise) and at 100 TB would trade a
+    recomputable narrow map for a corpus-sized materialization. The
+    operator keeps the plain inverted-index shape; its scale path
+    remains minhash_lsh_pairs."""
     sh = shingles(spread(df), col, id_col)
     if df_cap is not None:
         # skew guard: drop shingles shared by more than df_cap docs —

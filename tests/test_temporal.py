@@ -587,3 +587,67 @@ def test_sig_space_hamming_pairs_equal_doc_level_banding(spark):
     )
     assert got == want and got
     assert len(got) == len(set((a, b) for a, b, _ in got))  # one row/pair
+
+
+def test_ngram_jaccard_short_docs_and_df_cap(spark):
+    """ngram_jaccard_pairs over a corpus with exact copies, a near
+    duplicate, and docs too short to shingle: short docs must NOT
+    pair even when byte-identical — and must not CRASH the gram
+    transform when Catalyst collapses the projection past the length
+    filter (two-arg sequence(0, size-3) runs DOWNWARD for short rows,
+    so bracket indexing throws; shingle_sets' get() guard keeps the
+    expression total — the regression this test pins). The inline
+    doc_level reference is the same algorithm derived per consumer;
+    outputs must match row-for-row including df_cap."""
+    from pyspark.sql import functions as F
+
+    from dqe_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_sizes,
+        shingles,
+    )
+    from dqe_spark.operators.partitioning import spread
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    alt = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [
+        (1, base), (2, base), (3, base),   # exact-copy group of 3
+        (4, alt),                          # near-duplicate of the group
+        (5, "completely different words entirely unrelated text here"),
+        (6, "too short"), (7, "too short"),  # identical but shingle-free
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def doc_level(df, threshold, df_cap=None):
+        sh = shingles(spread(df))
+        if df_cap is not None:
+            freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+            sh = sh.join(freq.where(F.col("df") <= df_cap), "sh", "left_semi")
+        sizes = shingle_sizes(sh)
+        a = sh.select(F.col("doc_id").alias("id_i"), "sh")
+        b = sh.select(F.col("doc_id").alias("id_j"), "sh")
+        inter = (
+            a.join(b, on="sh")
+            .where(F.col("id_i") < F.col("id_j"))
+            .groupBy("id_i", "id_j")
+            .agg(F.count("*").alias("inter"))
+        )
+        na = sizes.select(F.col("doc_id").alias("id_i"), F.col("n_sh").alias("n_i"))
+        nb = sizes.select(F.col("doc_id").alias("id_j"), F.col("n_sh").alias("n_j"))
+        jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+        return (
+            inter.join(na, "id_i")
+            .join(nb, "id_j")
+            .where(jac >= threshold)
+            .select("id_i", "id_j", F.round(jac, 4).alias("jaccard"))
+        )
+
+    for thr, cap in ((0.8, None), (0.2, None), (0.8, 2)):
+        got = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, thr, df_cap=cap).collect())
+        )
+        want = sorted(map(tuple, doc_level(docs, thr, df_cap=cap).collect()))
+        assert got == want, (thr, cap)
+    got = sorted(map(tuple, ngram_jaccard_pairs(docs, 0.8).collect()))
+    assert (1, 2, 1.0) in got and (1, 3, 1.0) in got and (2, 3, 1.0) in got
+    assert not any({a, b} == {6, 7} for a, b, _ in got)  # shingle-free
