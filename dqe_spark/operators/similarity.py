@@ -884,6 +884,19 @@ def kmeans_centroids(
     path is ~0.5 s with identical cluster balance). The sample cap is
     a driver-sized train_rows × dims float64 matrix — the same
     driver-budget class as the C × dims centroid fetch itself."""
+    X = _kmeans_train_sample(df, vec, id_col, train_rows)
+    return _lloyd(X, n_clusters, iters)
+
+
+def _kmeans_train_sample(
+    df: DataFrame, vec: str, id_col: str, train_rows: int
+):
+    """The deterministic k-means training sample as a quantized
+    driver-side matrix: the ``train_rows`` smallest md5 rank hashes of
+    the ids (ties by id), in that order, on the 2⁻²⁰ grid. Split out
+    of kmeans_centroids so PQ training collects the corpus sample ONCE
+    and slices subspaces driver-side (rank_hash depends only on ids —
+    every subspace trains on the same rows)."""
     import numpy as np
 
     from dqe_spark.operators.sampling import rank_hash
@@ -894,7 +907,15 @@ def kmeans_centroids(
         .limit(train_rows)
         .collect()
     )
-    X = _quantize(np.array([list(r[vec]) for r in rows], dtype=np.float64))
+    return _quantize(np.array([list(r[vec]) for r in rows], dtype=np.float64))
+
+
+def _lloyd(X, n_clusters: int, iters: int) -> list[list[float]]:
+    """The driver-side Lloyd loop of kmeans_centroids over an
+    already-collected quantized sample (see there for the exactness
+    contract)."""
+    import numpy as np
+
     if n_clusters > X.shape[0]:
         # the sample can't seed more centroids than it has rows; clamp
         # LOUDLY so the caller's candidate-budget math isn't silently
@@ -1016,13 +1037,19 @@ def pq_codebooks(
     if dims % m_sub:
         raise ValueError(f"dims {dims} not divisible by m_sub {m_sub}")
     sub = dims // m_sub
-    books = []
-    for s in range(m_sub):
-        sliced = df.select(
-            F.col(id_col), F.slice(F.col(vec), s * sub + 1, sub).alias(vec)
-        )
-        books.append(kmeans_centroids(sliced, n_codes, iters, vec, id_col))
-    return books
+    # ONE sample collect for all subspaces (was one corpus scan +
+    # rank-hash top-k sort PER SUBSPACE — 8 scans for the same 16384
+    # rows, the bulk of pq training time): rank_hash orders by id
+    # only, so every subspace trains on the same rows, and slicing
+    # after the elementwise 2⁻²⁰ quantization equals quantizing the
+    # slice — per-subspace Lloyd inputs, and therefore codebooks, are
+    # bit-identical to the sliced-scan form (pinned in
+    # tests/test_similarity.py).
+    X = _kmeans_train_sample(df, vec, id_col, train_rows=16384)
+    return [
+        _lloyd(X[:, s * sub : (s + 1) * sub], n_codes, iters)
+        for s in range(m_sub)
+    ]
 
 
 def pq_encode(

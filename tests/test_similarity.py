@@ -369,6 +369,31 @@ def test_allpairs_fused_bit_identical_to_crossjoin(spark, monkeypatch):
     assert "MapInPandas" in via_fused._jdf.queryExecution().toString()
 
 
+def test_pq_codebooks_single_sample_equal_per_subspace_scans(spark):
+    """pq_codebooks (round-10: ONE sample collect, subspaces sliced
+    driver-side) must reproduce the per-subspace sliced-scan training
+    bit-for-bit: rank_hash orders by id only, so each subspace always
+    trained on the same rows, and slicing commutes with the
+    elementwise 2⁻²⁰ quantization."""
+    import dqe_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = S.pq_codebooks(emb, m_sub=8, n_codes=4, iters=3)
+    sub = 64 // 8
+    want = [
+        S.kmeans_centroids(
+            emb.select(
+                F.col("vec_id"),
+                F.slice(F.col("embedding"), s * sub + 1, sub).alias("embedding"),
+            ),
+            4,
+            3,
+        )
+        for s in range(8)
+    ]
+    assert got == want
+
+
 def test_srp_earliest_band_pairs_equal_distinct_set(spark):
     """The earliest-matching-band join predicate must emit exactly
     the DISTINCT banded pair set (each pair once, no distinct paid):
