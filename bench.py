@@ -279,6 +279,27 @@ def main() -> None:
     # should measure HOST drift on steady-state work, nothing else
     if CONTROL in qs:
         qs[CONTROL](spark, SF_DIR).collect()
+
+    # settle until steady state (declared measurement-bug fix,
+    # round 10): the first ~30-60 s after the store builds run the
+    # SAME pure scan 1.5-3x slow — measured decay 0.88 → 0.30 s over
+    # ~20 consecutive executions (JIT compilation backlog + GC of
+    # build garbage), which inflated every early-suite row of two
+    # full-bench runs by 1.5-2.5x while byte-identical code measured
+    # flat in a settled session. One warmup query demonstrably does
+    # NOT absorb it. Re-run the control until the last three
+    # executions sit within 25% of the best seen (capped), so the
+    # suite times start from the steady state the docstring has
+    # always promised. Nothing is cached: every timed query still
+    # computes from parquet.
+    if CONTROL in qs:
+        settle: list[float] = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            qs[CONTROL](spark, SF_DIR).collect()
+            settle.append(time.perf_counter() - t0)
+            if len(settle) >= 6 and max(settle[-3:]) <= 1.25 * min(settle):
+                break
     control0 = timed(CONTROL)[0] if CONTROL in qs else None
 
     times: dict[str, float] = {}
