@@ -54,6 +54,21 @@ def get_spark(app_name: str = "dqe-spark") -> SparkSession:
         # store derives integer ms from it (exact, matches DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # ContextCleaner frees localCheckpoint/broadcast blocks only
+        # after the JVM garbage-collects their driver-side handles;
+        # Spark's forced periodic GC defaults to 30 MIN, so a
+        # long-lived session that never fills its heap accumulates
+        # dead blocks in the unified memory pool for half an hour —
+        # measured round 10: the same queries ran 2-8x slower late in
+        # a ~25-min sf1 session than in a fresh one (storage eviction
+        # churn + GC pressure), and a manual System.gc() recovered
+        # part of it immediately. One minute keeps reference
+        # processing timely at ANY scale (the cost is one driver-side
+        # GC/min — the executors on a cluster are untouched).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
