@@ -171,36 +171,58 @@ SERVING = [
 #: suite stats plus as many of the most expensive rows as fit.
 ARTIFACT = "BENCH_local_sf{sf}.json"
 
-#: compact-line budget: safely under the driver's ~2000-char tail so
-#: the final stdout line always parses as one complete JSON document.
-LINE_BUDGET = 1800
+#: compact-line budget: the driver keeps the final ~2000 stdout chars
+#: (trailing newline included), so ≤1980 keeps the last line one
+#: complete JSON document with margin.
+LINE_BUDGET = 1980
+
+
+def _sig3(v: float) -> float:
+    """Round to 3 significant digits (≤0.5% relative error), capped at
+    3 decimals — bounds every value's JSON width on slow-host runs."""
+    if v <= 0:
+        return round(v, 3)
+    import math
+
+    return round(v, max(0, min(3, 2 - int(math.floor(math.log10(v))))))
 
 
 def compact_line(
     base: dict,
     times: dict[str, float],
-    norm: dict[str, float],
     budget: int = LINE_BUDGET,
 ) -> str:
-    """One self-contained JSON line ≤ ``budget`` chars: ``base`` plus a
-    ``q`` map of name → [median_sec, norm] for as many queries as fit,
-    MOST EXPENSIVE FIRST (the rows that decide a perf verdict), and
-    ``q_omitted`` = how many cheap rows overflowed to the artifact.
-    Never silently truncates mid-document — the round-5 and round-8
-    bench records both lost their per-query maps to tail cuts."""
-    doc = dict(base)
-    doc["q"] = {}
-    doc["q_omitted"] = len(times)
-    line = json.dumps(doc, separators=(",", ":"))
-    for name in sorted(times, key=lambda n: -times[n]):
-        doc["q"][name] = [times[name], norm.get(name)]
-        doc["q_omitted"] -= 1
-        cand = json.dumps(doc, separators=(",", ":"))
-        if len(cand) > budget:
-            del doc["q"][name]
-            doc["q_omitted"] += 1
-            break
-        line = cand
+    """One self-contained JSON line ≤ ``budget`` chars carrying the
+    driver contract's ``queries`` map of name → median seconds (scalar
+    — round 10's [med, norm] pair map under ``q`` parsed but fed the
+    driver's perf comparer NOTHING: PERF_r10 n_common == 0). All rows
+    ride at full 3-decimal precision when they fit, degrading to 2
+    decimals then 3 significant digits, and only past that do the
+    cheapest rows overflow to the artifact MOST EXPENSIVE KEPT
+    (``q_omitted`` counts the overflow — never a silent mid-document
+    cut, which cost rounds 5 and 8 their maps)."""
+    for rounder in (
+        lambda v: round(v, 3),
+        lambda v: round(v, 2),
+        _sig3,
+    ):
+        doc = dict(base)
+        doc["queries"] = {
+            n: rounder(times[n])
+            for n in sorted(times, key=lambda n: -times[n])
+        }
+        line = json.dumps(doc, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    # still over budget (e.g. a slow host window pushed many rows past
+    # 10 s): drop cheapest rows one at a time, counting them
+    doc["q_omitted"] = 0
+    for name in sorted(times, key=lambda n: times[n]):
+        del doc["queries"][name]
+        doc["q_omitted"] += 1
+        line = json.dumps(doc, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
     return line
 
 
@@ -292,14 +314,22 @@ def main() -> None:
     # suite times start from the steady state the docstring has
     # always promised. Nothing is cached: every timed query still
     # computes from parquet.
+    settle: list[float] = []
     if CONTROL in qs:
-        settle: list[float] = []
         for _ in range(30):
             t0 = time.perf_counter()
             qs[CONTROL](spark, SF_DIR).collect()
             settle.append(time.perf_counter() - t0)
             if len(settle) >= 6 and max(settle[-3:]) <= 1.25 * min(settle):
                 break
+    # the settle trace rides the record (iteration count + floor), so a
+    # reader can tell a converged session from one that burned all 30
+    # reps on a noisy host and never flattened
+    settle_info = {
+        "iters": len(settle),
+        "floor": round(min(settle), 3) if settle else None,
+        "last": round(settle[-1], 3) if settle else None,
+    }
     control0 = timed(CONTROL)[0] if CONTROL in qs else None
 
     times: dict[str, float] = {}
@@ -372,6 +402,7 @@ def main() -> None:
         "serve_replan": serve_replan,
         "control": [control0, control1],
         "control_spread": spread,
+        "settle": settle_info,
         "sf": sf_val,
     }
     # Full record first (humans / files redirect the whole stream) AND
@@ -385,23 +416,21 @@ def main() -> None:
     )
     # ...then a compact summary LAST: the driver keeps only the final
     # ~2000 chars of stdout, so the last line must be one complete
-    # JSON document under that budget. The suite stats, control pair,
-    # warm serving medians, and the most expensive per-query
-    # [median, norm] rows ride inline; the rest overflow to the
-    # artifact named here (q_omitted counts them — never a silent cut).
+    # JSON document under that budget, and it must carry the contract's
+    # scalar "queries" map — the driver's round-over-round perf
+    # comparer reads per-query seconds from THIS line (round 10 shipped
+    # [med, norm] pairs under "q" instead and the comparer saw zero
+    # queries). Suite stats + control pair ride inline; norms, warm
+    # serving medians, best-of-reps and row counts live in the full
+    # record above and the committed artifact named here.
     base = {
         "metric": "headline-suite-wall",
         "value": total,
         "unit": "sec",
         "sf": sf_val,
-        "n_queries": len(times),
         "control": [control0, control1],
-        "control_spread": spread,
-        "serve_warm": serve_warm,
-        "serve_replan": serve_replan,
-        "artifact": artifact,
     }
-    print(compact_line(base, times, norm))
+    print(compact_line(base, times))
     spark.stop()
 
 
