@@ -118,6 +118,107 @@ def windowed_pearson(
     return g.select("wts", "n", F.when(keep, r4).alias("r"))
 
 
+def downsampled_pearson(
+    points: DataFrame,
+    metric_x: str,
+    metric_y: str,
+    agg_ms: int,
+    window_ms: int,
+    metric: str = "metric",
+    ts: str = "ts_ms",
+    v: str = "value",
+    min_n: int = 2,
+) -> DataFrame:
+    """Fusion of the downsample-then-correlate pipeline —
+    ``window_agg(agg_avg)`` per metric followed by ``windowed_pearson``
+    over the per-(metric, agg-window) averages — into ONE conditional
+    aggregation keyed by the downsample grain alone.
+
+    The composed form pays three exchanges: the (metric, mts) average
+    aggregation, the per-ts regroup of windowed_pearson (whose input
+    is exactly one row per (metric, mts), so that regroup merely zips
+    the ≤2 rows of each minute), and the window-grain aggregation.
+    Here one groupBy(mts) computes BOTH series' exact 4dp-average
+    integers in the same pass — partial aggregation still reduces
+    map-side, so the one exchange carries |minutes| rows — and only
+    the aggregate-sized window-grain exchange follows: 1 scan,
+    2 exchanges, of which the second is output-sized.
+
+    Bit-identity with the composed form (pinned in tests): the 4dp
+    average integer is the identical sign-aware ``(2·Σv4 + n) div
+    (2·n)`` of windows.avg4_exact over the same Σround(v·10⁴) sums,
+    and ``_vint(avg, 10⁴)`` in the composed path recovers that
+    exact integer (i/10⁴ as double round-trips through round(·)).
+    A minute enters ``n`` when BOTH metrics have a row there (even a
+    null-valued one — count indicators mirror windowed_pearson's
+    row-indicator split and the oracle's inner join), while the value
+    sums skip nulls, exactly as SUM does. Null timestamps are dropped
+    (the join form never matched them). Output: (wts, n, r)."""
+    mts = (F.col(ts) - (F.col(ts) % F.lit(agg_ms))).alias("__mts")
+    is_x = F.col(metric) == metric_x
+    is_y = F.col(metric) == metric_y
+    per = (
+        points.where(
+            F.col(metric).isin(metric_x, metric_y) & F.col(ts).isNotNull()
+        )
+        .select(
+            mts,
+            F.when(is_x, _vint(v, 10_000)).alias("__vx"),
+            F.when(is_y, _vint(v, 10_000)).alias("__vy"),
+            # row indicators: presence of ANY x/y row this minute (the
+            # composed path's window_agg emits the minute's row even
+            # when every value is null, and pearson's n counts it)
+            F.when(is_x, F.lit(1)).alias("__rx"),
+            F.when(is_y, F.lit(1)).alias("__ry"),
+        )
+        .groupBy("__mts")
+        .agg(
+            F.sum("__vx").alias("__sx4"),
+            F.count("__vx").alias("__cx"),
+            F.count("__rx").alias("__px"),
+            F.sum("__vy").alias("__sy4"),
+            F.count("__vy").alias("__cy"),
+            F.count("__ry").alias("__py"),
+        )
+        .where((F.col("__px") > 0) & (F.col("__py") > 0))
+    )
+
+    def _avg4int(s4: str, n: str) -> str:
+        # avg4_exact's integer division verbatim over Σround(v·10⁴);
+        # guarded so an all-null minute yields NULL, not a div-by-zero.
+        # `div` yields LONG — cast back to the composed path's
+        # DECIMAL(27,0) so the window sums below stay exact decimals
+        # (no long overflow) and bit-match _vint's integers.
+        return (
+            f"CAST(CASE WHEN {n} = 0 THEN NULL "
+            f"WHEN {s4} >= 0 THEN (2 * {s4} + {n}) div (2 * {n}) "
+            f"ELSE -((2 * -({s4}) + {n}) div (2 * {n})) END AS {_DEC})"
+        )
+
+    aligned = per.selectExpr(
+        "__mts",
+        _avg4int("__sx4", "__cx") + " AS __x",
+        _avg4int("__sy4", "__cy") + " AS __y",
+    )
+    wts = (F.col("__mts") - (F.col("__mts") % F.lit(window_ms))).alias("wts")
+    g = aligned.select(wts, "__x", "__y").groupBy("wts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("sx"),
+        F.sum("__y").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+    )
+    n = F.col("n").cast(_DEC)
+    numer = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = numer / F.sqrt(vx * vy)
+    r4 = F.floor(r * 10000 + F.lit(0.5)).cast("double") / 10000.0
+    keep = (F.col("n") >= min_n) & (vx > 0) & (vy > 0)
+    return g.select("wts", "n", F.when(keep, r4).alias("r"))
+
+
 def share_of_total(
     points: DataFrame,
     group_keys: Sequence[str],

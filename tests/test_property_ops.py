@@ -478,3 +478,30 @@ def test_windowed_pearson_matches_join_semantics(spark, pts):
         for r in g.select("wts", "n", F.when(keep, r4).alias("r")).collect()
     }
     assert got == want
+
+
+@_slow
+@given(pts=pts2)
+def test_downsampled_pearson_matches_composed(spark, pts):
+    """The fused downsample+correlate (stats.downsampled_pearson: one
+    conditional aggregation keyed by the agg window) must reproduce
+    the composed pipeline — window_agg(agg_avg) per metric followed by
+    windowed_pearson over the 4dp averages — BIT-exactly, including
+    duplicate-timestamp inputs and negative values (the sign-aware
+    half-up average rounding)."""
+    from dqe_spark.operators.stats import downsampled_pearson, windowed_pearson
+    from dqe_spark.operators.windows import agg_avg, window_agg
+
+    df = spark.createDataFrame(pts, "metric string, ts_ms long, value double")
+    got = {
+        (r["wts"], r["n"]): r["r"]
+        for r in downsampled_pearson(df, "a", "b", 1000, 5000).collect()
+    }
+    w = window_agg(df, 1000, agg_avg("value"), "value")
+    want = {
+        (r["wts"], r["n"]): r["r"]
+        for r in windowed_pearson(
+            w, "a", "b", 5000, ts="wts", scale=10_000
+        ).collect()
+    }
+    assert got == want
