@@ -64,6 +64,15 @@ def spread(df: DataFrame, factor: int = 1, by: str | None = None) -> DataFrame:
     probe (6M-row single-file scan): round-robin 3.52 s / no spread
     3.05 s / hash-by-key 2.60 s median, row-identical results.
 
+    SKEW CAVEAT: hash-partitioning assumes the key spreads — high
+    cardinality does NOT preclude heavy-hitter or null skew (a default
+    ID owning half the fact rows; all NULLs hash to one partition),
+    which would concentrate the expensive map work round-robin spread
+    evenly. Keep ``by`` opt-in, for keys known near-uniform (the bloom
+    probe key is the fact table's join key: unique-ish by
+    construction); skewed or nullable keys should stay on the default
+    round-robin or be salted by the caller.
+
     Call this at the START of a compute-bound operator, on the raw
     source (before persist, so the cached blocks land spread out).
     """

@@ -69,6 +69,23 @@ def get_spark(app_name: str = "dqe-spark") -> SparkSession:
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
         )
+        # ...but System.gc() is a FULL stop-the-world collection by
+        # default, and with a 1-min cadence it sometimes lands inside
+        # a query (round 10: 1-2 sporadic rows per sf1 suite at 2-3x
+        # their fresh-session medians, different rows each run).
+        # ExplicitGCInvokesConcurrent turns the cleaner's System.gc()
+        # into a concurrent G1 cycle — only the initial-mark pause is
+        # stop-the-world, and weak references (what the ContextCleaner
+        # actually waits on) are still processed at the cycle's remark.
+        # Serving deployments that want NO forced cycles can override
+        # both knobs via the env vars.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:+ExplicitGCInvokesConcurrent",
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -87,6 +87,11 @@ def test_prefilter_plan_is_broadcast_only_and_jvm_only(spark):
     # of the whole single-split probe first (SPARK-23207) — measured
     # 3.52 vs 2.60 s on the sf1 probe (round 10)
     assert "RoundRobinPartitioning" not in plan
+    # ...and the negative assertion alone passes vacuously if the
+    # widening silently stops firing, so ALSO pin the positive
+    # evidence: this tiny probe is exactly the below-parallelism
+    # regime where spread must fire, as a hash exchange on the key
+    assert "Exchange hashpartitioning(k" in plan
 
 
 def test_bit63_masks_agree_with_duckdb(spark, duck):

@@ -435,3 +435,40 @@ def test_srp_earliest_band_pairs_equal_distinct_set(spark):
     )
     want = sorted((r["id_i"], r["id_j"]) for r in want_rows)
     assert got == want
+
+
+def test_verify_dispatch_both_paths_oracle_green_at_gate_scale(
+    spark, monkeypatch
+):
+    """The broadcast-budget dispatch boundary (DQE_VERIFY_BCAST_MB)
+    pinned END-TO-END: a declared verify-using query runs ORACLE-GREEN
+    on BOTH physical forms at the driver's gate scale (sf0.01) — the
+    past-budget join fallback is the 100 TB path and must not rot
+    while every smoke-scale dispatch picks the fused route. The plan
+    assertion proves each leg actually took its intended form."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from tests.conftest import SF_CORRECT
+    from tests.oracle_util import compare
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{SF_CORRECT}/{name}.parquet'"
+        )
+    qs, osql = E.queries(), E.oracle_sql()
+    qname = "dedup_semantic_keep"
+    monkeypatch.setenv("DQE_VERIFY_BCAST_MB", "0")  # force join fallback
+    df = qs[qname](spark, SF_CORRECT)
+    assert "MapInPandas" not in df._jdf.queryExecution().toString()
+    compare(df, con, osql[qname])
+    monkeypatch.delenv("DQE_VERIFY_BCAST_MB")  # default: fused broadcast
+    df = qs[qname](spark, SF_CORRECT)
+    assert "MapInPandas" in df._jdf.queryExecution().toString()
+    compare(df, con, osql[qname])
+    con.close()
