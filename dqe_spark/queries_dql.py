@@ -883,6 +883,7 @@ def dql_trend(spark, sf_dir):
 
 from dqe_spark.queries_ext import _COS as _DCOS  # noqa: E402
 from dqe_spark.queries_ext import _auto_srp_ctes  # noqa: E402
+from dqe_spark.queries_ext import _range_join_oracle  # noqa: E402
 
 #: Auto-width SRP replay for the DQL front door (neardup() /
 #: dedup('semantic') default to auto_planes) — shared with the
@@ -1122,18 +1123,16 @@ def dql_watchlist(spark, sf_dir):
 
 @q(
     "dql_range_join",
-    f"""
-WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
-                   event_type, value FROM events),
-e AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
-c AS (SELECT user_id, ts_ms, value FROM ev WHERE event_type = 'click')
-SELECT e.event_id, e.user_id, e.ts_ms,
-       count(c.user_id) AS n_nearby,
-       max(c.value) AS max_value
-FROM e LEFT JOIN c
-  ON c.user_id = e.user_id AND abs(c.ts_ms - e.ts_ms) <= 120000
-GROUP BY 1, 2, 3
-""",
+    # the binned equi-join oracle restatement (see queries_ext.
+    # _range_join_oracle: identical pair set and aggregation, hash
+    # equi-join instead of DuckDB's 90 s per-user cross product)
+    _range_join_oracle(
+        "SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms, "
+        "event_type, value FROM events",
+        120000,
+        "n_nearby",
+        "max_value",
+    ),
 )
 def dql_range_join(spark, sf_dir):
     """`nearby('error', 'click', 2m)` in the language: the binned

@@ -3302,11 +3302,24 @@ _INCR_PAIRS_SQL = (
   SELECT DISTINCT n.doc_id AS new_id, st.doc_id AS store_id
   FROM bands n JOIN bands st ON n.band = st.band AND n.key = st.key
   WHERE n.doc_id % 10 = 7 AND st.doc_id % 10 <> 7
+-- verify-join inputs pruned to CANDIDATE docs before the shingle
+-- hash join (round-11, r10 verdict #7): the join keys already imply
+-- sa.doc_id ∈ new_ids and sb.doc_id ∈ store_ids, but without the
+-- explicit filters DuckDB builds its (doc_id, sh) hash table over the
+-- WHOLE corpus incidence — measured 103.6 s cold at sf1, the largest
+-- oracle wall of the sweep; same rows, implied predicates made
+-- explicit
+), sa0 AS (
+  SELECT doc_id, sh FROM s
+  WHERE doc_id IN (SELECT DISTINCT new_id FROM cand)
+), sb0 AS (
+  SELECT doc_id, sh FROM s
+  WHERE doc_id IN (SELECT DISTINCT store_id FROM cand)
 ), inter AS (
   SELECT c.new_id, c.store_id, count(*) AS inter
   FROM cand c
-  JOIN s sa ON sa.doc_id = c.new_id
-  JOIN s sb ON sb.doc_id = c.store_id AND sb.sh = sa.sh
+  JOIN sa0 sa ON sa.doc_id = c.new_id
+  JOIN sb0 sb ON sb.doc_id = c.store_id AND sb.sh = sa.sh
   GROUP BY 1, 2
 )
 SELECT new_id, store_id,
@@ -4618,19 +4631,49 @@ def bloom_prefilter_stats(spark, sf_dir):
     )
 
 
+def _range_join_oracle(ev_sql: str, radius: int, n_col: str, mx_col: str) -> str:
+    """The ±radius interval-join oracle, stated as the BINNED equi-join
+    (round-11, r10 verdict #7: restate heavy oracles over smaller
+    equivalent relations). The textbook form — ``LEFT JOIN ON user
+    AND abs(Δts) ≤ r`` — plans in DuckDB as a per-user cross product
+    with a post-filter: 90.6 s cold at sf1 for each of the two range
+    queries, the 2nd/3rd-largest oracle walls of the sweep. Binning
+    both sides at the radius width and replicating each error to its
+    3 adjacent bins (|a−b| ≤ w ⟹ |a div w − b div w| ≤ 1, ts ≥ 0;
+    each click's single bin matches exactly ONE replica, so no pair
+    is double-counted) turns it into a hash equi-join on (user, bin)
+    with the exact |Δts| ≤ r test kept in the join condition — the
+    identical pair set, aggregated identically: count per error
+    triple = copies × matches either way, max over the same values,
+    and DISTINCT error triples left-join the hits back so empty
+    matches keep count 0 / max NULL exactly as the LEFT JOIN had it.
+    This is the same shape the ENGINE has always planned
+    (operators/temporal.range_agg_join) — the two now share it."""
+    return f"""
+WITH ev AS ({ev_sql}),
+e AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
+c AS (SELECT user_id, ts_ms, value, ts_ms // {radius} AS cb
+      FROM ev WHERE event_type = 'click'),
+e3 AS (SELECT event_id, user_id, ts_ms, ts_ms // {radius} + d AS jb
+       FROM e, (VALUES (-1), (0), (1)) s(d)),
+hit AS (
+  SELECT e3.event_id, e3.user_id, e3.ts_ms,
+         count(c.user_id) AS n, max(c.value) AS mx
+  FROM e3 JOIN c ON c.user_id = e3.user_id AND c.cb = e3.jb
+                AND abs(c.ts_ms - e3.ts_ms) <= {radius}
+  GROUP BY 1, 2, 3
+)
+SELECT de.event_id, de.user_id, de.ts_ms,
+       coalesce(hit.n, 0) AS {n_col}, hit.mx AS {mx_col}
+FROM (SELECT DISTINCT event_id, user_id, ts_ms FROM e) de
+LEFT JOIN hit ON de.event_id = hit.event_id
+             AND de.user_id = hit.user_id AND de.ts_ms = hit.ts_ms
+"""
+
+
 @q(
     "range_join_click_near_error",
-    f"""
-WITH ev AS ({_EV_MS}),
-e AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
-c AS (SELECT user_id, ts_ms, value FROM ev WHERE event_type = 'click')
-SELECT e.event_id, e.user_id, e.ts_ms,
-       count(c.user_id) AS n_nearby_clicks,
-       max(c.value) AS max_click_value
-FROM e LEFT JOIN c
-  ON c.user_id = e.user_id AND abs(c.ts_ms - e.ts_ms) <= 300000
-GROUP BY 1, 2, 3
-""",
+    _range_join_oracle(_EV_MS, 300000, "n_nearby_clicks", "max_click_value"),
 )
 def range_join_click_near_error(spark, sf_dir):
     """Interval join: each error event with the count and max value of
