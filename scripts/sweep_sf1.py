@@ -107,6 +107,8 @@ _NULL = "␀"
 #: every sweep. Remaining heavies keep their historical group numbers.
 HEAVY_GROUPS = {
     "dedup_clusters": 0,               # 9.7 oracle + ~40 engine
+    "dql_neardup": 0,                  # 81.3 sweep row (hybrid replay via DQL)
+    "knn_ann_serve": 0,                # 71.7 sweep row (ANN build replay)
     "dedup_simhash_neardup": 1,        # 51.7 oracle (fast digest) + 17 engine
     "neardup_ivf": 1,                  # 50.7 oracle (Lloyd replay) + 11 engine
     "neardup_hybrid": 2,               # 77.8 oracle + ~17 engine
@@ -347,6 +349,15 @@ def main() -> int:
         # long-session block churn bounded.
         .config("spark.driver.memory", "40g")
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # the periodic System.gc() must not be a stop-the-world full
+        # collection on a 40g heap mid-row (see session.py round 11:
+        # in-sweep rows measured up to 3x their fresh-session cost
+        # before this flag; weak refs still clear at the concurrent
+        # cycle's remark so checkpoint blocks keep being freed)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
